@@ -1,0 +1,23 @@
+"""audio_decoder_tpu — a TPU-native audio decode & real-time processing
+framework with the capabilities of gitxandert/audio_decoder ("BLAST").
+
+Built from scratch for TPU: batched JAX/XLA/Pallas decode of WAV/AIFF/MPEG
+into a unified f32 ``AudioBatch``, consensus configuration + fused DSP, a
+voice/group/tempo/sequencer playback engine, sharded multi-chip decode, and
+a C++ host runtime (command queue, terminal REPL, audio sink).
+"""
+
+from .core import AudioBatch, AudioFileView, DecodeError
+from .codecs import decode_assets, decode_dir, decode_paths
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AudioBatch",
+    "AudioFileView",
+    "DecodeError",
+    "decode_assets",
+    "decode_dir",
+    "decode_paths",
+    "__version__",
+]

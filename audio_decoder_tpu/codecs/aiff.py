@@ -1,0 +1,137 @@
+"""AIFF/FORM decoding as batched device ops.
+
+The reference parses AIFF with a fixed-order FORM → COMM → SSND cursor walk,
+big-endian multi-byte reads, an IEEE 754 80-bit extended-float sample rate,
+and a scalar 16-bit BE unpack loop (blast/src/file_parsing/aiff.rs:99-183).
+Here the chunk walk is a vmapped ``lax.while_loop`` (chunks may appear in
+any IFF order), the IEEE-80 decode is integer ops (ops.bytes.read_ieee_extended
+≙ aiff.rs:51-94), and unpacking handles 8/16/24/32-bit signed big-endian
+PCM — the reference hard-assumed 16-bit regardless of the COMM sample size
+(aiff.rs:159-170, SURVEY §5 defect 6).
+
+COMM size is validated as 18 exactly like the reference (aiff.rs:122-126 →
+InvalidData).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import errors as E
+from ..ops.bytes import fourcc, read_ieee_extended, read_tag, read_u16be, read_u32be
+
+_FORM = fourcc("FORM")
+_AIFF = fourcc("AIFF")
+_COMM = fourcc("COMM")
+_SSND = fourcc("SSND")
+
+_MAX_CHUNKS = 128
+
+
+def _parse_one(buf: jax.Array, flen: jax.Array):
+    flen = flen.astype(jnp.int32)
+    i32 = jnp.int32
+
+    ok_magic = jnp.logical_and(
+        flen >= 12,
+        jnp.logical_and(
+            read_tag(buf, i32(0)) == _FORM, read_tag(buf, i32(8)) == _AIFF
+        ),
+    )
+
+    # state: cursor, iter, comm_off, comm_size, ssnd_off, ssnd_size, err
+    def cond(s):
+        cursor, it, comm_off, comm_size, ssnd_off, ssnd_size, err = s
+        more = jnp.logical_and(cursor + 8 <= flen, it < _MAX_CHUNKS)
+        found_both = jnp.logical_and(comm_off >= 0, ssnd_off >= 0)
+        return jnp.logical_and(
+            jnp.logical_and(more, jnp.logical_not(found_both)), err == E.ERR_OK
+        )
+
+    def body(s):
+        cursor, it, comm_off, comm_size, ssnd_off, ssnd_size, err = s
+        cid = read_tag(buf, cursor)
+        csize = read_u32be(buf, cursor + 4).astype(i32)
+        payload = cursor + 8
+        is_comm = cid == _COMM
+        is_ssnd = cid == _SSND
+        comm_off = jnp.where(is_comm, payload, comm_off)
+        comm_size = jnp.where(is_comm, csize, comm_size)
+        trunc = jnp.logical_and(is_ssnd, payload + csize > flen)
+        err = jnp.where(trunc, i32(E.ERR_EOF), err)
+        ssnd_off = jnp.where(is_ssnd, payload, ssnd_off)
+        ssnd_size = jnp.where(is_ssnd, csize, ssnd_size)
+        cursor = payload + csize + (csize & 1)  # IFF chunks are word-aligned
+        return cursor, it + 1, comm_off, comm_size, ssnd_off, ssnd_size, err
+
+    init = (i32(12), i32(0), i32(-1), i32(0), i32(-1), i32(0), i32(E.ERR_OK))
+    _, _, comm_off, comm_size, ssnd_off, ssnd_size, err = lax.while_loop(
+        cond, body, init
+    )
+
+    err = jnp.where(ok_magic, err, i32(E.ERR_UNSUPPORTED))
+    # "Comm size should be 18" (aiff.rs:122-126) — checked as soon as COMM is
+    # seen, before any missing-SSND EOF (a bad size misaligns the walk).
+    bad_comm = jnp.logical_and(comm_off >= 0, comm_size != 18)
+    err = jnp.where(jnp.logical_and(err == E.ERR_OK, bad_comm), i32(E.ERR_INVALID), err)
+    missing = jnp.logical_or(comm_off < 0, ssnd_off < 0)
+    err = jnp.where(jnp.logical_and(err == E.ERR_OK, missing), i32(E.ERR_EOF), err)
+
+    p = jnp.maximum(comm_off, 0)
+    channels = read_u16be(buf, p).astype(i32)
+    comm_frames = read_u32be(buf, p + 2).astype(i32)
+    bits = read_u16be(buf, p + 6).astype(i32)
+    rate_f = read_ieee_extended(buf, p + 8)
+    sample_rate = jnp.round(rate_f).astype(i32)
+
+    q = jnp.maximum(ssnd_off, 0)
+    # SSND payload: offset u32 + blockSize u32, then sample data
+    # (aiff.rs:146-157; the reference's data size is ckSize - 8).
+    offset = read_u32be(buf, q).astype(i32)
+    data_off = q + 8 + offset
+    data_size = jnp.maximum(ssnd_size - 8 - offset, 0)
+
+    supported = jnp.logical_or(
+        jnp.logical_or(bits == 8, bits == 16), jnp.logical_or(bits == 24, bits == 32)
+    )
+    err = jnp.where(
+        jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
+        i32(E.ERR_UNSUPPORTED),
+        err,
+    )
+    bad_geom = jnp.logical_or(channels <= 0, sample_rate <= 0)
+    err = jnp.where(
+        jnp.logical_and(err == E.ERR_OK, bad_geom), i32(E.ERR_INVALID), err
+    )
+
+    denom = jnp.maximum(channels * (bits // 8), 1)
+    n_frames = jnp.minimum(comm_frames, data_size // denom)
+    return dict(
+        err=err,
+        fmt_code=jnp.zeros_like(err),
+        channels=channels,
+        sample_rate=sample_rate,
+        bits=bits,
+        data_off=data_off,
+        data_size=data_size,
+        n_frames=n_frames,
+    )
+
+
+@jax.jit
+def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
+    """Parse AIFF headers for a packed batch: u8 [B, N] + lens [B] → dict of
+    i32 [B] metadata arrays."""
+    return jax.vmap(_parse_one)(bufs, lens)
+
+
+def unpack_args(meta_host: dict) -> dict:
+    """Static unpack config: AIFF is big-endian signed PCM at all depths."""
+    return dict(
+        bits=int(meta_host["bits"]),
+        big_endian=True,
+        unsigned8=False,  # AIFF 8-bit is signed (unlike WAV)
+        is_float=False,
+    )

@@ -1,0 +1,167 @@
+"""WAV/RIFF decoding as batched device ops.
+
+The reference parses WAV with a sequential byte-cursor walk —
+RIFF → "fmt " → (extensible ext) → "data", then a scalar i16 unpack loop
+(blast/src/file_parsing/wav.rs:69-167).  Here the chunk walk is a
+``lax.while_loop`` over a uint8 tensor ``vmap``-ed across the whole batch of
+files (one compiled program parses every header simultaneously), and sample
+unpacking is the fused batched gather kernel in ops.unpack.
+
+Intended-semantics upgrades over the reference (SURVEY §5, do-not-reproduce):
+  * the WAVEFORMATEXTENSIBLE skip is the correct 14 bytes, not 91
+    (wav.rs:124-127 bug) — and we instead read the SubFormat GUID's leading
+    u16 as the effective format code;
+  * unknown chunks (LIST, fact, …) are skipped via the chunk-size walk
+    rather than assumed absent;
+  * 8/16/24/32-bit PCM and IEEE float32 are all decoded, not only 16-bit
+    (wav.rs:143-154 hard-assumes 16-bit).
+
+Error reporting is vectorized: each file carries an int32 code mirroring
+``DecodeError`` (decode_helpers.rs:1-7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import errors as E
+from ..ops.bytes import fourcc, read_tag, read_u16le, read_u32le
+
+_RIFF = fourcc("RIFF")
+_WAVE = fourcc("WAVE")
+_FMT = fourcc("fmt ")
+_DATA = fourcc("data")
+
+# Format codes (≙ wav.rs:7-15).
+FORMAT_PCM = 0x0001
+FORMAT_IEEE_FLOAT = 0x0003
+FORMAT_ALAW = 0x0006
+FORMAT_MULAW = 0x0007
+FORMAT_EXTENSIBLE = 0xFFFE
+
+_MAX_CHUNKS = 128
+
+META_FIELDS = (
+    "err",
+    "fmt_code",
+    "channels",
+    "sample_rate",
+    "bits",
+    "data_off",
+    "data_size",
+    "n_frames",
+)
+
+
+def _parse_one(buf: jax.Array, flen: jax.Array):
+    """Chunk-walk a single WAV file (vmapped over the batch)."""
+    flen = flen.astype(jnp.int32)
+    i32 = jnp.int32
+
+    ok_magic = jnp.logical_and(
+        flen >= 12,
+        jnp.logical_and(read_tag(buf, i32(0)) == _RIFF, read_tag(buf, i32(8)) == _WAVE),
+    )
+
+    # state: cursor, iter, fmt_off, fmt_size, data_off, data_size, err
+    def cond(s):
+        cursor, it, fmt_off, fmt_size, data_off, data_size, err = s
+        more = jnp.logical_and(cursor + 8 <= flen, it < _MAX_CHUNKS)
+        return jnp.logical_and(jnp.logical_and(more, data_off < 0), err == E.ERR_OK)
+
+    def body(s):
+        cursor, it, fmt_off, fmt_size, data_off, data_size, err = s
+        cid = read_tag(buf, cursor)
+        csize = read_u32le(buf, cursor + 4).astype(i32)
+        payload = cursor + 8
+        is_fmt = cid == _FMT
+        is_data = cid == _DATA
+        fmt_off = jnp.where(is_fmt, payload, fmt_off)
+        fmt_size = jnp.where(is_fmt, csize, fmt_size)
+        # Truncated data chunk → UnexpectedEof (≙ wav.rs:143-151 EOF checks).
+        trunc = jnp.logical_and(is_data, payload + csize > flen)
+        err = jnp.where(trunc, i32(E.ERR_EOF), err)
+        data_off = jnp.where(is_data, payload, data_off)
+        data_size = jnp.where(is_data, csize, data_size)
+        # RIFF chunks are word-aligned: odd sizes carry a pad byte.
+        cursor = payload + csize + (csize & 1)
+        return cursor, it + 1, fmt_off, fmt_size, data_off, data_size, err
+
+    init = (i32(12), i32(0), i32(-1), i32(0), i32(-1), i32(0), i32(E.ERR_OK))
+    cursor, _, fmt_off, fmt_size, data_off, data_size, err = lax.while_loop(
+        cond, body, init
+    )
+
+    err = jnp.where(ok_magic, err, i32(E.ERR_UNSUPPORTED))
+    missing = jnp.logical_or(fmt_off < 0, data_off < 0)
+    err = jnp.where(jnp.logical_and(err == E.ERR_OK, missing), i32(E.ERR_EOF), err)
+
+    # fmt payload fields (≙ wav.rs:95-129). Reads are clamped; garbage on
+    # errored files is masked by `err` downstream.
+    p = jnp.maximum(fmt_off, 0)
+    fmt_code = read_u16le(buf, p).astype(i32)
+    channels = read_u16le(buf, p + 2).astype(i32)
+    sample_rate = read_u32le(buf, p + 4).astype(i32)
+    bits = read_u16le(buf, p + 14).astype(i32)
+    # WAVEFORMATEXTENSIBLE: effective format is the SubFormat GUID's
+    # leading u16 (≙ wav.rs:111-129, with the intended 14-byte GUID tail).
+    cb_size = jnp.where(fmt_size >= 18, read_u16le(buf, p + 16).astype(i32), 0)
+    is_ext = jnp.logical_and(fmt_code == FORMAT_EXTENSIBLE, cb_size >= 22)
+    sub_code = read_u16le(buf, p + 24).astype(i32)
+    fmt_code = jnp.where(is_ext, sub_code, fmt_code)
+
+    supported = jnp.logical_or(
+        jnp.logical_and(
+            fmt_code == FORMAT_PCM,
+            jnp.logical_or(
+                jnp.logical_or(bits == 8, bits == 16),
+                jnp.logical_or(bits == 24, bits == 32),
+            ),
+        ),
+        jnp.logical_and(fmt_code == FORMAT_IEEE_FLOAT, bits == 32),
+    )
+    err = jnp.where(
+        jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
+        i32(E.ERR_UNSUPPORTED),
+        err,
+    )
+    bad_geom = jnp.logical_or(channels <= 0, bits == 0)
+    err = jnp.where(
+        jnp.logical_and(err == E.ERR_OK, bad_geom), i32(E.ERR_INVALID), err
+    )
+
+    denom = jnp.maximum(channels * (bits // 8), 1)
+    n_frames = data_size // denom
+    return dict(
+        err=err,
+        fmt_code=fmt_code,
+        channels=channels,
+        sample_rate=sample_rate,
+        bits=bits,
+        data_off=data_off,
+        data_size=data_size,
+        n_frames=n_frames,
+    )
+
+
+@jax.jit
+def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
+    """Parse WAV headers for a packed batch: u8 [B, N] + lens [B] → dict of
+    i32 [B] metadata arrays (one compiled chunk walk for all files)."""
+    return jax.vmap(_parse_one)(bufs, lens)
+
+
+def unpack_args(meta_host: dict) -> dict:
+    """Static unpack-kernel config for a single file's host-side meta row
+    (used by the registry to group files into identically-typed batches)."""
+    bits = int(meta_host["bits"])
+    return dict(
+        bits=bits,
+        big_endian=False,
+        unsigned8=bits == 8,  # WAV convention: 8-bit PCM is unsigned
+        is_float=int(meta_host["fmt_code"]) == FORMAT_IEEE_FLOAT,
+    )

@@ -1,0 +1,114 @@
+"""Batched PCM sample unpacking: uint8 byte tensors → f32 planar PCM.
+
+This replaces the reference's hottest decode loops — the scalar byte-pair
+unpack walks at blast/src/file_parsing/wav.rs:143-154 (LE) and
+aiff.rs:159-170 (BE) — with one fused gather + integer-assemble + scale op
+over the whole batch.  XLA fuses the gathers, shifts, and the f32 scale into
+a single HBM-bandwidth-bound pass on the VPU; there is no per-sample control
+flow.
+
+Beyond the reference (which hard-assumes 16-bit, SURVEY §5 defect 6) this
+supports 8/16/24/32-bit integer PCM, unsigned 8-bit (WAV convention),
+signed 8-bit (AIFF), both endiannesses, and IEEE float32 WAV.
+
+Conversion convention (the framework-wide PCM contract):
+  int N-bit  →  f32 = signed_int / 2^(N-1)      (bit-exact for N ≤ 24)
+  float32    →  passthrough
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits",
+        "channels",
+        "big_endian",
+        "unsigned8",
+        "is_float",
+        "max_frames",
+    ),
+)
+def unpack_pcm(
+    bufs: jax.Array,      # u8 [B, N] raw file bytes
+    data_off: jax.Array,  # i32 [B] byte offset of first sample
+    n_frames: jax.Array,  # i32 [B] valid frame count per file
+    *,
+    bits: int,
+    channels: int,
+    big_endian: bool = False,
+    unsigned8: bool = False,
+    is_float: bool = False,
+    max_frames: int,
+) -> jax.Array:
+    """Unpack interleaved PCM to planar f32 ``[B, max_frames, channels]``.
+
+    Frames beyond ``n_frames[b]`` are zero.  All shape-affecting parameters
+    are static; callers group files by (bits, channels, endianness) so each
+    group compiles once (see codecs.registry).
+    """
+    bps = bits // 8
+    nvals = max_frames * channels
+    # Relative byte index of the first byte of each sample value.
+    rel = (jnp.arange(nvals, dtype=jnp.int32) * bps)[None, :]  # [1, nvals]
+    base = data_off[:, None].astype(jnp.int32) + rel           # [B, nvals]
+
+    def byte(k: int) -> jax.Array:
+        return jnp.take_along_axis(bufs, base + k, axis=1, mode="clip").astype(
+            jnp.uint32
+        )
+
+    if is_float:
+        if bits != 32:
+            raise ValueError("float PCM must be 32-bit")
+        o = (3, 2, 1, 0) if not big_endian else (0, 1, 2, 3)
+        word = (
+            (byte(o[0]) << 24) | (byte(o[1]) << 16) | (byte(o[2]) << 8) | byte(o[3])
+        )
+        val = jax.lax.bitcast_convert_type(word, jnp.float32)
+    else:
+        if bits == 8:
+            raw = byte(0)
+            if unsigned8:
+                ival = raw.astype(jnp.int32) - 128
+            else:
+                ival = raw.astype(jnp.int32)
+                ival = jnp.where(ival >= 128, ival - 256, ival)
+        elif bits == 16:
+            lo, hi = (byte(0), byte(1)) if not big_endian else (byte(1), byte(0))
+            ival = (hi.astype(jnp.int32) << 8) | lo.astype(jnp.int32)
+            ival = jnp.where(ival >= 1 << 15, ival - (1 << 16), ival)
+        elif bits == 24:
+            if not big_endian:
+                b0, b1, b2 = byte(0), byte(1), byte(2)
+            else:
+                b2, b1, b0 = byte(0), byte(1), byte(2)
+            ival = (
+                (b2.astype(jnp.int32) << 16)
+                | (b1.astype(jnp.int32) << 8)
+                | b0.astype(jnp.int32)
+            )
+            ival = jnp.where(ival >= 1 << 23, ival - (1 << 24), ival)
+        elif bits == 32:
+            o = (3, 2, 1, 0) if not big_endian else (0, 1, 2, 3)
+            word = (
+                (byte(o[0]) << 24)
+                | (byte(o[1]) << 16)
+                | (byte(o[2]) << 8)
+                | byte(o[3])
+            )
+            ival = word.astype(jnp.int32)
+        else:
+            raise ValueError(f"unsupported bit depth {bits}")
+        val = ival.astype(jnp.float32) * jnp.float32(1.0 / (1 << (bits - 1)))
+
+    pcm = val.reshape(bufs.shape[0], max_frames, channels)
+    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
+    mask = frame_ids < n_frames[:, None, None]
+    return jnp.where(mask, pcm, 0.0)

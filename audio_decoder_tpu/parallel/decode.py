@@ -1,0 +1,89 @@
+"""Fused, shardable decode steps.
+
+These are the single-jit production paths: header parse + sample unpack in
+one compiled program (no host roundtrip), annotated for a ('data','model')
+mesh so the batch axis scales across chips.  The registry's grouped path is
+the flexible front door; these fused steps are what the benchmark and the
+serving loop run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..codecs import aiff as aiff_codec
+from ..codecs import wav as wav_codec
+from ..dsp.consensus import consensus_config
+from ..ops.unpack import unpack_pcm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "channels", "max_frames", "family")
+)
+def decode_pcm_step(
+    bufs: jax.Array,
+    lens: jax.Array,
+    *,
+    bits: int = 16,
+    channels: int = 2,
+    max_frames: int,
+    family: str = "wav",
+):
+    """Parse + unpack a uniform-config batch in ONE compiled program.
+
+    Returns (pcm [B, max_frames, channels], meta dict).  Files whose actual
+    geometry disagrees with the static config get err=ERR_INVALID rather
+    than silently mis-decoding.
+    """
+    if family == "wav":
+        meta = jax.vmap(wav_codec._parse_one)(bufs, lens)
+        big_endian = False
+        unsigned8 = bits == 8
+    else:
+        meta = jax.vmap(aiff_codec._parse_one)(bufs, lens)
+        big_endian = True
+        unsigned8 = False
+    geom_ok = jnp.logical_and(meta["bits"] == bits, meta["channels"] == channels)
+    err = jnp.where(
+        jnp.logical_and(meta["err"] == 0, jnp.logical_not(geom_ok)), 3, meta["err"]
+    )
+    n_frames = jnp.where(err == 0, meta["n_frames"], 0)
+    pcm = unpack_pcm(
+        bufs,
+        meta["data_off"],
+        n_frames,
+        bits=bits,
+        channels=channels,
+        big_endian=big_endian,
+        unsigned8=unsigned8,
+        is_float=False,
+        max_frames=max_frames,
+    )
+    meta = dict(meta, err=err, n_frames=n_frames)
+    return pcm, meta
+
+
+def sharded_decode_fn(mesh: Mesh, **static):
+    """Bind decode_pcm_step to a mesh: inputs sharded over 'data', outputs
+    likewise; consensus reduction included (a cross-shard collective)."""
+
+    def step(bufs, lens):
+        pcm, meta = decode_pcm_step(bufs, lens, **static)
+        rate, ch = consensus_config(meta["sample_rate"], meta["channels"], meta["err"])
+        return pcm, meta, rate, ch
+
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    meta_shard = dict(
+        err=data, fmt_code=data, channels=data, sample_rate=data, bits=data,
+        data_off=data, data_size=data, n_frames=data,
+    )
+    return jax.jit(
+        step,
+        in_shardings=(data, data),
+        out_shardings=(data, meta_shard, rep, rep),
+    )

@@ -1,0 +1,136 @@
+"""Byte-level WAV/AIFF synthesizers for golden-file tests.
+
+The reference's own tests depended on gitignored real assets
+(blast/src/lib.rs:7-35, .gitignore:7) and so never ran; here every test
+synthesizes its files from scratch (SURVEY §4 strategy (a)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _pack_ieee_extended(rate: float) -> bytes:
+    """Encode an IEEE 754 80-bit extended float (AIFF sample rate)."""
+    if rate == 0:
+        return b"\x00" * 10
+    sign = 0
+    if rate < 0:
+        sign = 0x8000
+        rate = -rate
+    mant, exp = np.frexp(rate)  # rate = mant * 2**exp, mant in [0.5, 1)
+    exp = int(exp) + 16382
+    mant_int = int(mant * (1 << 64))
+    return struct.pack(">H", sign | exp) + struct.pack(">Q", mant_int)
+
+
+def pcm_to_bytes(pcm: np.ndarray, bits: int, *, big_endian: bool,
+                 unsigned8: bool = False, float32: bool = False) -> bytes:
+    """Interleave a [frames, channels] int array (or f32 for float32) into
+    raw sample bytes."""
+    flat = pcm.reshape(-1)
+    if float32:
+        return flat.astype(">f4" if big_endian else "<f4").tobytes()
+    if bits == 8:
+        if unsigned8:
+            return (flat.astype(np.int16) + 128).astype(np.uint8).tobytes()
+        return flat.astype(np.int8).tobytes()
+    if bits == 16:
+        return flat.astype(">i2" if big_endian else "<i2").tobytes()
+    if bits == 24:
+        as32 = flat.astype(np.int64)
+        as32 = np.where(as32 < 0, as32 + (1 << 24), as32).astype(np.uint32)
+        b0 = (as32 & 0xFF).astype(np.uint8)
+        b1 = ((as32 >> 8) & 0xFF).astype(np.uint8)
+        b2 = ((as32 >> 16) & 0xFF).astype(np.uint8)
+        trip = (b2, b1, b0) if big_endian else (b0, b1, b2)
+        return np.stack(trip, axis=-1).tobytes()
+    if bits == 32:
+        return flat.astype(">i4" if big_endian else "<i4").tobytes()
+    raise ValueError(bits)
+
+
+def make_wav(
+    pcm: np.ndarray,
+    sample_rate: int = 44100,
+    bits: int = 16,
+    *,
+    float32: bool = False,
+    extensible: bool = False,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+    data_override: bytes | None = None,
+) -> bytes:
+    """Build a RIFF/WAVE blob from [frames, channels] integer PCM.
+
+    ``extra_chunks`` inserts (id, payload) chunks before "data" to exercise
+    the chunk walk.  ``data_override`` substitutes raw data-chunk bytes.
+    """
+    frames, channels = pcm.shape
+    data = (
+        data_override
+        if data_override is not None
+        else pcm_to_bytes(pcm, bits, big_endian=False, unsigned8=bits == 8,
+                          float32=float32)
+    )
+    block_align = channels * (bits // 8)
+    byte_rate = sample_rate * block_align
+    fmt_code = 3 if float32 else 1
+
+    if extensible:
+        guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+        fmt = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, channels, sample_rate, byte_rate, block_align, bits,
+            22, bits, (1 << channels) - 1,
+        ) + struct.pack("<H", fmt_code) + guid_tail
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, channels, sample_rate, byte_rate,
+            block_align, bits,
+        )
+
+    chunks = [(b"fmt ", fmt)]
+    for cid, payload in extra_chunks or []:
+        chunks.append((cid, payload))
+    chunks.append((b"data", data))
+
+    body = b"WAVE"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_aiff(
+    pcm: np.ndarray,
+    sample_rate: int = 44100,
+    bits: int = 16,
+    *,
+    ssnd_offset: int = 0,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+    comm_size: int | None = None,
+) -> bytes:
+    """Build a FORM/AIFF blob from [frames, channels] integer PCM."""
+    frames, channels = pcm.shape
+    data = pcm_to_bytes(pcm, bits, big_endian=True)
+    comm = (
+        struct.pack(">hIh", channels, frames, bits)
+        + _pack_ieee_extended(float(sample_rate))
+    )
+    ssnd = struct.pack(">II", ssnd_offset, 0) + b"\x00" * ssnd_offset + data
+
+    chunks = [(b"COMM", comm, comm_size)]
+    for cid, payload in extra_chunks or []:
+        chunks.append((cid, payload, None))
+    chunks.append((b"SSND", ssnd, None))
+
+    body = b"AIFF"
+    for cid, payload, size_override in chunks:
+        size = len(payload) if size_override is None else size_override
+        body += cid + struct.pack(">I", size) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"FORM" + struct.pack(">I", len(body)) + body
