@@ -1,0 +1,147 @@
+"""ctypes bindings to the system LAME encoder and mpg123 decoder.
+
+Test-only oracles: LAME *produces* real MP3 bitstreams (exercising the bit
+reservoir, all Huffman tables, MS stereo, short blocks), and mpg123 is the
+independent ground-truth decoder our decoders must match within spec
+tolerance (the reference offers no MP3 oracle — its decode is a TODO,
+blast/src/main.rs:44-54).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+
+_lame = None
+_mpg = None
+
+
+def have_lame() -> bool:
+    global _lame
+    if _lame is None:
+        try:
+            _lame = C.CDLL("libmp3lame.so.0")
+        except OSError:
+            _lame = False
+    return bool(_lame)
+
+
+def have_mpg123() -> bool:
+    global _mpg
+    if _mpg is None:
+        try:
+            _mpg = C.CDLL("libmpg123.so.0")
+            _mpg.mpg123_init()
+        except OSError:
+            _mpg = False
+    return bool(_mpg)
+
+
+def lame_encode(
+    pcm: np.ndarray,
+    sample_rate: int = 44100,
+    bitrate: int = 128,
+    mode: int | None = None,
+    quality: int = 5,
+    disable_reservoir: bool = False,
+) -> bytes:
+    """Encode [frames, channels] int16 PCM → MP3 bytes (no Xing/ID3 tags).
+
+    mode: 0=stereo, 1=joint stereo, 3=mono (defaults by channel count).
+    """
+    assert have_lame()
+    L = _lame
+    L.lame_init.restype = C.c_void_p
+    gfp = C.c_void_p(L.lame_init())
+    frames, ch = pcm.shape
+    if mode is None:
+        mode = 3 if ch == 1 else 1
+    L.lame_set_num_channels(gfp, ch)
+    L.lame_set_in_samplerate(gfp, sample_rate)
+    L.lame_set_out_samplerate(gfp, sample_rate)
+    L.lame_set_brate(gfp, bitrate)
+    L.lame_set_mode(gfp, mode)
+    L.lame_set_quality(gfp, quality)
+    L.lame_set_bWriteVbrTag(gfp, 0)
+    if hasattr(L, "lame_set_write_id3tag_automatic"):
+        L.lame_set_write_id3tag_automatic(gfp, 0)
+    if disable_reservoir and hasattr(L, "lame_set_disable_reservoir"):
+        L.lame_set_disable_reservoir(gfp, 1)
+    rc = L.lame_init_params(gfp)
+    assert rc >= 0, f"lame_init_params failed: {rc}"
+
+    pcm16 = np.ascontiguousarray(pcm.astype(np.int16))
+    out = np.zeros(frames * 5 // 4 + 7200 + 1152 * 4, np.uint8)
+    if ch == 2:
+        n = L.lame_encode_buffer_interleaved(
+            gfp,
+            pcm16.ctypes.data_as(C.POINTER(C.c_short)),
+            frames,
+            out.ctypes.data_as(C.POINTER(C.c_ubyte)),
+            len(out),
+        )
+    else:
+        n = L.lame_encode_buffer(
+            gfp,
+            pcm16.ctypes.data_as(C.POINTER(C.c_short)),
+            None,
+            frames,
+            out.ctypes.data_as(C.POINTER(C.c_ubyte)),
+            len(out),
+        )
+    assert n >= 0, f"lame_encode_buffer failed: {n}"
+    n2 = L.lame_encode_flush(
+        gfp, out[n:].ctypes.data_as(C.POINTER(C.c_ubyte)), len(out) - n
+    )
+    assert n2 >= 0
+    L.lame_close(gfp)
+    return bytes(out[: n + n2])
+
+
+# mpg123 constants
+_MPG123_OK = 0
+_MPG123_NEW_FORMAT = -11
+_MPG123_NEED_MORE = -10
+_MPG123_DONE = -12
+_ENC_FLOAT_32 = 0x200
+
+
+def mpg123_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode MP3 bytes → (float32 pcm [N, ch], sample_rate) via libmpg123."""
+    assert have_mpg123()
+    M = _mpg
+    M.mpg123_new.restype = C.c_void_p
+    err = C.c_int(0)
+    h = C.c_void_p(M.mpg123_new(None, C.byref(err)))
+    assert h.value, "mpg123_new failed"
+    M.mpg123_format_none(h)
+    for rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000):
+        M.mpg123_format(h, C.c_long(rate), 3, _ENC_FLOAT_32)
+    rc = M.mpg123_open_feed(h)
+    assert rc == _MPG123_OK
+    rc = M.mpg123_feed(h, blob, len(blob))
+    assert rc == _MPG123_OK
+    chunks = []
+    rate = C.c_long(0)
+    ch = C.c_int(0)
+    enc = C.c_int(0)
+    buf = (C.c_ubyte * 65536)()
+    done = C.c_size_t(0)
+    while True:
+        rc = M.mpg123_read(h, buf, len(buf), C.byref(done))
+        if done.value:
+            chunks.append(bytes(buf[: done.value]))
+        if rc == _MPG123_NEW_FORMAT:
+            M.mpg123_getformat(h, C.byref(rate), C.byref(ch), C.byref(enc))
+            assert enc.value == _ENC_FLOAT_32, hex(enc.value)
+        elif rc in (_MPG123_NEED_MORE, _MPG123_DONE):
+            break
+        elif rc != _MPG123_OK:
+            break
+    M.mpg123_delete(h)
+    data = b"".join(chunks)
+    pcm = np.frombuffer(data, np.float32)
+    nch = max(ch.value, 1)
+    pcm = pcm[: len(pcm) // nch * nch].reshape(-1, nch)
+    return pcm, int(rate.value)
