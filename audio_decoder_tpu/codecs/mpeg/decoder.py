@@ -1,8 +1,14 @@
-"""End-to-end batched MPEG Layer III decode orchestration.
+"""Batched MPEG-1 Layer III decode orchestration.
 
-Completes the reference's decode TODO (blast/src/main.rs:44-54).  Stage
-modules land incrementally; until the full chain is wired, MP3 assets decode
-to per-file ``ERR_UNSUPPORTED`` so the mixed-batch pipeline stays total.
+Completes the reference's decode TODO (blast/src/main.rs:44-54): its
+mpeg.rs stops at frame framing and returns compressed bytes; here a host
+bitstream front-end (``frontend.analyze``, or the C++ ``mp3fe`` library
+when built) emits dense per-granule tensors and the jitted batch-parallel
+DSP tail (``dsp.mp3_dsp_tail``) turns them into PCM on the TPU.
+
+Files are grouped by (channels, joint-stereo) so each group runs as one
+compiled program; granule counts are padded to power-of-two buckets to
+bound the number of compiled shapes.
 """
 
 from __future__ import annotations
@@ -10,25 +16,131 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...core import errors as E
 from ...core.batch import AudioBatch
+from . import frontend
+from .dsp import mp3_dsp_tail
 
 if TYPE_CHECKING:  # pragma: no cover
     from ...io.assets import Asset
 
 
-def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
-    """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces."""
-    n = len(assets)
-    batch = AudioBatch(
+def _bucket(n: int, minimum: int = 8) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def _error_batch(names, codes) -> AudioBatch:
+    n = len(names)
+    return AudioBatch(
         pcm=jnp.zeros((n, 1, 1), jnp.float32),
         sample_rate=jnp.zeros((n,), jnp.int32),
         num_channels=jnp.zeros((n,), jnp.int32),
         bits_per_sample=jnp.zeros((n,), jnp.int32),
         valid_frames=jnp.zeros((n,), jnp.int32),
-        err=jnp.full((n,), E.ERR_UNSUPPORTED, jnp.int32),
-        names=tuple(a.name for a in assets),
+        err=jnp.asarray(codes, jnp.int32),
+        names=tuple(names),
         formats=("mp3",) * n,
     )
-    return [(list(range(n)), batch)]
+
+
+def analyze_assets(assets: "list[Asset]"):
+    """Host front-end over a list of assets → (analyses, failures).
+
+    analyses: list of (local_index, Mp3Analysis); failures: (idx, errcode).
+    """
+    analyses = []
+    failures = []
+    for i, a in enumerate(assets):
+        try:
+            analyses.append((i, frontend.analyze(a.data)))
+        except E.DecodeError as e:
+            failures.append((i, e.code))
+        except Exception:
+            failures.append((i, E.ERR_INVALID))
+    return analyses, failures
+
+
+def decode_analyses(
+    idxs: list[int], ans: list["frontend.Mp3Analysis"]
+) -> tuple[list[int], AudioBatch]:
+    """Run one uniform (channels, joint) group through the DSP tail."""
+    ch = ans[0].channels
+    joint = any(a.joint_stereo for a in ans)
+    B = len(ans)
+    G = _bucket(max(a.n_granules for a in ans))
+    is_q = np.zeros((B, G, ch, 576), np.int16)
+    scale = np.zeros((B, G, ch, 576), np.float32)
+    st = None
+    if ch == 2 and joint:
+        st = np.zeros((B, G, 4, 576), np.float32)
+        st[:, :, 0] = 1.0
+        st[:, :, 3] = 1.0
+    win = np.zeros((B, G, ch, 32), np.int8)
+    aa = np.zeros((B, G, ch), np.int8)
+    for b, a in enumerate(ans):
+        g = a.n_granules
+        is_q[b, :g] = a.is_q
+        scale[b, :g] = a.scale
+        if st is not None and a.st is not None:
+            st[b, :g] = a.st
+        win[b, :g] = a.win_idx
+        aa[b, :g] = a.aa_bound
+    pcm = mp3_dsp_tail(
+        jnp.asarray(is_q),
+        jnp.asarray(scale),
+        None if st is None else jnp.asarray(st),
+        jnp.asarray(win),
+        jnp.asarray(aa),
+        joint_stereo=joint,
+    )
+    batch = AudioBatch(
+        pcm=pcm,
+        sample_rate=jnp.asarray([a.sample_rate for a in ans], jnp.int32),
+        num_channels=jnp.asarray([a.channels for a in ans], jnp.int32),
+        bits_per_sample=jnp.full((B,), 16, jnp.int32),  # MP3 nominal depth
+        valid_frames=jnp.asarray([a.n_granules * 576 for a in ans], jnp.int32),
+        err=jnp.zeros((B,), jnp.int32),
+        names=tuple(str(i) for i in idxs),
+        formats=("mp3",) * B,
+    )
+    return idxs, batch
+
+
+def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
+    """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces."""
+    analyses, failures = analyze_assets(assets)
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    if failures:
+        idxs = [i for i, _ in failures]
+        pieces.append(
+            (idxs, _error_batch([assets[i].name for i in idxs],
+                                [c for _, c in failures]))
+        )
+
+    groups: dict[tuple, list[tuple[int, frontend.Mp3Analysis]]] = {}
+    for i, an in analyses:
+        groups.setdefault((an.channels, an.joint_stereo), []).append((i, an))
+
+    for (_ch, _joint), items in groups.items():
+        idxs = [i for i, _ in items]
+        ans = [a for _, a in items]
+        got_idxs, batch = decode_analyses(idxs, ans)
+        batch = AudioBatch(
+            pcm=batch.pcm,
+            sample_rate=batch.sample_rate,
+            num_channels=batch.num_channels,
+            bits_per_sample=batch.bits_per_sample,
+            valid_frames=batch.valid_frames,
+            err=batch.err,
+            names=tuple(assets[i].name for i in idxs),
+            formats=batch.formats,
+        )
+        pieces.append((got_idxs, batch))
+
+    return pieces

@@ -1,0 +1,505 @@
+"""Host bitstream front-end for MPEG-1 Layer III.
+
+Entropy decoding is bit-serial (frame sync, bit reservoir, Huffman) and
+belongs on the host; the dense DSP belongs on the TPU.  This module walks
+the bitstream once per file and emits the dense per-granule tensors
+consumed by ``dsp.mp3_dsp_tail``:
+
+* ``is_q``  int16  [G, C, 576] — signed quantized spectrum, linbits folded
+  in, already in final line order (short-block reorder applied via a
+  precomputed permutation);
+* ``scale`` f32    [G, C, 576] — per-line requantizer gain ``2^exp``
+  folding global_gain, scalefactors, subblock_gain, preflag and
+  scalefac_scale (ISO 2.4.3.4.7.1);
+* ``st``    f32    [G, 4, 576] — per-line stereo mixing planes
+  (aL, bL, aR, bR): identity for LR, the 1/sqrt(2) butterfly for MS, and
+  the tan(is_pos*pi/12) ratio pair for intensity bands (ISO 2.4.3.4.9);
+* ``win_idx`` int8 [G, C, 32] — IMDCT window per subband (block type, with
+  2 = the composite short matrix; mixed blocks use 0 for subbands 0-1);
+* ``aa_bound`` int8 [G, C] — number of antialias boundaries (0/1/31).
+
+A pure-Python reference implementation lives here; the production path is
+the C++ ``mp3fe`` shared library (same output contract), used when built.
+
+Completes the reference's decode TODO (blast/src/main.rs:44-54; its
+mpeg.rs:7-128 stops at frame framing and returns compressed bytes).
+Corrects the reference's header-table defects (SURVEY §5 items 1-5):
+proper bitrate column select, per-frame padding, 4/6-byte header+CRC skip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...core import errors as E
+from . import huffman_tables as HT
+from . import tables as T
+
+# Decode maps: (length, code) -> value, per table.
+_DEC_BIG = {
+    t: {lc: xy for xy, lc in codes.items()} for t, codes in HT.BIG_TABLES.items()
+}
+_DEC_C1 = {
+    s: {lc: v for v, lc in codes.items()} for s, codes in HT.COUNT1_TABLES.items()
+}
+_MAXLEN_BIG = {t: max(length for length, _ in m) for t, m in _DEC_BIG.items()}
+
+_ISQRT2 = 1.0 / np.sqrt(2.0)
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def get(self, n: int) -> int:
+        v = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(n):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def get1(self) -> int:
+        pos = self.pos
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
+
+
+def parse_header(word: int) -> dict | None:
+    """32-bit header word → fields (≙ mpeg.rs:367-496 with the bitrate
+    column select corrected — SURVEY §5 defect 1)."""
+    if (word >> 21) & 0x7FF != 0x7FF:
+        return None
+    version = (word >> 19) & 3
+    layer = (word >> 17) & 3
+    crc = not ((word >> 16) & 1)
+    br_idx = (word >> 12) & 0xF
+    sr_idx = (word >> 10) & 3
+    padding = (word >> 9) & 1
+    mode = (word >> 6) & 3
+    mode_ext = (word >> 4) & 3
+    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = int(T.BITRATE_KBPS[br_idx - 1][T.bitrate_column(version, layer)]) * 1000
+    sr = T.SAMPLE_RATES[version][sr_idx]
+    if layer == 1:  # Layer III
+        slots = (144 if version == 3 else 72) * bitrate // sr + padding
+    elif layer == 2:  # Layer II
+        slots = 144 * bitrate // sr + padding
+    else:  # Layer I
+        slots = (12 * bitrate // sr + padding) * 4
+    return dict(
+        version=version, layer=layer, crc=crc, bitrate=bitrate, sr=sr,
+        padding=padding, mode=mode, mode_ext=mode_ext, frame_len=int(slots),
+        channels=1 if mode == 3 else 2,
+    )
+
+
+def find_frames(blob: bytes) -> list[tuple[int, dict]]:
+    """Sequential sync walk with resync-on-junk (robust form of the
+    reference's statistical scan, mpeg.rs:17-121)."""
+    frames = []
+    i = 0
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
+            if h is not None and i + h["frame_len"] <= n:
+                frames.append((i, h))
+                i += h["frame_len"]
+                continue
+        i += 1
+    return frames
+
+
+def _read_side_info(bits: _Bits, channels: int) -> dict:
+    si = dict(main_data_begin=bits.get(9))
+    bits.get(5 if channels == 1 else 3)  # private bits
+    si["scfsi"] = [[bits.get1() for _ in range(4)] for _ in range(channels)]
+    si["gr"] = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(channels):
+            g = dict(
+                part2_3_length=bits.get(12),
+                big_values=bits.get(9),
+                global_gain=bits.get(8),
+                scalefac_compress=bits.get(4),
+                window_switching=bits.get1(),
+            )
+            if g["window_switching"]:
+                g["block_type"] = bits.get(2)
+                g["mixed"] = bits.get1()
+                g["table_select"] = [bits.get(5), bits.get(5), 0]
+                g["subblock_gain"] = [bits.get(3) for _ in range(3)]
+                g["region0_count"] = 7
+                g["region1_count"] = 36
+            else:
+                g["block_type"] = 0
+                g["mixed"] = 0
+                g["table_select"] = [bits.get(5), bits.get(5), bits.get(5)]
+                g["subblock_gain"] = [0, 0, 0]
+                g["region0_count"] = bits.get(4)
+                g["region1_count"] = bits.get(3)
+            g["preflag"] = bits.get1()
+            g["scalefac_scale"] = bits.get1()
+            g["count1table_select"] = bits.get1()
+            chs.append(g)
+        si["gr"].append(chs)
+    return si
+
+
+def _read_scalefacs(bits: _Bits, g: dict, gr: int, scfsi, prev) -> dict:
+    slen1 = int(T.SLEN1[g["scalefac_compress"]])
+    slen2 = int(T.SLEN2[g["scalefac_compress"]])
+    sf_l = np.zeros(23, np.int32)
+    sf_s = np.zeros((13, 3), np.int32)
+    short = g["window_switching"] and g["block_type"] == 2
+    if short and not g["mixed"]:
+        for sfb in range(6):
+            for w in range(3):
+                sf_s[sfb, w] = bits.get(slen1)
+        for sfb in range(6, 12):
+            for w in range(3):
+                sf_s[sfb, w] = bits.get(slen2)
+    elif short and g["mixed"]:
+        for sfb in range(8):
+            sf_l[sfb] = bits.get(slen1)
+        for sfb in range(3, 6):
+            for w in range(3):
+                sf_s[sfb, w] = bits.get(slen1)
+        for sfb in range(6, 12):
+            for w in range(3):
+                sf_s[sfb, w] = bits.get(slen2)
+    else:
+        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
+        for gi, (lo, hi, sl) in enumerate(groups):
+            if gr == 1 and scfsi[gi]:
+                sf_l[lo:hi] = prev["l"][lo:hi]
+            else:
+                for sfb in range(lo, hi):
+                    sf_l[sfb] = bits.get(sl)
+    return dict(l=sf_l, s=sf_s)
+
+
+def _huffman_spectrum(bits: _Bits, g: dict, sr: int, part2_start: int) -> np.ndarray:
+    is_ = np.zeros(576, np.int32)
+    if g["window_switching"]:
+        region1, region2 = 36, 576
+    else:
+        bands = T.SFB_LONG[sr]
+        region1 = int(bands[g["region0_count"] + 1])
+        region2 = int(bands[min(g["region0_count"] + g["region1_count"] + 2, 22)])
+    big = 2 * g["big_values"]
+    idx = 0
+    get1 = bits.get1
+    while idx < big:
+        region = 0 if idx < region1 else (1 if idx < region2 else 2)
+        tsel = g["table_select"][region]
+        tid, linbits = HT.TABLE_INFO[tsel]
+        if tid < 0:
+            raise E.InvalidDataError("reserved huffman table")
+        if tid == 0:
+            x = y = 0
+        else:
+            dec = _DEC_BIG[tid]
+            maxlen = _MAXLEN_BIG[tid]
+            code, length = 0, 0
+            hit = None
+            while length <= maxlen:
+                code = (code << 1) | get1()
+                length += 1
+                hit = dec.get((length, code))
+                if hit is not None:
+                    break
+            if hit is None:
+                raise E.InvalidDataError("invalid huffman code")
+            x, y = hit
+            if x == 15 and linbits:
+                x += bits.get(linbits)
+            if x and get1():
+                x = -x
+            if y == 15 and linbits:
+                y += bits.get(linbits)
+            if y and get1():
+                y = -y
+        if idx < 576:
+            is_[idx] = x
+        if idx + 1 < 576:
+            is_[idx + 1] = y
+        idx += 2
+    dec = _DEC_C1[g["count1table_select"]]
+    end = part2_start + g["part2_3_length"]
+    while bits.pos < end and idx < 576:
+        code, length = 0, 0
+        v = None
+        while length <= 6:
+            code = (code << 1) | get1()
+            length += 1
+            v = dec.get((length, code))
+            if v is not None:
+                break
+        if v is None:
+            raise E.InvalidDataError("invalid count1 code")
+        for q in ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1):
+            if idx >= 576:
+                break
+            if q:
+                q = -q if get1() else q
+            is_[idx] = q
+            idx += 1
+    if bits.pos > end:  # quad straddling part2_3 boundary is discarded
+        is_[max(idx - 4, 0) : idx] = 0
+    bits.pos = end
+    return is_
+
+
+# ---------------------------------------------------------------------------
+# Dense-tensor emission
+# ---------------------------------------------------------------------------
+
+# Short-block reorder permutations: out = in[perm].  Keyed (sr, mixed).
+_REORDER: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _reorder_perm(sr: int, mixed: int) -> np.ndarray:
+    key = (sr, mixed)
+    p = _REORDER.get(key)
+    if p is None:
+        p = np.arange(576, dtype=np.int64)
+        bands = T.SFB_SHORT[sr]
+        for sfb in range(3 if mixed else 0, 13):
+            lo, hi = int(bands[sfb]), int(bands[sfb + 1])
+            w_ = hi - lo
+            base = lo * 3
+            for i in range(w_):
+                for w in range(3):
+                    p[base + i * 3 + w] = base + w * w_ + i
+        _REORDER[key] = p
+    return p
+
+
+def _exponents(g: dict, sf: dict, sr: int) -> np.ndarray:
+    """Per-line requantizer exponent (pre-reorder layout), f64 [576]."""
+    exp = np.zeros(576)
+    gg = g["global_gain"] - 210
+    sf_mult = 0.5 * (1 + g["scalefac_scale"])
+    short = g["window_switching"] and g["block_type"] == 2
+    long_bands = T.SFB_LONG[sr]
+    short_bands = T.SFB_SHORT[sr]
+
+    def long_range(lo_sfb, hi_sfb):
+        for sfb in range(lo_sfb, hi_sfb):
+            lo, hi = int(long_bands[sfb]), int(long_bands[sfb + 1])
+            exp[lo:hi] = 0.25 * gg - sf_mult * (
+                sf["l"][sfb] + g["preflag"] * int(T.PRETAB[sfb])
+            )
+
+    if not short:
+        long_range(0, 22)
+    else:
+        first = 0
+        if g["mixed"]:
+            long_range(0, 8)
+            first = 3
+        for sfb in range(first, 13):
+            lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
+            w_ = hi - lo
+            for w in range(3):
+                e = 0.25 * (gg - 8 * g["subblock_gain"][w]) - sf_mult * sf["s"][sfb, w]
+                exp[lo * 3 + w * w_ : lo * 3 + (w + 1) * w_] = e
+    return exp
+
+
+def _stereo_planes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
+    """Per-line (aL, bL, aR, bR) mixing planes, [4, 576] f32.
+
+    Mirrors the oracle's `_stereo` (ISO 2.4.3.4.9): MS over the full
+    spectrum (or below the intensity bound), intensity ratio pairs above
+    the right channel's zero region; inputs are in final line order.
+    """
+    planes = np.zeros((4, 576))
+    planes[0] = 1.0  # aL
+    planes[3] = 1.0  # bR
+    if header["mode"] != 1:
+        return planes
+    ms = bool(header["mode_ext"] & 2)
+    intensity = bool(header["mode_ext"] & 1)
+
+    def set_ms(sl):
+        planes[0][sl] = _ISQRT2
+        planes[1][sl] = _ISQRT2
+        planes[2][sl] = _ISQRT2
+        planes[3][sl] = -_ISQRT2
+
+    def set_is(sl, is_pos):
+        if is_pos == 7:
+            if ms:
+                set_ms(sl)
+            return
+        ratio = float(T.IS_RATIO[is_pos])
+        planes[0][sl] = ratio / (1.0 + ratio)
+        planes[1][sl] = 0.0
+        planes[2][sl] = 1.0 / (1.0 + ratio)
+        planes[3][sl] = 0.0
+
+    if not intensity:
+        if ms:
+            set_ms(slice(0, 576))
+        return planes
+
+    short = g_r["window_switching"] and g_r["block_type"] == 2
+    long_bands = T.SFB_LONG[sr]
+    short_bands = T.SFB_SHORT[sr]
+    if not short:
+        nz = np.nonzero(is_r)[0]
+        rzero = (int(nz[-1]) + 1) if len(nz) else 0
+        bound_sfb = 21
+        while bound_sfb > 0 and int(long_bands[bound_sfb]) >= rzero:
+            bound_sfb -= 1
+        bound_sfb += 1
+        for sfb in range(bound_sfb, 22):
+            lo, hi = int(long_bands[sfb]), int(long_bands[sfb + 1])
+            set_is(slice(lo, hi), int(sf_r["l"][min(sfb, 20)]) if sfb < 21 else 7)
+        bound_line = int(long_bands[bound_sfb])
+    else:
+        bound_line = 576
+        for w in range(3):
+            for sfb in range(12, -1, -1):
+                lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
+                w_ = hi - lo
+                a = lo * 3 + w * w_
+                if np.any(is_r[a : a + w_]):
+                    break
+                set_is(slice(a, a + w_), int(sf_r["s"][min(sfb, 11), w]))
+                bound_line = min(bound_line, a)
+    if ms:
+        set_ms(slice(0, bound_line))
+    return planes
+
+
+def _win_and_aa(g: dict) -> tuple[np.ndarray, int]:
+    """Per-subband window index [32] + antialias boundary count."""
+    short = g["window_switching"] and g["block_type"] == 2
+    win = np.zeros(32, np.int8)
+    if short:
+        win[:] = 2
+        if g["mixed"]:
+            win[:2] = 0
+            aa = 1
+        else:
+            aa = 0
+    else:
+        win[:] = g["block_type"]
+        aa = 31
+    return win, aa
+
+
+@dataclasses.dataclass
+class Mp3Analysis:
+    """Dense front-end output for one file (inputs to dsp.mp3_dsp_tail)."""
+
+    sample_rate: int
+    channels: int
+    n_granules: int
+    joint_stereo: bool
+    is_q: np.ndarray  # int16 [G, C, 576]
+    scale: np.ndarray  # f32   [G, C, 576]
+    st: np.ndarray | None  # f32 [G, 4, 576] (None if mono / never joint)
+    win_idx: np.ndarray  # int8 [G, C, 32]
+    aa_bound: np.ndarray  # int8 [G, C]
+
+
+def analyze(blob: bytes) -> Mp3Analysis:
+    """Walk an MPEG-1 Layer III stream → dense per-granule tensors.
+
+    Undecodable frames (reservoir underflow at stream start, corrupt
+    entropy data) become silent granules rather than failing the file,
+    matching the reference's per-file catch-and-skip (main.rs:55-77)."""
+    frames = find_frames(blob)
+    frames = [(p, h) for p, h in frames if h["version"] == 3 and h["layer"] == 1]
+    if not frames:
+        raise E.InvalidDataError("no MPEG-1 Layer III frames")
+    h0 = frames[0][1]
+    sr, ch = h0["sr"], h0["channels"]
+    frames = [(p, h) for p, h in frames if h["sr"] == sr and h["channels"] == ch]
+    joint = any(h["mode"] == 1 for _, h in frames)
+
+    G = 2 * len(frames)
+    is_q = np.zeros((G, ch, 576), np.int16)
+    scale = np.zeros((G, ch, 576), np.float32)
+    st = np.zeros((G, 4, 576), np.float32) if (ch == 2 and joint) else None
+    if st is not None:
+        st[:, 0] = 1.0
+        st[:, 3] = 1.0
+    win_idx = np.zeros((G, ch, 32), np.int8)
+    aa_bound = np.zeros((G, ch), np.int8)
+
+    reservoir = b""
+    fi = 0
+    for pos, h in frames:
+        gbase = 2 * fi
+        fi += 1
+        side_len = 17 if ch == 1 else 32
+        off = pos + 4 + (2 if h["crc"] else 0)
+        main = bytes(blob[off + side_len : pos + h["frame_len"]])
+        try:
+            side = _read_side_info(_Bits(blob[off : off + side_len]), ch)
+        except (IndexError, E.DecodeError):
+            reservoir = (reservoir + main)[-4096:]
+            continue
+        start = len(reservoir) - side["main_data_begin"]
+        if start < 0:
+            reservoir = (reservoir + main)[-4096:]
+            continue  # silent frame: granules stay zero
+        data = reservoir[start:] + main
+        bits = _Bits(data)
+        prev_sf: list = [None] * ch
+        try:
+            for gr in range(2):
+                line_is = [None] * ch
+                line_scale = [None] * ch
+                sfx = [None] * ch
+                for c in range(ch):
+                    g = side["gr"][gr][c]
+                    part2_start = bits.pos
+                    sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
+                    prev_sf[c] = sf
+                    sfx[c] = sf
+                    is_pre = _huffman_spectrum(bits, g, sr, part2_start)
+                    exp = _exponents(g, sf, sr)
+                    if g["window_switching"] and g["block_type"] == 2:
+                        perm = _reorder_perm(sr, g["mixed"])
+                        is_pre = is_pre[perm]
+                        exp = exp[perm]
+                    line_is[c] = is_pre
+                    line_scale[c] = np.exp2(exp)
+                gi = gbase + gr
+                for c in range(ch):
+                    is_q[gi, c] = line_is[c].astype(np.int16)
+                    scale[gi, c] = line_scale[c]
+                    w, aa = _win_and_aa(side["gr"][gr][c])
+                    win_idx[gi, c] = w
+                    aa_bound[gi, c] = aa
+                if st is not None:
+                    st[gi] = _stereo_planes(
+                        line_is[0], line_is[1], side["gr"][gr][1], sfx[1], h, sr
+                    )
+        except (IndexError, E.DecodeError):
+            is_q[gbase : gbase + 2] = 0
+            scale[gbase : gbase + 2] = 0
+        reservoir = (reservoir + main)[-4096:]
+
+    return Mp3Analysis(
+        sample_rate=sr, channels=ch, n_granules=G, joint_stereo=joint,
+        is_q=is_q, scale=scale, st=st, win_idx=win_idx, aa_bound=aa_bound,
+    )
