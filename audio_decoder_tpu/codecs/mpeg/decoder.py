@@ -21,6 +21,7 @@ import numpy as np
 from ...core import errors as E
 from ...core.batch import AudioBatch
 from . import frontend
+from . import native
 from .dsp import mp3_dsp_tail
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -111,8 +112,59 @@ def decode_analyses(
     return idxs, batch
 
 
+def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
+    """Native-front-end path: threaded C++ bitstream analysis straight into
+    the padded tensors, one jitted DSP-tail call per (channels, joint)."""
+    probes = [native.probe(a.data) for a in assets]
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    failed = [i for i, p in enumerate(probes) if p["err"] != 0]
+    if failed:
+        pieces.append(
+            (failed, _error_batch([assets[i].name for i in failed],
+                                  [probes[i]["err"] for i in failed]))
+        )
+
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(probes):
+        if p["err"] == 0:
+            groups.setdefault((p["channels"], p["joint"]), []).append(i)
+
+    for (ch, joint), idxs in groups.items():
+        g_cap = _bucket(max(probes[i]["n_granules"] for i in idxs))
+        r = native.analyze_batch(
+            [assets[i].data for i in idxs], g_cap, ch, joint
+        )
+        pcm = mp3_dsp_tail(
+            jnp.asarray(r["is_q"]),
+            jnp.asarray(r["scale"]),
+            None if r["st"] is None else jnp.asarray(r["st"]),
+            jnp.asarray(r["win"]),
+            jnp.asarray(r["aa"]),
+            joint_stereo=joint,
+        )
+        B = len(idxs)
+        batch = AudioBatch(
+            pcm=pcm,
+            sample_rate=jnp.asarray(r["sample_rate"], jnp.int32),
+            num_channels=jnp.asarray(r["channels"], jnp.int32),
+            bits_per_sample=jnp.full((B,), 16, jnp.int32),
+            valid_frames=jnp.asarray(r["n_granules"] * 576, jnp.int32),
+            err=jnp.asarray(r["err"], jnp.int32),
+            names=tuple(assets[i].name for i in idxs),
+            formats=("mp3",) * B,
+        )
+        pieces.append((idxs, batch))
+    return pieces
+
+
 def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
-    """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces."""
+    """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces.
+
+    Uses the threaded C++ front-end when buildable, else the pure-Python
+    reference front-end (identical output contract)."""
+    if native.available():
+        return _decode_group_native(assets)
     analyses, failures = analyze_assets(assets)
 
     pieces: list[tuple[list[int], AudioBatch]] = []

@@ -1,0 +1,668 @@
+// mp3fe — native MPEG-1 Layer III bitstream front-end.
+//
+// The production host half of the TPU MP3 decoder: walks frames, resolves
+// the bit reservoir, decodes side info / scalefactors / Huffman spectra,
+// and emits the dense per-granule tensors consumed by the jitted DSP tail
+// (audio_decoder_tpu/codecs/mpeg/dsp.py).  Output contract is identical to
+// the pure-Python reference front-end (frontend.py) — the Python binding
+// cross-validates the two in tests.
+//
+// The reference (gitxandert/audio_decoder) stops at frame framing
+// (blast/src/file_parsing/mpeg.rs:7-128, decode TODO at main.rs:44-54);
+// this file is the native green-field half, with the reference's header
+// table defects corrected (SURVEY §5 items 1-5).
+//
+// Build: make -C audio_decoder_tpu/native   (g++ -O3, no deps)
+
+#include <stdint.h>
+#include <string.h>
+
+#include <atomic>
+#include <cmath>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+#include "huffman_lut.h"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Spec tables (ISO/IEC 11172-3) — mirror of codecs/mpeg/tables.py
+// ---------------------------------------------------------------------------
+
+// bitrate_index(1..14) x column {V1L1,V1L2,V1L3,V2L1,V2L2&3} -> kbit/s
+static const int16_t kBitrate[14][5] = {
+    {32, 32, 32, 32, 8},      {64, 48, 40, 48, 16},    {96, 56, 48, 56, 24},
+    {128, 64, 56, 64, 32},    {160, 80, 64, 80, 40},   {192, 96, 80, 96, 48},
+    {224, 112, 96, 112, 56},  {256, 128, 112, 128, 64}, {288, 160, 128, 144, 80},
+    {320, 192, 160, 160, 96}, {352, 224, 192, 176, 112}, {384, 256, 224, 192, 128},
+    {416, 320, 256, 224, 144}, {448, 384, 320, 256, 160}};
+
+static const int kSampleRates[4][3] = {
+    {11025, 12000, 8000},  // version 0: MPEG-2.5
+    {0, 0, 0},             // version 1: reserved
+    {22050, 24000, 16000}, // version 2: MPEG-2
+    {44100, 48000, 32000}, // version 3: MPEG-1
+};
+
+// Long/short scalefactor band boundaries per MPEG-1 rate (B.8).
+// Rate index: 0=44100, 1=48000, 2=32000.
+static const int16_t kSfbLong[3][23] = {
+    {0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162, 196,
+     238, 288, 342, 418, 576},
+    {0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156, 190,
+     230, 276, 330, 384, 576},
+    {0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194, 240,
+     296, 364, 448, 550, 576}};
+
+static const int16_t kSfbShort[3][14] = {
+    {0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192},
+    {0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192},
+    {0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192}};
+
+static const int8_t kPretab[22] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                   1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0};
+
+static const int8_t kSlen1[16] = {0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4};
+static const int8_t kSlen2[16] = {0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3};
+
+static int rate_idx(int sr) {
+  switch (sr) {
+    case 44100: return 0;
+    case 48000: return 1;
+    case 32000: return 2;
+  }
+  return -1;
+}
+
+// Short-block reorder permutations out = in[perm], keyed [rate][mixed].
+static int16_t g_reorder[3][2][576];
+static float g_is_ratio_a[8], g_is_ratio_b[8];  // intensity L/R factors
+static bool g_init_done = false;
+
+static void init_tables() {
+  if (g_init_done) return;
+  for (int r = 0; r < 3; r++) {
+    for (int mixed = 0; mixed < 2; mixed++) {
+      int16_t* p = g_reorder[r][mixed];
+      for (int i = 0; i < 576; i++) p[i] = (int16_t)i;
+      for (int sfb = mixed ? 3 : 0; sfb < 13; sfb++) {
+        int lo = kSfbShort[r][sfb], hi = kSfbShort[r][sfb + 1];
+        int w_ = hi - lo, base = lo * 3;
+        for (int i = 0; i < w_; i++)
+          for (int w = 0; w < 3; w++)
+            p[base + i * 3 + w] = (int16_t)(base + w * w_ + i);
+      }
+    }
+  }
+  for (int ip = 0; ip < 7; ip++) {
+    double ratio = std::tan(ip * M_PI / 12.0);
+    g_is_ratio_a[ip] = (float)(ratio / (1.0 + ratio));
+    g_is_ratio_b[ip] = (float)(1.0 / (1.0 + ratio));
+  }
+  g_init_done = true;
+}
+
+// ---------------------------------------------------------------------------
+// Bit reader (MSB-first).  Reads past the end return zero bits; callers
+// check `overrun()` at granule boundaries (overruns zero the whole frame,
+// matching the Python front-end's exception path).
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* d;
+  size_t nbytes;
+  size_t pos = 0;  // bit position
+
+  // Load a big-endian 64-bit window at the current byte; one unaligned
+  // load + bswap on the fast path, byte-gather near the end of the buffer.
+  inline uint64_t window(size_t byte) const {
+    if (byte + 8 <= nbytes) {
+      uint64_t w;
+      memcpy(&w, d + byte, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+      w = __builtin_bswap64(w);
+#endif
+      return w;
+    }
+    uint64_t w = 0;
+    for (int i = 0; i < 8; i++)
+      w = (w << 8) | (byte + i < nbytes ? d[byte + i] : 0);
+    return w;
+  }
+  inline uint32_t peek(int k) const {  // k <= 24
+    uint64_t w = window(pos >> 3);
+    return (uint32_t)(w >> (64 - k - (pos & 7))) & ((1u << k) - 1);
+  }
+  inline uint32_t get(int k) {
+    uint32_t v = peek(k);
+    pos += k;
+    return v;
+  }
+  inline int get1() {
+    size_t byte = pos >> 3;
+    int v = byte < nbytes ? (d[byte] >> (7 - (pos & 7))) & 1 : 0;
+    pos++;
+    return v;
+  }
+  inline bool overrun() const { return pos > nbytes * 8; }
+};
+
+// ---------------------------------------------------------------------------
+// Header / frame walk
+// ---------------------------------------------------------------------------
+
+struct Header {
+  int version, layer, crc, bitrate, sr, padding, mode, mode_ext;
+  int frame_len, channels;
+};
+
+static bool parse_header(uint32_t word, Header* h) {
+  if (((word >> 21) & 0x7FF) != 0x7FF) return false;
+  int version = (word >> 19) & 3;
+  int layer = (word >> 17) & 3;
+  int crc = !((word >> 16) & 1);
+  int br_idx = (word >> 12) & 0xF;
+  int sr_idx = (word >> 10) & 3;
+  if (version == 1 || layer == 0 || br_idx == 0 || br_idx == 15 || sr_idx == 3)
+    return false;
+  int col;
+  if (version == 3)
+    col = (layer == 3) ? 0 : (layer == 2 ? 1 : 2);
+  else
+    col = (layer == 3) ? 3 : 4;
+  int bitrate = kBitrate[br_idx - 1][col] * 1000;
+  int sr = kSampleRates[version][sr_idx];
+  int padding = (word >> 9) & 1;
+  long slots;
+  if (layer == 1)  // Layer III
+    slots = (long)(version == 3 ? 144 : 72) * bitrate / sr + padding;
+  else if (layer == 2)  // Layer II
+    slots = 144L * bitrate / sr + padding;
+  else  // Layer I
+    slots = (12L * bitrate / sr + padding) * 4;
+  h->version = version;
+  h->layer = layer;
+  h->crc = crc;
+  h->bitrate = bitrate;
+  h->sr = sr;
+  h->padding = padding;
+  h->mode = (word >> 6) & 3;
+  h->mode_ext = (word >> 4) & 3;
+  h->frame_len = (int)slots;
+  h->channels = h->mode == 3 ? 1 : 2;
+  return true;
+}
+
+struct Frame {
+  int64_t pos;
+  Header h;
+};
+
+// Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
+static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
+  int64_t i = 0;
+  while (i + 4 <= n) {
+    if (blob[i] == 0xFF && (blob[i + 1] & 0xE0) == 0xE0) {
+      uint32_t word = ((uint32_t)blob[i] << 24) | ((uint32_t)blob[i + 1] << 16) |
+                      ((uint32_t)blob[i + 2] << 8) | blob[i + 3];
+      Header h;
+      if (parse_header(word, &h) && i + h.frame_len <= n) {
+        out->push_back({i, h});
+        i += h.frame_len;
+        continue;
+      }
+    }
+    i++;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Side info / scalefactors / Huffman
+// ---------------------------------------------------------------------------
+
+struct Granule {
+  int part2_3_length, big_values, global_gain, scalefac_compress;
+  int window_switching, block_type, mixed;
+  int table_select[3], subblock_gain[3];
+  int region0_count, region1_count;
+  int preflag, scalefac_scale, count1table_select;
+};
+
+struct SideInfo {
+  int main_data_begin;
+  int scfsi[2][4];
+  Granule gr[2][2];  // [granule][channel]
+};
+
+static void read_side_info(BitReader* b, int channels, SideInfo* si) {
+  si->main_data_begin = b->get(9);
+  b->get(channels == 1 ? 5 : 3);  // private bits
+  for (int c = 0; c < channels; c++)
+    for (int i = 0; i < 4; i++) si->scfsi[c][i] = b->get1();
+  for (int gr = 0; gr < 2; gr++) {
+    for (int c = 0; c < channels; c++) {
+      Granule* g = &si->gr[gr][c];
+      g->part2_3_length = b->get(12);
+      g->big_values = b->get(9);
+      g->global_gain = b->get(8);
+      g->scalefac_compress = b->get(4);
+      g->window_switching = b->get1();
+      if (g->window_switching) {
+        g->block_type = b->get(2);
+        g->mixed = b->get1();
+        g->table_select[0] = b->get(5);
+        g->table_select[1] = b->get(5);
+        g->table_select[2] = 0;
+        for (int w = 0; w < 3; w++) g->subblock_gain[w] = b->get(3);
+        g->region0_count = 7;
+        g->region1_count = 36;
+      } else {
+        g->block_type = 0;
+        g->mixed = 0;
+        for (int r = 0; r < 3; r++) g->table_select[r] = b->get(5);
+        for (int w = 0; w < 3; w++) g->subblock_gain[w] = 0;
+        g->region0_count = b->get(4);
+        g->region1_count = b->get(3);
+      }
+      g->preflag = b->get1();
+      g->scalefac_scale = b->get1();
+      g->count1table_select = b->get1();
+    }
+  }
+}
+
+struct Scalefacs {
+  int32_t l[23];
+  int32_t s[13][3];
+};
+
+static void read_scalefacs(BitReader* b, const Granule* g, int gr,
+                           const int* scfsi, const Scalefacs* prev,
+                           Scalefacs* sf) {
+  memset(sf, 0, sizeof(*sf));
+  int slen1 = kSlen1[g->scalefac_compress];
+  int slen2 = kSlen2[g->scalefac_compress];
+  bool short_blk = g->window_switching && g->block_type == 2;
+  if (short_blk && !g->mixed) {
+    for (int sfb = 0; sfb < 6; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = b->get(slen1);
+    for (int sfb = 6; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = b->get(slen2);
+  } else if (short_blk && g->mixed) {
+    for (int sfb = 0; sfb < 8; sfb++) sf->l[sfb] = b->get(slen1);
+    for (int sfb = 3; sfb < 6; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = b->get(slen1);
+    for (int sfb = 6; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = b->get(slen2);
+  } else {
+    static const int groups[4][3] = {
+        {0, 6, 0}, {6, 11, 0}, {11, 16, 1}, {16, 21, 1}};
+    for (int gi = 0; gi < 4; gi++) {
+      int lo = groups[gi][0], hi = groups[gi][1];
+      int sl = groups[gi][2] ? slen2 : slen1;
+      if (gr == 1 && scfsi[gi] && prev) {
+        for (int sfb = lo; sfb < hi; sfb++) sf->l[sfb] = prev->l[sfb];
+      } else {
+        for (int sfb = lo; sfb < hi; sfb++) sf->l[sfb] = b->get(sl);
+      }
+    }
+  }
+}
+
+// Decode the 576-line quantized spectrum.  Returns false on a reserved
+// table select (frame is zeroed by the caller).
+static bool huffman_spectrum(BitReader* b, const Granule* g, int ridx,
+                             size_t part2_start, int32_t* is_) {
+  memset(is_, 0, 576 * sizeof(int32_t));
+  int region1, region2;
+  if (g->window_switching) {
+    region1 = 36;
+    region2 = 576;
+  } else {
+    const int16_t* bands = kSfbLong[ridx];
+    region1 = bands[g->region0_count + 1];
+    int r2 = g->region0_count + g->region1_count + 2;
+    region2 = bands[r2 > 22 ? 22 : r2];
+  }
+  int big = 2 * g->big_values;
+  int idx = 0;
+  while (idx < big) {
+    int region = idx < region1 ? 0 : (idx < region2 ? 1 : 2);
+    int tsel = g->table_select[region];
+    int tid = kTableId[tsel];
+    if (tid < 0) return false;
+    int x = 0, y = 0;
+    if (tid != 0) {
+      const BigLut bl = kBigLuts[tid];
+      uint16_t e = bl.lut[b->peek(bl.bits)];
+      int len = e >> 8;
+      if (len == 0) return false;  // invalid code
+      b->pos += len;
+      x = (e >> 4) & 15;
+      y = e & 15;
+      int linbits = kLinbits[tsel];
+      if (x == 15 && linbits) x += b->get(linbits);
+      if (x && b->get1()) x = -x;
+      if (y == 15 && linbits) y += b->get(linbits);
+      if (y && b->get1()) y = -y;
+    }
+    if (idx < 576) is_[idx] = x;
+    if (idx + 1 < 576) is_[idx + 1] = y;
+    idx += 2;
+  }
+  const uint16_t* c1 = kCount1Luts[g->count1table_select];
+  size_t end = part2_start + g->part2_3_length;
+  while (b->pos < end && idx < 576) {
+    uint16_t e = c1[b->peek(6)];
+    int len = e >> 4;
+    if (len == 0) return false;
+    b->pos += len;
+    int v = e & 15;
+    for (int q = 3; q >= 0 && idx < 576; q--) {
+      int bit = (v >> q) & 1;
+      if (bit && b->get1()) bit = -bit;
+      is_[idx++] = bit;
+    }
+  }
+  if (b->pos > end) {  // quad straddling the boundary is discarded
+    for (int i = idx - 4 < 0 ? 0 : idx - 4; i < idx; i++) is_[i] = 0;
+  }
+  b->pos = end;
+  return true;
+}
+
+// Per-line requantizer gain 2^exp (pre-reorder layout).
+static void compute_scale(const Granule* g, const Scalefacs* sf, int ridx,
+                          float* scale) {
+  double gg = g->global_gain - 210;
+  double sf_mult = 0.5 * (1 + g->scalefac_scale);
+  bool short_blk = g->window_switching && g->block_type == 2;
+  const int16_t* lb = kSfbLong[ridx];
+  const int16_t* sb = kSfbShort[ridx];
+  if (!short_blk || g->mixed) {
+    int hi_sfb = short_blk ? 8 : 22;
+    for (int sfb = 0; sfb < hi_sfb; sfb++) {
+      double e = 0.25 * gg - sf_mult * (sf->l[sfb] + g->preflag * kPretab[sfb]);
+      float v = (float)std::exp2(e);
+      for (int i = lb[sfb]; i < lb[sfb + 1]; i++) scale[i] = v;
+    }
+  }
+  if (short_blk) {
+    int first = g->mixed ? 3 : 0;
+    for (int sfb = first; sfb < 13; sfb++) {
+      int lo = sb[sfb], hi = sb[sfb + 1], w_ = hi - lo;
+      for (int w = 0; w < 3; w++) {
+        double e = 0.25 * (gg - 8 * g->subblock_gain[w]) - sf_mult * sf->s[sfb][w];
+        float v = (float)std::exp2(e);
+        for (int i = lo * 3 + w * w_; i < lo * 3 + (w + 1) * w_; i++)
+          scale[i] = v;
+      }
+    }
+  }
+}
+
+static const float kIsqrt2 = 0.70710678118654752440f;
+
+// Per-line stereo planes (aL,bL,aR,bR) — mirror of frontend._stereo_planes.
+static void stereo_planes(const int32_t* is_l, const int32_t* is_r,
+                          const Granule* g_r, const Scalefacs* sf_r,
+                          const Header* h, int ridx, float* st /*[4*576]*/) {
+  float* aL = st;
+  float* bL = st + 576;
+  float* aR = st + 1152;
+  float* bR = st + 1728;
+  for (int i = 0; i < 576; i++) {
+    aL[i] = 1.0f; bL[i] = 0.0f; aR[i] = 0.0f; bR[i] = 1.0f;
+  }
+  if (h->mode != 1) return;
+  bool ms = h->mode_ext & 2;
+  bool intensity = h->mode_ext & 1;
+  auto set_ms = [&](int lo, int hi) {
+    for (int i = lo; i < hi; i++) {
+      aL[i] = kIsqrt2; bL[i] = kIsqrt2; aR[i] = kIsqrt2; bR[i] = -kIsqrt2;
+    }
+  };
+  auto set_is = [&](int lo, int hi, int is_pos) {
+    if (is_pos == 7) {
+      if (ms) set_ms(lo, hi);
+      return;
+    }
+    for (int i = lo; i < hi; i++) {
+      aL[i] = g_is_ratio_a[is_pos]; bL[i] = 0.0f;
+      aR[i] = g_is_ratio_b[is_pos]; bR[i] = 0.0f;
+    }
+  };
+  if (!intensity) {
+    if (ms) set_ms(0, 576);
+    return;
+  }
+  bool short_blk = g_r->window_switching && g_r->block_type == 2;
+  const int16_t* lb = kSfbLong[ridx];
+  const int16_t* sb = kSfbShort[ridx];
+  int bound_line;
+  if (!short_blk) {
+    int rzero = 0;
+    for (int i = 575; i >= 0; i--)
+      if (is_r[i]) { rzero = i + 1; break; }
+    int bound_sfb = 21;
+    while (bound_sfb > 0 && lb[bound_sfb] >= rzero) bound_sfb--;
+    bound_sfb++;
+    for (int sfb = bound_sfb; sfb < 22; sfb++) {
+      int is_pos = sfb < 21 ? sf_r->l[sfb < 20 ? sfb : 20] : 7;
+      set_is(lb[sfb], lb[sfb + 1], is_pos);
+    }
+    bound_line = lb[bound_sfb];
+  } else {
+    bound_line = 576;
+    for (int w = 0; w < 3; w++) {
+      for (int sfb = 12; sfb >= 0; sfb--) {
+        int lo = sb[sfb], hi = sb[sfb + 1], w_ = hi - lo;
+        int a = lo * 3 + w * w_;
+        bool nz = false;
+        for (int i = a; i < a + w_; i++)
+          if (is_r[i]) { nz = true; break; }
+        if (nz) break;
+        set_is(a, a + w_, sf_r->s[sfb < 11 ? sfb : 11][w]);
+        if (a < bound_line) bound_line = a;
+      }
+    }
+  }
+  if (ms) set_ms(0, bound_line);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+typedef struct {
+  int32_t sample_rate;
+  int32_t channels;
+  int32_t n_granules;
+  int32_t joint;  // any frame joint-stereo
+  int32_t err;    // 0 ok, 3 invalid (no MPEG-1 L3 frames)
+} mp3fe_info;
+
+// Phase 1: cheap frame walk — geometry only (no entropy decode).
+void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
+  init_tables();
+  memset(info, 0, sizeof(*info));
+  std::vector<Frame> frames;
+  find_frames(blob, n, &frames);
+  int sr = 0, ch = 0, count = 0, joint = 0;
+  for (const Frame& f : frames) {
+    if (f.h.version != 3 || f.h.layer != 1) continue;
+    if (!sr) { sr = f.h.sr; ch = f.h.channels; }
+    if (f.h.sr != sr || f.h.channels != ch) continue;
+    count++;
+    if (f.h.mode == 1) joint = 1;
+  }
+  if (!count) { info->err = 3; return; }
+  info->sample_rate = sr;
+  info->channels = ch;
+  info->n_granules = 2 * count;
+  info->joint = joint;
+}
+
+// Phase 2: full analysis into caller-allocated dense tensors:
+//   is_q  int16 [Gcap, ch, 576]     scale float [Gcap, ch, 576]
+//   st    float [Gcap, 4, 576]      (may be null)
+//   win   int8  [Gcap, ch, 32]      aa   int8  [Gcap, ch]
+// Buffers must be zero-initialized by the caller (silent-granule padding).
+void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
+                   int16_t* is_out, float* scale_out, float* st_out,
+                   int8_t* win_out, int8_t* aa_out, mp3fe_info* info) {
+  init_tables();
+  mp3fe_probe(blob, n, info);
+  if (info->err) return;
+  int sr = info->sample_rate, ch = info->channels;
+  int ridx = rate_idx(sr);
+  if (ridx < 0) { info->err = 3; return; }
+
+  std::vector<Frame> frames;
+  find_frames(blob, n, &frames);
+
+  std::vector<uint8_t> reservoir;
+  reservoir.reserve(8192);
+  std::vector<uint8_t> data;
+  data.reserve(8192);
+
+  int32_t is_tmp[2][2][576];
+  float sc_tmp[2][2][576];
+  Scalefacs sf_store[2][2];
+
+  int fi = 0;
+  for (const Frame& f : frames) {
+    if (f.h.version != 3 || f.h.layer != 1) continue;
+    if (f.h.sr != sr || f.h.channels != ch) continue;
+    int gbase = 2 * fi;
+    fi++;
+    if (gbase + 2 > g_cap) break;
+
+    int side_len = ch == 1 ? 17 : 32;
+    int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
+    const uint8_t* main = blob + off + side_len;
+    int64_t main_len = f.pos + f.h.frame_len - (off + side_len);
+    if (main_len < 0) main_len = 0;
+
+    auto push_reservoir = [&]() {
+      reservoir.insert(reservoir.end(), main, main + main_len);
+      if (reservoir.size() > 4096)
+        reservoir.erase(reservoir.begin(),
+                        reservoir.begin() + (reservoir.size() - 4096));
+    };
+
+    if (off + side_len > n) { push_reservoir(); continue; }
+    BitReader sb{blob + off, (size_t)side_len, 0};
+    SideInfo si;
+    read_side_info(&sb, ch, &si);
+
+    int64_t start = (int64_t)reservoir.size() - si.main_data_begin;
+    if (start < 0) { push_reservoir(); continue; }  // silent frame
+
+    data.assign(reservoir.begin() + start, reservoir.end());
+    data.insert(data.end(), main, main + main_len);
+    BitReader b{data.data(), data.size(), 0};
+
+    bool ok = true;
+    const Scalefacs* prev[2] = {nullptr, nullptr};
+    for (int gr = 0; gr < 2 && ok; gr++) {
+      for (int c = 0; c < ch && ok; c++) {
+        const Granule* g = &si.gr[gr][c];
+        size_t part2_start = b.pos;
+        Scalefacs* sf = &sf_store[gr][c];
+        read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        prev[c] = sf;
+        if (!huffman_spectrum(&b, g, ridx, part2_start, is_tmp[gr][c])) {
+          ok = false;
+          break;
+        }
+        memset(sc_tmp[gr][c], 0, sizeof(sc_tmp[gr][c]));
+        compute_scale(g, sf, ridx, sc_tmp[gr][c]);
+        if (g->window_switching && g->block_type == 2) {
+          const int16_t* perm = g_reorder[ridx][g->mixed ? 1 : 0];
+          int32_t ti[576];
+          float tf[576];
+          for (int i = 0; i < 576; i++) ti[i] = is_tmp[gr][c][perm[i]];
+          for (int i = 0; i < 576; i++) tf[i] = sc_tmp[gr][c][perm[i]];
+          memcpy(is_tmp[gr][c], ti, sizeof(ti));
+          memcpy(sc_tmp[gr][c], tf, sizeof(tf));
+        }
+        if (b.overrun()) { ok = false; break; }
+      }
+    }
+    if (ok) {
+      for (int gr = 0; gr < 2; gr++) {
+        int64_t gi = gbase + gr;
+        for (int c = 0; c < ch; c++) {
+          int16_t* dst_is = is_out + (gi * ch + c) * 576;
+          float* dst_sc = scale_out + (gi * ch + c) * 576;
+          for (int i = 0; i < 576; i++) dst_is[i] = (int16_t)is_tmp[gr][c][i];
+          memcpy(dst_sc, sc_tmp[gr][c], 576 * sizeof(float));
+          const Granule* g = &si.gr[gr][c];
+          int8_t* wv = win_out + (gi * ch + c) * 32;
+          bool short_blk = g->window_switching && g->block_type == 2;
+          if (short_blk) {
+            memset(wv, 2, 32);
+            if (g->mixed) { wv[0] = 0; wv[1] = 0; }
+            aa_out[gi * ch + c] = g->mixed ? 1 : 0;
+          } else {
+            memset(wv, g->block_type, 32);
+            aa_out[gi * ch + c] = 31;
+          }
+        }
+        if (st_out && ch == 2) {
+          stereo_planes(is_tmp[gr][0], is_tmp[gr][1], &si.gr[gr][1],
+                        &sf_store[gr][1], &f.h, ridx, st_out + gi * 4 * 576);
+        }
+      }
+    }
+    // !ok: frame granules stay zero (caller pre-zeroed the buffers)
+    push_reservoir();
+  }
+}
+
+// Batched analysis: one uniform (channels, joint) group, threaded over files.
+// Outputs are [B, Gcap, ...] contiguous; st_out may be null.
+void mp3fe_analyze_batch(const uint8_t* const* blobs, const int64_t* lens,
+                         int32_t nfiles, int32_t g_cap, int32_t channels,
+                         int16_t* is_out, float* scale_out, float* st_out,
+                         int8_t* win_out, int8_t* aa_out, mp3fe_info* infos,
+                         int32_t nthreads) {
+  init_tables();
+  if (nthreads <= 0) {
+    nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > nfiles) nthreads = nfiles;
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= nfiles) return;
+      int64_t gstride = (int64_t)g_cap;
+      mp3fe_analyze(
+          blobs[b], lens[b], g_cap,
+          is_out + b * gstride * channels * 576,
+          scale_out + b * gstride * channels * 576,
+          st_out ? st_out + b * gstride * 4 * 576 : nullptr,
+          win_out + b * gstride * channels * 32,
+          aa_out + b * gstride * channels,
+          infos + b);
+    }
+  };
+  if (nthreads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nthreads; i++) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+}  // extern "C"

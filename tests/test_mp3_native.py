@@ -1,0 +1,86 @@
+"""Native C++ mp3fe front-end vs the pure-Python reference front-end.
+
+The two implement one output contract (dense per-granule tensors for the
+DSP tail); these tests require bit-identical agreement on real LAME
+streams, plus end-to-end correctness through the native decode_group path.
+"""
+
+import numpy as np
+import pytest
+
+from audio_decoder_tpu.codecs.mpeg import frontend as FE
+from audio_decoder_tpu.codecs.mpeg import native as NA
+from audio_decoder_tpu.codecs.mpeg import decoder as MD
+from audio_decoder_tpu.io.assets import Asset
+
+from . import codec_refs as CR
+from . import mp3_oracle as MO
+
+pytestmark = pytest.mark.skipif(
+    not (CR.have_lame() and CR.have_mpg123() and NA.available()),
+    reason="system lame/mpg123 or native toolchain not available",
+)
+
+
+def _sig(kind: str, n: int, ch: int, sr: int = 44100) -> np.ndarray:
+    rng = np.random.default_rng(23)
+    t = np.arange(n)
+    if kind == "transient":
+        s = 0.2 * np.sin(2 * np.pi * 880 * t / sr)
+        s[::4000] = 0.9
+    else:
+        s = 0.3 * rng.standard_normal(n)
+    sig = np.stack([s] * ch, 1)
+    if ch == 2:
+        sig[:, 1] = np.roll(sig[:, 1], 17) * 0.8
+    return np.clip(sig * 30000, -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.parametrize(
+    "kind,ch,mode,bitrate,sr",
+    [
+        ("noise", 2, 1, 128, 44100),
+        ("transient", 2, 0, 320, 48000),
+        ("transient", 2, 1, 128, 44100),
+        ("noise", 1, None, 128, 44100),
+        ("noise", 2, 0, 64, 32000),
+    ],
+)
+def test_native_bitexact_vs_python_frontend(kind, ch, mode, bitrate, sr):
+    blob = CR.lame_encode(_sig(kind, int(sr * 0.25), ch, sr), sr, bitrate, mode=mode)
+    an = FE.analyze(blob)
+    p = NA.probe(blob)
+    assert (p["sample_rate"], p["channels"], p["n_granules"], p["joint"]) == (
+        an.sample_rate, an.channels, an.n_granules, an.joint_stereo,
+    )
+    r = NA.analyze_batch([blob], an.n_granules, an.channels, an.joint_stereo)
+    np.testing.assert_array_equal(r["is_q"][0], an.is_q)
+    np.testing.assert_array_equal(r["scale"][0], an.scale)
+    np.testing.assert_array_equal(r["win"][0], an.win_idx)
+    np.testing.assert_array_equal(r["aa"][0], an.aa_bound)
+    if an.st is not None:
+        np.testing.assert_array_equal(r["st"][0], an.st)
+
+
+def test_native_probe_rejects_garbage():
+    assert NA.probe(b"\x00" * 4096)["err"] != 0
+
+
+def test_native_decode_group_end_to_end():
+    blobs = {
+        "a": CR.lame_encode(_sig("noise", 12000, 2), 44100, 128, mode=1),
+        "b": CR.lame_encode(_sig("transient", 15000, 2), 44100, 192, mode=1),
+    }
+    assets = [Asset(path=k, name=k, ext="mp3", data=v) for k, v in blobs.items()]
+    pieces = MD._decode_group_native(assets)
+    got = {}
+    for idxs, batch in pieces:
+        for row, i in enumerate(idxs):
+            got[assets[i].name] = batch.file(row)
+    for name, blob in blobs.items():
+        f = got[name]
+        assert f.err == 0
+        ref, _ = MO.decode(blob)
+        n = min(len(ref), f.pcm.shape[0])
+        rms = float(np.sqrt(((ref[:n, : f.num_channels] - f.pcm[:n]) ** 2).mean()))
+        assert rms < 5e-7, f"{name}: rms {rms}"
