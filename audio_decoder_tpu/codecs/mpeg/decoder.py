@@ -75,28 +75,25 @@ def decode_analyses(
     B = len(ans)
     G = _bucket(max(a.n_granules for a in ans))
     is_q = np.zeros((B, G, ch, 576), np.int16)
-    scale = np.zeros((B, G, ch, 576), np.float32)
+    exp_b = np.zeros((B, G, ch, 61), np.int16)
     st = None
     if ch == 2 and joint:
-        st = np.zeros((B, G, 4, 576), np.float32)
-        st[:, :, 0] = 1.0
-        st[:, :, 3] = 1.0
-    win = np.zeros((B, G, ch, 32), np.int8)
-    aa = np.zeros((B, G, ch), np.int8)
+        st = np.zeros((B, G, 576), np.int8)
+    cfg = np.zeros((B, G, ch), np.int8)
     for b, a in enumerate(ans):
         g = a.n_granules
         is_q[b, :g] = a.is_q
-        scale[b, :g] = a.scale
-        if st is not None and a.st is not None:
-            st[b, :g] = a.st
-        win[b, :g] = a.win_idx
-        aa[b, :g] = a.aa_bound
+        exp_b[b, :g] = a.exp_b
+        if st is not None and a.st_mode is not None:
+            st[b, :g] = a.st_mode
+        cfg[b, :g] = a.blockcfg
     pcm = mp3_dsp_tail(
-        jnp.asarray(is_q),
-        jnp.asarray(scale),
-        None if st is None else jnp.asarray(st),
-        jnp.asarray(win),
-        jnp.asarray(aa),
+        jnp.asarray(is_q.reshape(B, G * ch, 576)),
+        jnp.asarray(exp_b.reshape(B, G * ch * 61)),
+        None if st is None else jnp.asarray(st.reshape(B, G * 576)),
+        jnp.asarray(cfg.reshape(B, G * ch)),
+        jnp.asarray([a.rate_idx for a in ans], jnp.int32),
+        channels=ch,
         joint_stereo=joint,
     )
     batch = AudioBatch(
@@ -135,15 +132,20 @@ def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBa
         r = native.analyze_batch(
             [assets[i].data for i in idxs], g_cap, ch, joint
         )
+        rate_idx = np.select(
+            [r["sample_rate"] == 48000, r["sample_rate"] == 32000],
+            [1, 2], default=0,
+        ).astype(np.int32)
+        B = len(idxs)
         pcm = mp3_dsp_tail(
-            jnp.asarray(r["is_q"]),
-            jnp.asarray(r["scale"]),
-            None if r["st"] is None else jnp.asarray(r["st"]),
-            jnp.asarray(r["win"]),
-            jnp.asarray(r["aa"]),
+            jnp.asarray(r["is_q"].reshape(B, g_cap * ch, 576)),
+            jnp.asarray(r["exp_b"].reshape(B, g_cap * ch * 61)),
+            None if r["st"] is None else jnp.asarray(r["st"].reshape(B, g_cap * 576)),
+            jnp.asarray(r["cfg"].reshape(B, g_cap * ch)),
+            jnp.asarray(rate_idx),
+            channels=ch,
             joint_stereo=joint,
         )
-        B = len(idxs)
         batch = AudioBatch(
             pcm=pcm,
             sample_rate=jnp.asarray(r["sample_rate"], jnp.int32),

@@ -77,54 +77,131 @@ _G2 = np.stack(
     ]
 )
 
+#: line → exponent-band slot maps, [3 rates, 3 cfgs, 576] (cfg 0 long,
+#: 1 short, 2 mixed), in final (reordered) line order.  Slot layout per
+#: granule-channel: 0..21 long sfb, 22 + sfb*3 + w short (sfb, window).
+def _line2band() -> np.ndarray:
+    rates = (44100, 48000, 32000)
+    m = np.zeros((3, 3, 576), np.int32)
+    for r, sr in enumerate(rates):
+        lb = T.SFB_LONG[sr]
+        sb = T.SFB_SHORT[sr]
+        # cfg 0: long blocks — slot = long sfb of the line
+        for sfb in range(22):
+            m[r, 0, lb[sfb] : lb[sfb + 1]] = sfb
+        # cfg 1: short — after reorder, line base + i*3 + w is (sfb, w)
+        for sfb in range(13):
+            lo, hi = int(sb[sfb]), int(sb[sfb + 1])
+            w_ = hi - lo
+            for w in range(3):
+                m[r, 1, lo * 3 + w : lo * 3 + 3 * w_ : 3] = 22 + sfb * 3 + w
+        # cfg 2: mixed — long sfb 0..7 below line 36, short sfb 3.. above
+        m[r, 2] = m[r, 1]
+        for sfb in range(8):
+            m[r, 2, lb[sfb] : lb[sfb + 1]] = sfb
+    return m
+
+
+_LINE2BAND = _line2band()
+
+
+#: stereo-mode byte → (aL, bL, aR, bR) mixing coefficients; rows:
+#: 0 identity LR, 1 mid/side, 2+k intensity with is_pos = k (frontend.ST_*)
+def _st_lut() -> np.ndarray:
+    lut = np.zeros((9, 4))
+    lut[0] = (1.0, 0.0, 0.0, 1.0)
+    s = 1.0 / np.sqrt(2.0)
+    lut[1] = (s, s, s, -s)
+    for k in range(7):
+        r = float(T.IS_RATIO[k])
+        lut[2 + k] = (r / (1.0 + r), 0.0, 1.0 / (1.0 + r), 0.0)
+    return lut
+
+
+_ST_LUT = _st_lut()
+
 
 # ---------------------------------------------------------------------------
 # The jitted tail
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("joint_stereo",))
+@functools.partial(jax.jit, static_argnames=("channels", "joint_stereo"))
 def mp3_dsp_tail(
     is_q: jax.Array,
-    scale: jax.Array,
-    st: jax.Array | None,
-    win_idx: jax.Array,
-    aa_bound: jax.Array,
+    exp_b: jax.Array,
+    st_mode: jax.Array | None,
+    blockcfg: jax.Array,
+    rate_idx: jax.Array,
     *,
+    channels: int,
     joint_stereo: bool,
 ) -> jax.Array:
     """Quantized spectra → PCM, fully batch-parallel.
 
+    Inputs are the transfer-compact host tensors (~1.5 KB/granule): gains,
+    stereo planes, window selects and antialias masks are all expanded on
+    device, so host→TPU bandwidth — the practical bottleneck — carries only
+    the spectrum plus small per-band/per-granule side data.  Input shapes
+    are deliberately FLAT (no small trailing dims): TPU buffers tile the
+    last two axes to (sublanes, 128), so a ``[B, G, 2, 576]`` int16 array
+    would be padded 8× during host relayout; ``[B, G*C, 576]`` isn't.
+
     Args:
-      is_q: int16/int32 ``[B, G, C, 576]`` signed quantized spectrum, in
-        final line order (host applied the short-block reorder), linbits
-        already folded in.
-      scale: f32 ``[B, G, C, 576]`` per-line requantizer gain ``2^exp``
-        (global_gain, scalefactors, subblock gain, preflag all folded).
-      st: f32 ``[B, G, 4, 576]`` per-line stereo planes (aL, bL, aR, bR) so
-        ``L = aL*x0 + bL*x1; R = aR*x0 + bR*x1`` — or None when C == 1 or
-        the stream never uses joint stereo.
-      win_idx: int8/int32 ``[B, G, C, 32]`` per-subband IMDCT window select
-        (block type; 2 = short composite).
-      aa_bound: int32 ``[B, G, C]`` number of antialias subband boundaries
-        to butterfly (0 short, 1 mixed, 31 long).
+      is_q: int16 ``[B, G*C, 576]`` signed quantized spectrum, in final
+        line order (host applied the short-block reorder), linbits folded.
+      exp_b: int16 ``[B, G*C*61]`` 4× requantizer exponent per band slot
+        (0..21 long sfb, 22+sfb*3+w short; global_gain, scalefactors,
+        subblock gain, preflag folded; exact integer) — gain = 2^(e/4).
+      st_mode: int8 ``[B, G*576]`` per-line stereo mode byte (see
+        frontend.ST_*), or None when C == 1 / never joint stereo.
+      blockcfg: int8 ``[B, G*C]`` block_type | mixed<<2.
+      rate_idx: int8/int32 ``[B]`` sample-rate index (0=44.1k 1=48k 2=32k).
+      channels: static channel count C.
 
     Returns:
       f32 PCM ``[B, G*576, C]``.
     """
-    B, G, C, _ = is_q.shape
+    B = is_q.shape[0]
+    C = channels
+    G = is_q.shape[1] // C
+    is_q = is_q.reshape(B, G, C, 576)
+    exp_b = exp_b.reshape(B, G, C, 61)
+    if st_mode is not None:
+        st_mode = st_mode.reshape(B, G, 576)
+    blockcfg = blockcfg.reshape(B, G, C)
     prec = jax.lax.Precision.HIGHEST
     f = jnp.float32
 
-    # Requantize (elementwise, VPU).
-    mag = jnp.abs(is_q).astype(f)
-    x = jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * scale
+    # Expand per-granule block config → window selects, AA bounds, cfg id.
+    block_type = (blockcfg & 3).astype(jnp.int32)
+    mixed = (blockcfg >> 2).astype(jnp.int32)
+    short = block_type == 2
+    cfg = jnp.where(short, jnp.where(mixed == 1, 2, 1), 0)  # [B,G,C]
+    sb_iota = jnp.arange(32)
+    win_idx = jnp.where(
+        short[..., None],
+        jnp.where((mixed[..., None] == 1) & (sb_iota < 2), 0, 2),
+        block_type[..., None],
+    )  # [B,G,C,32]
+    aa_bound = jnp.where(short, mixed, 31)  # [B,G,C]
 
-    # Stereo: one fused per-line 2x2 mix covers LR/MS/intensity.
-    if C == 2 and joint_stereo and st is not None:
+    # Per-line exponent: gather band slot per line, then the band value.
+    l2b = jnp.asarray(_LINE2BAND)[rate_idx.astype(jnp.int32)[:, None, None], cfg]
+    exp4 = jnp.take_along_axis(exp_b.astype(jnp.int32), l2b, axis=-1)
+
+    # Requantize (elementwise, VPU): sign(is) * |is|^(4/3) * 2^(exp4/4).
+    mag = jnp.abs(is_q).astype(f)
+    x = jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * jnp.exp2(
+        exp4.astype(f) * 0.25
+    )
+
+    # Stereo: per-line mode byte → (aL,bL,aR,bR) via LUT, one fused 2x2 mix.
+    if C == 2 and joint_stereo and st_mode is not None:
+        st = jnp.asarray(_ST_LUT, f)[st_mode.astype(jnp.int32)]  # [B,G,576,4]
         x0, x1 = x[:, :, 0], x[:, :, 1]
-        L = st[:, :, 0] * x0 + st[:, :, 1] * x1
-        R = st[:, :, 2] * x0 + st[:, :, 3] * x1
+        L = st[..., 0] * x0 + st[..., 1] * x1
+        R = st[..., 2] * x0 + st[..., 3] * x1
         x = jnp.stack([L, R], axis=2)
 
     xb = x.reshape(B, G, C, 32, 18)

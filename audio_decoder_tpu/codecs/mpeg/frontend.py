@@ -288,74 +288,67 @@ def _reorder_perm(sr: int, mixed: int) -> np.ndarray:
     return p
 
 
-def _exponents(g: dict, sf: dict, sr: int) -> np.ndarray:
-    """Per-line requantizer exponent (pre-reorder layout), f64 [576]."""
-    exp = np.zeros(576)
+def _exp_bands(g: dict, sf: dict) -> np.ndarray:
+    """Per-band requantizer exponent ×4, int16 [61].
+
+    Slot layout: 0..21 = long sfb, 22 + sfb*3 + w = short (sfb, window).
+    ``4·exp`` is an exact integer (exp = 0.25·(gg − 8·sbg) − sf_mult·sf with
+    sf_mult ∈ {0.5, 1}), so the device payload is a tiny int16 vector; the
+    jitted tail expands it per line through a static line→band map and
+    computes gain = 2^(exp4/4) on device."""
+    e = np.zeros(61, np.int16)
     gg = g["global_gain"] - 210
-    sf_mult = 0.5 * (1 + g["scalefac_scale"])
+    sf_mult4 = 2 * (1 + g["scalefac_scale"])  # 4 * sf_mult
     short = g["window_switching"] and g["block_type"] == 2
-    long_bands = T.SFB_LONG[sr]
-    short_bands = T.SFB_SHORT[sr]
-
-    def long_range(lo_sfb, hi_sfb):
-        for sfb in range(lo_sfb, hi_sfb):
-            lo, hi = int(long_bands[sfb]), int(long_bands[sfb + 1])
-            exp[lo:hi] = 0.25 * gg - sf_mult * (
-                sf["l"][sfb] + g["preflag"] * int(T.PRETAB[sfb])
+    if not short or g["mixed"]:
+        hi_sfb = 8 if short else 22
+        for sfb in range(hi_sfb):
+            e[sfb] = gg - sf_mult4 * (
+                int(sf["l"][sfb]) + g["preflag"] * int(T.PRETAB[sfb])
             )
-
-    if not short:
-        long_range(0, 22)
-    else:
-        first = 0
-        if g["mixed"]:
-            long_range(0, 8)
-            first = 3
-        for sfb in range(first, 13):
-            lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
-            w_ = hi - lo
+    if short:
+        for sfb in range(3 if g["mixed"] else 0, 13):
             for w in range(3):
-                e = 0.25 * (gg - 8 * g["subblock_gain"][w]) - sf_mult * sf["s"][sfb, w]
-                exp[lo * 3 + w * w_ : lo * 3 + (w + 1) * w_] = e
-    return exp
+                e[22 + sfb * 3 + w] = (gg - 8 * g["subblock_gain"][w]) - sf_mult4 * int(
+                    sf["s"][sfb, w]
+                )
+    return e
 
 
-def _stereo_planes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
-    """Per-line (aL, bL, aR, bR) mixing planes, [4, 576] f32.
+#: stereo-mode byte values (per spectral line): the device expands these
+#: through dsp.ST_LUT into (aL, bL, aR, bR) mixing coefficients.
+ST_LR = 0  # identity (independent L/R)
+ST_MS = 1  # mid/side butterfly
+ST_IS0 = 2  # intensity, is_pos k → mode 2+k (k = 0..6)
+
+
+def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
+    """Per-line stereo mode byte, int8 [576].
 
     Mirrors the oracle's `_stereo` (ISO 2.4.3.4.9): MS over the full
-    spectrum (or below the intensity bound), intensity ratio pairs above
+    spectrum (or below the intensity bound), intensity ratio bands above
     the right channel's zero region; inputs are in final line order.
     """
-    planes = np.zeros((4, 576))
-    planes[0] = 1.0  # aL
-    planes[3] = 1.0  # bR
+    modes = np.zeros(576, np.int8)
     if header["mode"] != 1:
-        return planes
+        return modes
     ms = bool(header["mode_ext"] & 2)
     intensity = bool(header["mode_ext"] & 1)
 
     def set_ms(sl):
-        planes[0][sl] = _ISQRT2
-        planes[1][sl] = _ISQRT2
-        planes[2][sl] = _ISQRT2
-        planes[3][sl] = -_ISQRT2
+        modes[sl] = ST_MS
 
     def set_is(sl, is_pos):
         if is_pos == 7:
             if ms:
                 set_ms(sl)
             return
-        ratio = float(T.IS_RATIO[is_pos])
-        planes[0][sl] = ratio / (1.0 + ratio)
-        planes[1][sl] = 0.0
-        planes[2][sl] = 1.0 / (1.0 + ratio)
-        planes[3][sl] = 0.0
+        modes[sl] = ST_IS0 + is_pos
 
     if not intensity:
         if ms:
             set_ms(slice(0, 576))
-        return planes
+        return modes
 
     short = g_r["window_switching"] and g_r["block_type"] == 2
     long_bands = T.SFB_LONG[sr]
@@ -384,39 +377,36 @@ def _stereo_planes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
                 bound_line = min(bound_line, a)
     if ms:
         set_ms(slice(0, bound_line))
-    return planes
+    return modes
 
 
-def _win_and_aa(g: dict) -> tuple[np.ndarray, int]:
-    """Per-subband window index [32] + antialias boundary count."""
-    short = g["window_switching"] and g["block_type"] == 2
-    win = np.zeros(32, np.int8)
-    if short:
-        win[:] = 2
-        if g["mixed"]:
-            win[:2] = 0
-            aa = 1
-        else:
-            aa = 0
-    else:
-        win[:] = g["block_type"]
-        aa = 31
-    return win, aa
+def _blockcfg(g: dict) -> int:
+    """One byte per granule-channel: block_type | mixed<<2 (the device
+    expands this into IMDCT window selects and antialias bounds)."""
+    return g["block_type"] | (g["mixed"] << 2)
 
 
 @dataclasses.dataclass
 class Mp3Analysis:
-    """Dense front-end output for one file (inputs to dsp.mp3_dsp_tail)."""
+    """Dense front-end output for one file (inputs to dsp.mp3_dsp_tail).
+
+    Transfer-compact by design: the jitted tail expands per-band ``exp_b``
+    into per-line 2^(e/4) gains, ``st_mode`` into mixing planes, and
+    ``blockcfg`` into window selects/antialias bounds — all on device — so
+    the host→TPU payload is ~1.5 KB/granule instead of ~11.5 KB."""
 
     sample_rate: int
     channels: int
     n_granules: int
     joint_stereo: bool
     is_q: np.ndarray  # int16 [G, C, 576]
-    scale: np.ndarray  # f32   [G, C, 576]
-    st: np.ndarray | None  # f32 [G, 4, 576] (None if mono / never joint)
-    win_idx: np.ndarray  # int8 [G, C, 32]
-    aa_bound: np.ndarray  # int8 [G, C]
+    exp_b: np.ndarray  # int16 [G, C, 61] — 4× exponent per band slot
+    st_mode: np.ndarray | None  # int8 [G, 576] (None if mono / never joint)
+    blockcfg: np.ndarray  # int8 [G, C] — block_type | mixed<<2
+
+    @property
+    def rate_idx(self) -> int:
+        return {44100: 0, 48000: 1, 32000: 2}[self.sample_rate]
 
 
 def analyze(blob: bytes) -> Mp3Analysis:
@@ -436,13 +426,9 @@ def analyze(blob: bytes) -> Mp3Analysis:
 
     G = 2 * len(frames)
     is_q = np.zeros((G, ch, 576), np.int16)
-    scale = np.zeros((G, ch, 576), np.float32)
-    st = np.zeros((G, 4, 576), np.float32) if (ch == 2 and joint) else None
-    if st is not None:
-        st[:, 0] = 1.0
-        st[:, 3] = 1.0
-    win_idx = np.zeros((G, ch, 32), np.int8)
-    aa_bound = np.zeros((G, ch), np.int8)
+    exp_b = np.zeros((G, ch, 61), np.int16)
+    st_mode = np.zeros((G, 576), np.int8) if (ch == 2 and joint) else None
+    blockcfg = np.zeros((G, ch), np.int8)
 
     reservoir = b""
     fi = 0
@@ -467,7 +453,6 @@ def analyze(blob: bytes) -> Mp3Analysis:
         try:
             for gr in range(2):
                 line_is = [None] * ch
-                line_scale = [None] * ch
                 sfx = [None] * ch
                 for c in range(ch):
                     g = side["gr"][gr][c]
@@ -476,30 +461,28 @@ def analyze(blob: bytes) -> Mp3Analysis:
                     prev_sf[c] = sf
                     sfx[c] = sf
                     is_pre = _huffman_spectrum(bits, g, sr, part2_start)
-                    exp = _exponents(g, sf, sr)
                     if g["window_switching"] and g["block_type"] == 2:
-                        perm = _reorder_perm(sr, g["mixed"])
-                        is_pre = is_pre[perm]
-                        exp = exp[perm]
+                        is_pre = is_pre[_reorder_perm(sr, g["mixed"])]
                     line_is[c] = is_pre
-                    line_scale[c] = np.exp2(exp)
                 gi = gbase + gr
                 for c in range(ch):
+                    g = side["gr"][gr][c]
                     is_q[gi, c] = line_is[c].astype(np.int16)
-                    scale[gi, c] = line_scale[c]
-                    w, aa = _win_and_aa(side["gr"][gr][c])
-                    win_idx[gi, c] = w
-                    aa_bound[gi, c] = aa
-                if st is not None:
-                    st[gi] = _stereo_planes(
+                    exp_b[gi, c] = _exp_bands(g, sfx[c])
+                    blockcfg[gi, c] = _blockcfg(g)
+                if st_mode is not None:
+                    st_mode[gi] = _stereo_modes(
                         line_is[0], line_is[1], side["gr"][gr][1], sfx[1], h, sr
                     )
         except (IndexError, E.DecodeError):
             is_q[gbase : gbase + 2] = 0
-            scale[gbase : gbase + 2] = 0
+            exp_b[gbase : gbase + 2] = 0
+            blockcfg[gbase : gbase + 2] = 0
+            if st_mode is not None:
+                st_mode[gbase : gbase + 2] = 0
         reservoir = (reservoir + main)[-4096:]
 
     return Mp3Analysis(
         sample_rate=sr, channels=ch, n_granules=G, joint_stereo=joint,
-        is_q=is_q, scale=scale, st=st, win_idx=win_idx, aa_bound=aa_bound,
+        is_q=is_q, exp_b=exp_b, st_mode=st_mode, blockcfg=blockcfg,
     )

@@ -1,0 +1,284 @@
+"""On-device (TPU) MPEG-1 Layer III Huffman decode.
+
+The final form of the decode split: the host walks frames and parses only
+the *fixed-size* structures (headers, side info, scalefactors — a few
+hundred bits per frame), and ships the RAW concatenated main_data bytes to
+the device (~16 KB per 10 s file at 128 kbps — two orders of magnitude
+less than dense spectra).  The variable-length entropy decode itself runs
+here as a lane-parallel XLA program: one lane per granule-channel, all
+lanes stepping their own bit cursors simultaneously through flat Huffman
+prefix LUT gathers.
+
+Key structural facts that make this TPU-friendly:
+
+* the bit reservoir (ISO 2.4.2.7 main_data_begin) makes granule *windows*
+  overlap frames, but window byte ranges are fully determined by side
+  info — so every lane's [start_bit, end_bit) is known before any entropy
+  decode, and lanes are INDEPENDENT;
+* big-values pair k lands at lines (2k, 2k+1) — a static index — so the
+  decode loop writes to a dense [lane, step] tensor with no scatter;
+* count1 quad k lands at lines 2*big_values + 4k — a per-lane constant
+  offset — so final line assembly is one gather.
+
+Everything matches the host reference front-end bit-for-bit on valid
+streams (tests cross-check is_q equality); the reference's decode is a
+TODO (blast/src/main.rs:44-54), so all of this is green-field.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import huffman_tables as HT
+from . import tables as T
+
+# ---------------------------------------------------------------------------
+# Flat LUT constants (device-resident, baked into the jitted program)
+# ---------------------------------------------------------------------------
+
+
+def _flat_big_luts():
+    """Concatenate per-table prefix LUTs: entry = len<<8 | x<<4 | y."""
+    ids = sorted(HT.BIG_TABLES)
+    base = np.zeros(33, np.int32)  # indexed by table id (0..24 used)
+    width = np.zeros(33, np.int32)
+    chunks = [np.zeros(1, np.uint16)]  # slot 0: safe row for tid==0
+    off = 1
+    for t in ids:
+        codes = HT.BIG_TABLES[t]
+        maxlen = max(l for (l, _c) in codes.values())
+        lut = np.zeros(1 << maxlen, np.uint16)
+        for (x, y), (length, code) in codes.items():
+            lo = code << (maxlen - length)
+            hi = (code + 1) << (maxlen - length)
+            lut[lo:hi] = (length << 8) | (x << 4) | y
+        base[t] = off
+        width[t] = maxlen
+        chunks.append(lut)
+        off += lut.size
+    return np.concatenate(chunks), base, width
+
+
+_BIGLUT, _BIG_BASE, _BIG_WIDTH = _flat_big_luts()
+
+_KTID = np.array([max(HT.TABLE_INFO[i][0], 0) for i in range(32)], np.int32)
+_KTID_RESERVED = np.array(
+    [1 if HT.TABLE_INFO[i][0] < 0 else 0 for i in range(32)], np.int32
+)
+_KLIN = np.array([HT.TABLE_INFO[i][1] for i in range(32)], np.int32)
+
+
+def _c1_lut():
+    lut = np.zeros(2 * 64, np.uint16)  # entry = len<<4 | v
+    for s in (0, 1):
+        for v, (length, code) in HT.COUNT1_TABLES[s].items():
+            lo = code << (6 - length)
+            hi = (code + 1) << (6 - length)
+            lut[s * 64 + lo : s * 64 + hi] = (length << 4) | v
+    return lut
+
+
+_C1LUT = _c1_lut()
+
+#: short-block reorder permutations in gather form out = in[perm],
+#: [3 rates, 3 cfgs, 576]; cfg 0 (long) rows are identity.
+def _reorder_perms():
+    rates = (44100, 48000, 32000)
+    p = np.tile(np.arange(576, dtype=np.int32), (3, 3, 1))
+    for r, sr in enumerate(rates):
+        bands = T.SFB_SHORT[sr]
+        for cfg, mixed in ((1, 0), (2, 1)):
+            for sfb in range(3 if mixed else 0, 13):
+                lo, hi = int(bands[sfb]), int(bands[sfb + 1])
+                w_ = hi - lo
+                base = lo * 3
+                for i in range(w_):
+                    for w in range(3):
+                        p[r, cfg, base + i * 3 + w] = base + w * w_ + i
+    return p
+
+
+_REORDER = _reorder_perms()
+
+
+# ---------------------------------------------------------------------------
+# Bit-window gathers
+# ---------------------------------------------------------------------------
+
+
+def _be_words(main_u8: jax.Array) -> jax.Array:
+    """uint8 [B, M] (M % 4 == 0) → big-endian uint32 words [B, M/4 + 1]
+    (one zero pad word so window reads never index out of range)."""
+    B = main_u8.shape[0]
+    b = main_u8.reshape(B, -1, 4).astype(jnp.uint32)
+    w = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+    return jnp.pad(w, ((0, 0), (0, 1)))
+
+
+def _window32(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array) -> jax.Array:
+    """32 bits starting at bitpos (per lane), MSB-first, as uint32."""
+    W = words.shape[1]
+    wi = jnp.clip(bitpos >> 5, 0, W - 2)
+    sh = (bitpos & 31).astype(jnp.uint32)
+    w0 = words[file_idx, wi]
+    w1 = words[file_idx, wi + 1]
+    return jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> (32 - jnp.maximum(sh, 1))))
+
+
+def _take(win: jax.Array, off: jax.Array, n: jax.Array) -> jax.Array:
+    """Extract n bits (vector n, 0 ≤ n ≤ 31) at offset off from a 32-bit
+    window; n == 0 yields 0."""
+    v = (win << off.astype(jnp.uint32)) >> (32 - jnp.maximum(n, 1)).astype(jnp.uint32)
+    return jnp.where(n > 0, v, 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Lane-parallel entropy decode
+# ---------------------------------------------------------------------------
+
+
+def decode_spectra(
+    main_u8: jax.Array,
+    file_idx: jax.Array,
+    start_bit: jax.Array,
+    end_bit: jax.Array,
+    limit_bit: jax.Array,
+    big_values: jax.Array,
+    region1: jax.Array,
+    region2: jax.Array,
+    tsel: jax.Array,
+    c1sel: jax.Array,
+    valid: jax.Array,
+    rate_idx: jax.Array,
+    cfg: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode all granule-channel lanes' quantized spectra on device.
+
+    Args (N = number of lanes = B*G*C):
+      main_u8: uint8 [B, M] concatenated main_data streams (M % 4 == 0).
+      file_idx: int32 [N] lane → file row.
+      start_bit/end_bit: int32 [N] Huffman bit range (post-scalefactors).
+      limit_bit: int32 [N] end of readable data for the lane's frame
+        (reads past it fail the lane, mirroring the host's overrun check).
+      big_values / region1 / region2: int32 [N] (region* = line bounds).
+      tsel: int32 [N, 3] table selects; c1sel: int32 [N] count1 select.
+      valid: bool/int [N] lane decodable (reservoir present etc).
+      rate_idx: int32 [N] sample-rate index; cfg: int32 [N] 0 long, 1
+        short, 2 mixed — selects the reorder permutation.
+
+    Returns:
+      (lines int16 [N, 576] in final line order, fail bool [N]).
+    """
+    N = start_bit.shape[0]
+    i32 = jnp.int32
+    words = _be_words(main_u8)
+    sbits = limit_bit
+
+    big_pairs = jnp.minimum(big_values, 288).astype(i32)
+    tid = jnp.asarray(_KTID)[tsel]  # [N, 3] big-table id per region
+    reserved = jnp.asarray(_KTID_RESERVED)[tsel]
+    lin = jnp.asarray(_KLIN)[tsel]
+    kbase = jnp.asarray(_BIG_BASE)[tid]
+    kwidth = jnp.asarray(_BIG_WIDTH)[tid]
+    biglut = jnp.asarray(_BIGLUT)
+    c1lut = jnp.asarray(_C1LUT)
+
+    # ---- big-values region: pair `step` → lines (2*step, 2*step+1) ----
+    def big_step(step, carry):
+        pos, fail, out = carry
+        active = (step < big_pairs) & jnp.logical_not(fail)
+        line = 2 * step
+        region = (line >= region1).astype(i32) + (line >= region2).astype(i32)
+        rsel = lambda a: jnp.take_along_axis(a, region[:, None], 1)[:, 0]
+        t_res = rsel(reserved)
+        width = rsel(kwidth)
+        base = rsel(kbase)
+        linb = rsel(lin)
+        win = _window32(words, file_idx, pos)
+        idx = base + (win >> (32 - jnp.maximum(width, 1)).astype(jnp.uint32)).astype(i32)
+        entry = biglut[jnp.where(width > 0, idx, 0)].astype(i32)
+        ln = entry >> 8
+        bad = active & ((t_res > 0) | ((width > 0) & (ln == 0)))
+        x = (entry >> 4) & 15
+        y = entry & 15
+        pos2 = pos + jnp.where(active & (width > 0), ln, 0)
+        # escape linbits + sign bits from a fresh window at pos2
+        win2 = _window32(words, file_idx, pos2)
+        off = jnp.zeros((N,), i32)
+        xesc = (x == 15) & (linb > 0)
+        x = x + jnp.where(xesc, _take(win2, off, jnp.where(xesc, linb, 0)), 0)
+        off = off + jnp.where(xesc, linb, 0)
+        xs = _take(win2, off, jnp.where(x > 0, 1, 0))
+        off = off + (x > 0)
+        x = jnp.where(xs == 1, -x, x)
+        yesc = (y == 15) & (linb > 0)
+        y = y + jnp.where(yesc, _take(win2, off, jnp.where(yesc, linb, 0)), 0)
+        off = off + jnp.where(yesc, linb, 0)
+        ys = _take(win2, off, jnp.where(y > 0, 1, 0))
+        off = off + (y > 0)
+        y = jnp.where(ys == 1, -y, y)
+        pos3 = pos2 + jnp.where(active & (width > 0), off, 0)
+        fail = fail | bad | (active & (pos3 > sbits))
+        wr = active & jnp.logical_not(fail)
+        out = out.at[:, step, 0].set(jnp.where(wr, x, 0).astype(jnp.int16))
+        out = out.at[:, step, 1].set(jnp.where(wr, y, 0).astype(jnp.int16))
+        return (jnp.where(active, pos3, pos), fail, out)
+
+    pos0 = jnp.where(valid > 0, start_bit, 0).astype(i32)
+    fail0 = jnp.logical_not(valid > 0)
+    big_out = jnp.zeros((N, 288, 2), jnp.int16)
+    pos, fail, big_out = jax.lax.fori_loop(
+        0, 288, big_step, (pos0, fail0, big_out)
+    )
+
+    # ---- count1 region: quad `step` → lines 2*bv + 4*step ----
+    idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
+
+    def c1_step(step, carry):
+        pos, fail, out = carry
+        placed = idx0 + 4 * step
+        active = (pos < end_bit) & (placed < 576) & jnp.logical_not(fail)
+        win = _window32(words, file_idx, pos)
+        entry = c1lut[c1sel * 64 + (win >> 26).astype(i32)].astype(i32)
+        ln = entry >> 4
+        bad = active & (ln == 0)
+        v = entry & 15
+        off = jnp.where(active, ln, 0)
+        vals = []
+        for q in range(4):
+            bit = (v >> (3 - q)) & 1
+            sgn = _take(win, off, bit)
+            off = off + bit
+            vals.append(jnp.where(bit == 1, jnp.where(sgn == 1, -1, 1), 0))
+        pos2 = pos + off
+        fail = fail | bad | (active & (pos2 > sbits))
+        # a quad straddling the part2_3 boundary is discarded (host parity)
+        wr = active & jnp.logical_not(fail) & (pos2 <= end_bit)
+        for q in range(4):
+            out = out.at[:, step, q].set(jnp.where(wr, vals[q], 0).astype(jnp.int16))
+        return (jnp.where(active, pos2, pos), fail, out)
+
+    c1_out = jnp.zeros((N, 144, 4), jnp.int16)
+    pos, fail, c1_out = jax.lax.fori_loop(0, 144, c1_step, (pos, fail, c1_out))
+
+    return _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg)
+
+
+def _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg):
+    N = big_out.shape[0]
+    j = jnp.arange(576)
+    bv2 = jnp.minimum(2 * big_values, 576)[:, None]  # [N,1]
+    # from big pairs: line j → big_out[:, j>>1, j&1]
+    big_flat = big_out.reshape(N, 576)
+    from_big = jnp.take_along_axis(big_flat, jnp.broadcast_to(j, (N, 576)), 1)
+    # from count1: line j → c1_out[:, (j-bv2)>>2, (j-bv2)&3]
+    rel = jnp.clip(j - bv2, 0, 575)
+    c1_flat = c1_out.reshape(N, 576)
+    from_c1 = jnp.take_along_axis(c1_flat, rel, 1)
+    lines = jnp.where(j < bv2, from_big, from_c1)
+    lines = jnp.where(fail[:, None], 0, lines)
+    perm = jnp.asarray(_REORDER)[rate_idx, cfg]  # [N, 576]
+    return jnp.take_along_axis(lines, perm, 1).astype(jnp.int16), fail

@@ -73,9 +73,8 @@ def _load():
         lib.mp3fe_analyze_batch.argtypes = [
             C.POINTER(C.c_char_p), C.POINTER(C.c_int64), C.c_int32, C.c_int32,
             C.c_int32,
-            C.POINTER(C.c_int16), C.POINTER(C.c_float), C.POINTER(C.c_float),
-            C.POINTER(C.c_int8), C.POINTER(C.c_int8), C.POINTER(_Info),
-            C.c_int32,
+            C.POINTER(C.c_int16), C.POINTER(C.c_int16), C.POINTER(C.c_int8),
+            C.POINTER(C.c_int8), C.POINTER(_Info), C.c_int32,
         ]
         _lib = lib
         return _lib
@@ -103,24 +102,23 @@ def analyze_batch(
 ) -> dict:
     """Analyze a uniform (channels, joint) group of MP3 blobs.
 
-    Returns dict with zero-padded host tensors:
-      is_q  int16 [B, G, C, 576]   scale f32 [B, G, C, 576]
-      st    f32  [B, G, 4, 576] or None
-      win   int8 [B, G, C, 32]     aa    int8 [B, G, C]
-      err   int32 [B]              n_granules int32 [B]
+    Returns dict with zero-padded, transfer-compact host tensors:
+      is_q  int16 [B, G, C, 576]   exp_b int16 [B, G, C, 61]
+      st    int8  [B, G, 576] or None  (stereo mode bytes)
+      cfg   int8  [B, G, C]  (block_type | mixed<<2)
+      err   int32 [B]        n_granules int32 [B]
     """
     lib = _load()
     assert lib is not None
     B = len(blobs)
     is_q = np.zeros((B, g_cap, channels, 576), np.int16)
-    scale = np.zeros((B, g_cap, channels, 576), np.float32)
+    exp_b = np.zeros((B, g_cap, channels, 61), np.int16)
     st = None
-    st_ptr = C.cast(None, C.POINTER(C.c_float))
+    st_ptr = C.cast(None, C.POINTER(C.c_int8))
     if channels == 2 and joint:
-        st = np.zeros((B, g_cap, 4, 576), np.float32)
-        st_ptr = st.ctypes.data_as(C.POINTER(C.c_float))
-    win = np.zeros((B, g_cap, channels, 32), np.int8)
-    aa = np.zeros((B, g_cap, channels), np.int8)
+        st = np.zeros((B, g_cap, 576), np.int8)
+        st_ptr = st.ctypes.data_as(C.POINTER(C.c_int8))
+    cfg = np.zeros((B, g_cap, channels), np.int8)
     infos = (_Info * B)()
 
     buf_ptrs = (C.c_char_p * B)(*blobs)
@@ -128,18 +126,13 @@ def analyze_batch(
     lib.mp3fe_analyze_batch(
         buf_ptrs, lens, B, g_cap, channels,
         is_q.ctypes.data_as(C.POINTER(C.c_int16)),
-        scale.ctypes.data_as(C.POINTER(C.c_float)),
+        exp_b.ctypes.data_as(C.POINTER(C.c_int16)),
         st_ptr,
-        win.ctypes.data_as(C.POINTER(C.c_int8)),
-        aa.ctypes.data_as(C.POINTER(C.c_int8)),
+        cfg.ctypes.data_as(C.POINTER(C.c_int8)),
         infos, nthreads,
     )
-    if st is not None:
-        # identity planes on silent/padded granules (zeroed rows decode to
-        # silence regardless, but keep the contract tidy for tests)
-        pass
     return dict(
-        is_q=is_q, scale=scale, st=st, win=win, aa=aa,
+        is_q=is_q, exp_b=exp_b, st=st, cfg=cfg,
         err=np.asarray([i.err for i in infos], np.int32),
         n_granules=np.asarray([i.n_granules for i in infos], np.int32),
         sample_rate=np.asarray([i.sample_rate for i in infos], np.int32),

@@ -373,66 +373,46 @@ static bool huffman_spectrum(BitReader* b, const Granule* g, int ridx,
   return true;
 }
 
-// Per-line requantizer gain 2^exp (pre-reorder layout).
-static void compute_scale(const Granule* g, const Scalefacs* sf, int ridx,
-                          float* scale) {
-  double gg = g->global_gain - 210;
-  double sf_mult = 0.5 * (1 + g->scalefac_scale);
+// Per-band 4x requantizer exponent (exact integer), 61 slots:
+// 0..21 long sfb, 22 + sfb*3 + w short.  The device expands per line
+// through a static line->band map and computes gain = 2^(e/4).
+static void compute_exp_bands(const Granule* g, const Scalefacs* sf,
+                              int16_t* e /*[61]*/) {
+  memset(e, 0, 61 * sizeof(int16_t));
+  int gg = g->global_gain - 210;
+  int sf_mult4 = 2 * (1 + g->scalefac_scale);  // 4 * sf_mult
   bool short_blk = g->window_switching && g->block_type == 2;
-  const int16_t* lb = kSfbLong[ridx];
-  const int16_t* sb = kSfbShort[ridx];
   if (!short_blk || g->mixed) {
     int hi_sfb = short_blk ? 8 : 22;
-    for (int sfb = 0; sfb < hi_sfb; sfb++) {
-      double e = 0.25 * gg - sf_mult * (sf->l[sfb] + g->preflag * kPretab[sfb]);
-      float v = (float)std::exp2(e);
-      for (int i = lb[sfb]; i < lb[sfb + 1]; i++) scale[i] = v;
-    }
+    for (int sfb = 0; sfb < hi_sfb; sfb++)
+      e[sfb] = (int16_t)(gg - sf_mult4 * (sf->l[sfb] + g->preflag * kPretab[sfb]));
   }
   if (short_blk) {
-    int first = g->mixed ? 3 : 0;
-    for (int sfb = first; sfb < 13; sfb++) {
-      int lo = sb[sfb], hi = sb[sfb + 1], w_ = hi - lo;
-      for (int w = 0; w < 3; w++) {
-        double e = 0.25 * (gg - 8 * g->subblock_gain[w]) - sf_mult * sf->s[sfb][w];
-        float v = (float)std::exp2(e);
-        for (int i = lo * 3 + w * w_; i < lo * 3 + (w + 1) * w_; i++)
-          scale[i] = v;
-      }
-    }
+    for (int sfb = g->mixed ? 3 : 0; sfb < 13; sfb++)
+      for (int w = 0; w < 3; w++)
+        e[22 + sfb * 3 + w] = (int16_t)((gg - 8 * g->subblock_gain[w]) -
+                                        sf_mult4 * sf->s[sfb][w]);
   }
 }
 
-static const float kIsqrt2 = 0.70710678118654752440f;
-
-// Per-line stereo planes (aL,bL,aR,bR) — mirror of frontend._stereo_planes.
-static void stereo_planes(const int32_t* is_l, const int32_t* is_r,
-                          const Granule* g_r, const Scalefacs* sf_r,
-                          const Header* h, int ridx, float* st /*[4*576]*/) {
-  float* aL = st;
-  float* bL = st + 576;
-  float* aR = st + 1152;
-  float* bR = st + 1728;
-  for (int i = 0; i < 576; i++) {
-    aL[i] = 1.0f; bL[i] = 0.0f; aR[i] = 0.0f; bR[i] = 1.0f;
-  }
+// Per-line stereo mode byte (0 LR, 1 MS, 2+k intensity is_pos k) — mirror
+// of frontend._stereo_modes; the device LUT expands to mixing planes.
+static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
+                         const Granule* g_r, const Scalefacs* sf_r,
+                         const Header* h, int ridx, int8_t* modes /*[576]*/) {
+  memset(modes, 0, 576);
   if (h->mode != 1) return;
   bool ms = h->mode_ext & 2;
   bool intensity = h->mode_ext & 1;
   auto set_ms = [&](int lo, int hi) {
-    for (int i = lo; i < hi; i++) {
-      aL[i] = kIsqrt2; bL[i] = kIsqrt2; aR[i] = kIsqrt2; bR[i] = -kIsqrt2;
-    }
+    for (int i = lo; i < hi; i++) modes[i] = 1;
   };
   auto set_is = [&](int lo, int hi, int is_pos) {
     if (is_pos == 7) {
       if (ms) set_ms(lo, hi);
       return;
     }
-    for (int i = lo; i < hi; i++) {
-      aL[i] = g_is_ratio_a[is_pos]; bL[i] = 0.0f;
-      aR[i] = g_is_ratio_b[is_pos]; bR[i] = 0.0f;
-    }
+    for (int i = lo; i < hi; i++) modes[i] = (int8_t)(2 + is_pos);
   };
   if (!intensity) {
     if (ms) set_ms(0, 576);
@@ -510,13 +490,13 @@ void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
 }
 
 // Phase 2: full analysis into caller-allocated dense tensors:
-//   is_q  int16 [Gcap, ch, 576]     scale float [Gcap, ch, 576]
-//   st    float [Gcap, 4, 576]      (may be null)
-//   win   int8  [Gcap, ch, 32]      aa   int8  [Gcap, ch]
+//   is_q  int16 [Gcap, ch, 576]     exp_b int16 [Gcap, ch, 61]
+//   st    int8  [Gcap, 576]         (stereo mode bytes; may be null)
+//   cfg   int8  [Gcap, ch]          (block_type | mixed<<2)
 // Buffers must be zero-initialized by the caller (silent-granule padding).
 void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
-                   int16_t* is_out, float* scale_out, float* st_out,
-                   int8_t* win_out, int8_t* aa_out, mp3fe_info* info) {
+                   int16_t* is_out, int16_t* expb_out, int8_t* st_out,
+                   int8_t* cfg_out, mp3fe_info* info) {
   init_tables();
   mp3fe_probe(blob, n, info);
   if (info->err) return;
@@ -533,7 +513,7 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
   data.reserve(8192);
 
   int32_t is_tmp[2][2][576];
-  float sc_tmp[2][2][576];
+  int16_t eb_tmp[2][2][61];
   Scalefacs sf_store[2][2];
 
   int fi = 0;
@@ -582,16 +562,12 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
           ok = false;
           break;
         }
-        memset(sc_tmp[gr][c], 0, sizeof(sc_tmp[gr][c]));
-        compute_scale(g, sf, ridx, sc_tmp[gr][c]);
+        compute_exp_bands(g, sf, eb_tmp[gr][c]);
         if (g->window_switching && g->block_type == 2) {
           const int16_t* perm = g_reorder[ridx][g->mixed ? 1 : 0];
           int32_t ti[576];
-          float tf[576];
           for (int i = 0; i < 576; i++) ti[i] = is_tmp[gr][c][perm[i]];
-          for (int i = 0; i < 576; i++) tf[i] = sc_tmp[gr][c][perm[i]];
           memcpy(is_tmp[gr][c], ti, sizeof(ti));
-          memcpy(sc_tmp[gr][c], tf, sizeof(tf));
         }
         if (b.overrun()) { ok = false; break; }
       }
@@ -601,24 +577,15 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
         int64_t gi = gbase + gr;
         for (int c = 0; c < ch; c++) {
           int16_t* dst_is = is_out + (gi * ch + c) * 576;
-          float* dst_sc = scale_out + (gi * ch + c) * 576;
           for (int i = 0; i < 576; i++) dst_is[i] = (int16_t)is_tmp[gr][c][i];
-          memcpy(dst_sc, sc_tmp[gr][c], 576 * sizeof(float));
+          memcpy(expb_out + (gi * ch + c) * 61, eb_tmp[gr][c],
+                 61 * sizeof(int16_t));
           const Granule* g = &si.gr[gr][c];
-          int8_t* wv = win_out + (gi * ch + c) * 32;
-          bool short_blk = g->window_switching && g->block_type == 2;
-          if (short_blk) {
-            memset(wv, 2, 32);
-            if (g->mixed) { wv[0] = 0; wv[1] = 0; }
-            aa_out[gi * ch + c] = g->mixed ? 1 : 0;
-          } else {
-            memset(wv, g->block_type, 32);
-            aa_out[gi * ch + c] = 31;
-          }
+          cfg_out[gi * ch + c] = (int8_t)(g->block_type | (g->mixed << 2));
         }
         if (st_out && ch == 2) {
-          stereo_planes(is_tmp[gr][0], is_tmp[gr][1], &si.gr[gr][1],
-                        &sf_store[gr][1], &f.h, ridx, st_out + gi * 4 * 576);
+          stereo_modes(is_tmp[gr][0], is_tmp[gr][1], &si.gr[gr][1],
+                       &sf_store[gr][1], &f.h, ridx, st_out + gi * 576);
         }
       }
     }
@@ -631,8 +598,8 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
 // Outputs are [B, Gcap, ...] contiguous; st_out may be null.
 void mp3fe_analyze_batch(const uint8_t* const* blobs, const int64_t* lens,
                          int32_t nfiles, int32_t g_cap, int32_t channels,
-                         int16_t* is_out, float* scale_out, float* st_out,
-                         int8_t* win_out, int8_t* aa_out, mp3fe_info* infos,
+                         int16_t* is_out, int16_t* expb_out, int8_t* st_out,
+                         int8_t* cfg_out, mp3fe_info* infos,
                          int32_t nthreads) {
   init_tables();
   if (nthreads <= 0) {
@@ -649,10 +616,9 @@ void mp3fe_analyze_batch(const uint8_t* const* blobs, const int64_t* lens,
       mp3fe_analyze(
           blobs[b], lens[b], g_cap,
           is_out + b * gstride * channels * 576,
-          scale_out + b * gstride * channels * 576,
-          st_out ? st_out + b * gstride * 4 * 576 : nullptr,
-          win_out + b * gstride * channels * 32,
-          aa_out + b * gstride * channels,
+          expb_out + b * gstride * channels * 61,
+          st_out ? st_out + b * gstride * 576 : nullptr,
+          cfg_out + b * gstride * channels,
           infos + b);
     }
   };

@@ -55,11 +55,10 @@ def test_native_bitexact_vs_python_frontend(kind, ch, mode, bitrate, sr):
     )
     r = NA.analyze_batch([blob], an.n_granules, an.channels, an.joint_stereo)
     np.testing.assert_array_equal(r["is_q"][0], an.is_q)
-    np.testing.assert_array_equal(r["scale"][0], an.scale)
-    np.testing.assert_array_equal(r["win"][0], an.win_idx)
-    np.testing.assert_array_equal(r["aa"][0], an.aa_bound)
-    if an.st is not None:
-        np.testing.assert_array_equal(r["st"][0], an.st)
+    np.testing.assert_array_equal(r["exp_b"][0], an.exp_b)
+    np.testing.assert_array_equal(r["cfg"][0], an.blockcfg)
+    if an.st_mode is not None:
+        np.testing.assert_array_equal(r["st"][0], an.st_mode)
 
 
 def test_native_probe_rejects_garbage():

@@ -46,12 +46,14 @@ def _sig(kind: str, n: int, ch: int, sr: int = 44100) -> np.ndarray:
 
 def _tpu_decode(blob: bytes) -> tuple[np.ndarray, int]:
     an = FE.analyze(blob)
+    G, C = an.n_granules, an.channels
     pcm = mp3_dsp_tail(
-        jnp.asarray(an.is_q)[None],
-        jnp.asarray(an.scale)[None],
-        None if an.st is None else jnp.asarray(an.st)[None],
-        jnp.asarray(an.win_idx)[None],
-        jnp.asarray(an.aa_bound)[None],
+        jnp.asarray(an.is_q.reshape(1, G * C, 576)),
+        jnp.asarray(an.exp_b.reshape(1, G * C * 61)),
+        None if an.st_mode is None else jnp.asarray(an.st_mode.reshape(1, G * 576)),
+        jnp.asarray(an.blockcfg.reshape(1, G * C)),
+        jnp.asarray([an.rate_idx], jnp.int32),
+        channels=C,
         joint_stereo=an.joint_stereo,
     )
     return np.asarray(pcm[0])[:, : an.channels], an.sample_rate
