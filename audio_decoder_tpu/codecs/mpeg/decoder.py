@@ -22,7 +22,7 @@ from ...core import errors as E
 from ...core.batch import AudioBatch
 from . import frontend
 from . import native
-from .dsp import mp3_dsp_tail
+from .dsp import mp3_decode_fused, mp3_dsp_tail
 
 if TYPE_CHECKING:  # pragma: no cover
     from ...io.assets import Asset
@@ -160,11 +160,162 @@ def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBa
     return pieces
 
 
+def _rate_idx_arr(sample_rate: np.ndarray) -> np.ndarray:
+    return np.select(
+        [sample_rate == 48000, sample_rate == 32000], [1, 2], default=0
+    ).astype(np.int32)
+
+
+def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
+    """On-device-Huffman path: the host (C++ when available, else Python)
+    emits raw main_data + lane metadata; the entire entropy decode + DSP
+    runs as ONE jitted program per (channels, joint) group — the wire
+    carries the compressed bitstream itself (~50 B metadata/granule)."""
+    use_native = native.available()
+    probes = []
+    lanes_py: list = []
+    for a in assets:
+        if use_native:
+            probes.append(native.probe(a.data))
+            lanes_py.append(None)
+        else:
+            try:
+                ln = frontend.analyze_lanes(a.data)
+                probes.append(dict(
+                    err=0, channels=ln.channels, joint=ln.joint_stereo,
+                    n_granules=ln.n_granules, sample_rate=ln.sample_rate,
+                    main_bytes=len(ln.main_data),
+                ))
+                lanes_py.append(ln)
+            except E.DecodeError as e:
+                probes.append(dict(err=e.code))
+                lanes_py.append(None)
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    failed = [i for i, p in enumerate(probes) if p["err"] != 0]
+    if failed:
+        pieces.append(
+            (failed, _error_batch([assets[i].name for i in failed],
+                                  [probes[i]["err"] for i in failed]))
+        )
+
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(probes):
+        if p["err"] == 0:
+            groups.setdefault((p["channels"], bool(p["joint"])), []).append(i)
+
+    for (ch, joint), idxs in groups.items():
+        B = len(idxs)
+        g_cap = _bucket(max(probes[i]["n_granules"] for i in idxs))
+        m_cap = _bucket(max(probes[i]["main_bytes"] for i in idxs), 1024)
+        if use_native:
+            r = native.lanes_batch([assets[i].data for i in idxs], g_cap, m_cap, ch)
+            sample_rate = r["sample_rate"]
+            n_gran = r["n_granules"]
+            errs = r["err"]
+        else:
+            r = _pack_python_lanes([lanes_py[i] for i in idxs], g_cap, m_cap, ch)
+            sample_rate = r["sample_rate"]
+            n_gran = r["n_granules"]
+            errs = r["err"]
+        L = g_cap * ch
+        act = r["valid"].reshape(-1) > 0
+        bvs = r["big"].reshape(-1)[act]
+        n_big = 32 if bvs.size == 0 else min(288, int(-(-int(bvs.max()) // 32) * 32))
+        quads = (576 - 2 * bvs.astype(np.int64)).clip(0) // 4 + 1
+        n_c1 = 32 if bvs.size == 0 else min(144, int(-(-int(quads.max()) // 32) * 32))
+        pcm = mp3_decode_fused(
+            jnp.asarray(r["main"]),
+            jnp.asarray(r["start"].reshape(B, L)),
+            jnp.asarray(r["end"].reshape(B, L)),
+            jnp.asarray(r["limit"].reshape(B, L)),
+            jnp.asarray(r["big"].reshape(B, L)),
+            jnp.asarray(r["r1"].reshape(B, L)),
+            jnp.asarray(r["r2"].reshape(B, L)),
+            jnp.asarray(r["tsel"].reshape(B, L * 3)),
+            jnp.asarray(r["c1sel"].reshape(B, L)),
+            jnp.asarray(r["valid"].reshape(B, L)),
+            jnp.asarray(r["exp_b"].reshape(B, L * 61)),
+            jnp.asarray(r["cfg"].reshape(B, L)),
+            jnp.asarray(r["stflags"].reshape(B, g_cap)),
+            jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
+            jnp.asarray(_rate_idx_arr(sample_rate)),
+            channels=ch,
+            joint_stereo=joint,
+            n_big=max(n_big, 1),
+            n_c1=max(n_c1, 1),
+        )
+        batch = AudioBatch(
+            pcm=pcm,
+            sample_rate=jnp.asarray(sample_rate, jnp.int32),
+            num_channels=jnp.asarray(r["channels"], jnp.int32),
+            bits_per_sample=jnp.full((B,), 16, jnp.int32),
+            valid_frames=jnp.asarray(n_gran * 576, jnp.int32),
+            err=jnp.asarray(errs, jnp.int32),
+            names=tuple(assets[i].name for i in idxs),
+            formats=("mp3",) * B,
+        )
+        pieces.append((idxs, batch))
+    return pieces
+
+
+def _pack_python_lanes(lanes, g_cap: int, m_cap: int, ch: int) -> dict:
+    """Pad per-file Python Mp3Lanes into the batch tensors (native layout)."""
+    B = len(lanes)
+    r = dict(
+        main=np.zeros((B, m_cap), np.uint8),
+        start=np.zeros((B, g_cap, ch), np.int32),
+        end=np.zeros((B, g_cap, ch), np.int32),
+        limit=np.zeros((B, g_cap, ch), np.int32),
+        big=np.zeros((B, g_cap, ch), np.int16),
+        r1=np.zeros((B, g_cap, ch), np.int16),
+        r2=np.zeros((B, g_cap, ch), np.int16),
+        tsel=np.zeros((B, g_cap, ch, 3), np.int8),
+        c1sel=np.zeros((B, g_cap, ch), np.int8),
+        valid=np.zeros((B, g_cap, ch), np.int8),
+        exp_b=np.zeros((B, g_cap, ch, 61), np.int16),
+        cfg=np.zeros((B, g_cap, ch), np.int8),
+        stflags=np.zeros((B, g_cap), np.int8),
+        sfr=np.zeros((B, g_cap, 61), np.int8),
+        err=np.zeros((B,), np.int32),
+        n_granules=np.zeros((B,), np.int32),
+        sample_rate=np.zeros((B,), np.int32),
+        channels=np.zeros((B,), np.int32),
+    )
+    for b, ln in enumerate(lanes):
+        g = ln.n_granules
+        r["main"][b, : len(ln.main_data)] = ln.main_data
+        r["start"][b, :g] = ln.start_bit
+        r["end"][b, :g] = ln.end_bit
+        r["limit"][b, :g] = ln.limit_bit
+        r["big"][b, :g] = ln.big_values
+        r["r1"][b, :g] = ln.region1
+        r["r2"][b, :g] = ln.region2
+        r["tsel"][b, :g] = ln.tsel
+        r["c1sel"][b, :g] = ln.c1sel
+        r["valid"][b, :g] = ln.valid
+        r["exp_b"][b, :g] = ln.exp_b
+        r["cfg"][b, :g] = ln.blockcfg
+        r["stflags"][b, :g] = ln.st_flags
+        r["sfr"][b, :g] = ln.sfr_bands
+        r["n_granules"][b] = g
+        r["sample_rate"][b] = ln.sample_rate
+        r["channels"][b] = ln.channels
+    return r
+
+
 def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
     """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces.
 
-    Uses the threaded C++ front-end when buildable, else the pure-Python
-    reference front-end (identical output contract)."""
+    Default: the fused on-device-Huffman path (raw bitstream to the TPU).
+    The host-Huffman paths remain available for reference and tests."""
+    return _decode_group_fused(assets)
+
+
+def decode_group_hosthuff(
+    assets: "list[Asset]",
+) -> list[tuple[list[int], AudioBatch]]:
+    """Host-Huffman decode path (C++ or Python front-end + DSP tail)."""
     if native.available():
         return _decode_group_native(assets)
     analyses, failures = analyze_assets(assets)

@@ -170,10 +170,16 @@ def mp3_dsp_tail(
     if st_mode is not None:
         st_mode = st_mode.reshape(B, G, 576)
     blockcfg = blockcfg.reshape(B, G, C)
-    prec = jax.lax.Precision.HIGHEST
-    f = jnp.float32
 
-    # Expand per-granule block config → window selects, AA bounds, cfg id.
+    cfg, win_idx, aa_bound = _expand_blockcfg(blockcfg)
+    x = _requantize(is_q, exp_b, cfg, rate_idx)
+    if C == 2 and joint_stereo and st_mode is not None:
+        x = _stereo_mix(x, st_mode)
+    return _hybrid_synthesis(x, win_idx, aa_bound)
+
+
+def _expand_blockcfg(blockcfg: jax.Array):
+    """block_type | mixed<<2 → (cfg id, IMDCT window selects, AA bounds)."""
     block_type = (blockcfg & 3).astype(jnp.int32)
     mixed = (blockcfg >> 2).astype(jnp.int32)
     short = block_type == 2
@@ -185,25 +191,35 @@ def mp3_dsp_tail(
         block_type[..., None],
     )  # [B,G,C,32]
     aa_bound = jnp.where(short, mixed, 31)  # [B,G,C]
+    return cfg, win_idx, aa_bound
 
-    # Per-line exponent: gather band slot per line, then the band value.
+
+def _requantize(is_q, exp_b, cfg, rate_idx):
+    """sign(is) * |is|^(4/3) * 2^(exp4/4), exponents gathered per band."""
+    f = jnp.float32
     l2b = jnp.asarray(_LINE2BAND)[rate_idx.astype(jnp.int32)[:, None, None], cfg]
     exp4 = jnp.take_along_axis(exp_b.astype(jnp.int32), l2b, axis=-1)
-
-    # Requantize (elementwise, VPU): sign(is) * |is|^(4/3) * 2^(exp4/4).
     mag = jnp.abs(is_q).astype(f)
-    x = jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * jnp.exp2(
+    return jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * jnp.exp2(
         exp4.astype(f) * 0.25
     )
 
-    # Stereo: per-line mode byte → (aL,bL,aR,bR) via LUT, one fused 2x2 mix.
-    if C == 2 and joint_stereo and st_mode is not None:
-        st = jnp.asarray(_ST_LUT, f)[st_mode.astype(jnp.int32)]  # [B,G,576,4]
-        x0, x1 = x[:, :, 0], x[:, :, 1]
-        L = st[..., 0] * x0 + st[..., 1] * x1
-        R = st[..., 2] * x0 + st[..., 3] * x1
-        x = jnp.stack([L, R], axis=2)
 
+def _stereo_mix(x, st_mode):
+    """Per-line mode byte → (aL,bL,aR,bR) via LUT, one fused 2x2 mix."""
+    f = jnp.float32
+    st = jnp.asarray(_ST_LUT, f)[st_mode.astype(jnp.int32)]  # [B,G,576,4]
+    x0, x1 = x[:, :, 0], x[:, :, 1]
+    L = st[..., 0] * x0 + st[..., 1] * x1
+    R = st[..., 2] * x0 + st[..., 3] * x1
+    return jnp.stack([L, R], axis=2)
+
+
+def _hybrid_synthesis(x, win_idx, aa_bound):
+    """Antialias → hybrid IMDCT → overlap-add → polyphase synthesis."""
+    B, G, C, _ = x.shape
+    prec = jax.lax.Precision.HIGHEST
+    f = jnp.float32
     xb = x.reshape(B, G, C, 32, 18)
 
     # Antialias butterflies across subband boundaries (ISO 2.4.3.4.10.1).
@@ -248,3 +264,213 @@ def mp3_dsp_tail(
         out = out + g2[k] * half
 
     return out.reshape(B, C, G * 576).transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# On-device stereo-mode derivation (for the fused full-device decode)
+# ---------------------------------------------------------------------------
+
+#: line → long sfb index, [3 rates, 576]
+def _line2sfb_long() -> np.ndarray:
+    rates = (44100, 48000, 32000)
+    m = np.zeros((3, 576), np.int32)
+    for r, sr in enumerate(rates):
+        lb = T.SFB_LONG[sr]
+        for sfb in range(22):
+            m[r, lb[sfb] : lb[sfb + 1]] = sfb
+    return m
+
+
+#: line → short segment id sfb*3+w (pre-reorder window-segment layout, the
+#: coordinates the ISO intensity bound logic runs in), [3 rates, 576];
+#: plus each segment's start position a(sfb, w), [3, 39].
+def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
+    rates = (44100, 48000, 32000)
+    seg = np.zeros((3, 576), np.int32)
+    apos = np.zeros((3, 39), np.int32)
+    for r, sr in enumerate(rates):
+        sb = T.SFB_SHORT[sr]
+        for sfb in range(13):
+            lo, hi = int(sb[sfb]), int(sb[sfb + 1])
+            w_ = hi - lo
+            for w in range(3):
+                a = lo * 3 + w * w_
+                seg[r, a : a + w_] = sfb * 3 + w
+                apos[r, sfb * 3 + w] = a
+    return seg, apos
+
+
+_LINE2SFB_LONG = _line2sfb_long()
+_SEG_MAP, _A_POS = _seg_maps()
+_LB = np.stack([T.SFB_LONG[sr] for sr in (44100, 48000, 32000)])  # [3, 23]
+
+
+def derive_stereo_modes(
+    is_r: jax.Array,
+    st_flags: jax.Array,
+    sfr_bands: jax.Array,
+    blockcfg_r: jax.Array,
+    rate_idx: jax.Array,
+) -> jax.Array:
+    """Per-line stereo mode bytes, computed on device (ISO 2.4.3.4.9).
+
+    Mirrors frontend._stereo_modes exactly: MS over the full spectrum (or
+    below the intensity bound), intensity ratio bands above the right
+    channel's zero region, detected per window segment for short blocks.
+
+    Args:
+      is_r: int ``[B, G, 576]`` right-channel quantized spectrum (line
+        order; nonzero support equals the requantized spectrum's).
+      st_flags: int8 ``[B, G]`` bit0 joint, bit1 ms, bit2 intensity.
+      sfr_bands: int8 ``[B, G, 61]`` right-channel scalefactors (22 long,
+        then sf_s[sfb, w] at 22 + sfb*3 + w).
+      blockcfg_r: int8 ``[B, G]`` right channel block_type | mixed<<2.
+      rate_idx: int32 ``[B]``.
+
+    Returns:
+      int32 ``[B, G, 576]`` mode bytes (0 LR, 1 MS, 2+k intensity pos k).
+    """
+    i32 = jnp.int32
+    B, G, _ = is_r.shape
+    flags = st_flags.astype(i32)
+    joint = (flags & 1) > 0
+    ms = (flags & 2) > 0
+    inten = (flags & 4) > 0
+    base_mode = jnp.where(joint & ms, 1, 0)[..., None]  # [B,G,1]
+
+    short_r = (blockcfg_r.astype(i32) & 3) == 2  # [B,G]
+    nz = is_r != 0
+    r = rate_idx.astype(i32)
+
+    # ---- long-block intensity ----
+    j1 = jnp.arange(1, 577)
+    rzero = jnp.max(jnp.where(nz, j1, 0), axis=-1)  # [B,G]
+    lb = jnp.asarray(_LB)[r]  # [B, 23]
+    bound_sfb = 1 + jnp.sum(
+        (lb[:, None, 1:22] < rzero[..., None]).astype(i32), axis=-1
+    )  # [B,G]
+    sfb_line = jnp.asarray(_LINE2SFB_LONG)[r][:, None, :]  # [B,1,576]
+    sfr_l = jnp.take_along_axis(
+        sfr_bands.astype(i32), jnp.minimum(sfb_line, 20), axis=-1
+    )
+    is_pos_l = jnp.where(sfb_line < 21, sfr_l, 7)
+    zone_l = sfb_line >= bound_sfb[..., None]
+    mode_long = jnp.where(
+        zone_l,
+        jnp.where(is_pos_l == 7, base_mode, 2 + is_pos_l),
+        base_mode,
+    )
+
+    # ---- short-block intensity (per window segment, top-down trigger) ----
+    seg = jnp.asarray(_SEG_MAP)[r]  # [B, 576]
+    seg_oh = jax.nn.one_hot(seg, 39, dtype=jnp.float32)  # [B, 576, 39]
+    seg_nz = jnp.einsum("bgj,bjs->bgs", nz.astype(jnp.float32), seg_oh)  # [B,G,39]
+    seg_nz = seg_nz.reshape(B, G, 13, 3)
+    # triggered iff every sfb' >= sfb (same window) has an all-zero segment
+    suffix = jnp.cumsum(seg_nz[:, :, ::-1], axis=2)[:, :, ::-1]
+    trig = (suffix == 0).reshape(B, G, 39)
+    apos = jnp.asarray(_A_POS)[r][:, None, :]  # [B,1,39]
+    bound_line = jnp.min(jnp.where(trig, apos, 576), axis=-1)  # [B,G]
+    is_pos_s = jnp.take_along_axis(
+        sfr_bands.astype(i32),
+        22 + jnp.minimum(seg[:, None, :] // 3, 11) * 3 + seg[:, None, :] % 3,
+        axis=-1,
+    )  # [B,G,576]
+    trig_line = jnp.take_along_axis(trig, seg[:, None, :], axis=-1)
+    below = jnp.arange(576) < bound_line[..., None]
+    mode_short = jnp.where(
+        trig_line,
+        jnp.where(is_pos_s == 7, base_mode, 2 + is_pos_s),
+        jnp.where(below, base_mode, 0),
+    )
+
+    mode = jnp.where(short_r[..., None], mode_short, mode_long)
+    # no intensity: MS everywhere (if ms) / LR; mono-joint handled upstream
+    mode = jnp.where(inten[..., None], mode, base_mode)
+    return jnp.where(joint[..., None], mode, 0)
+
+
+# ---------------------------------------------------------------------------
+# Fused full-device decode: raw main_data bits → PCM in one jitted program
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("channels", "joint_stereo", "n_big", "n_c1")
+)
+def mp3_decode_fused(
+    main_u8: jax.Array,
+    start_bit: jax.Array,
+    end_bit: jax.Array,
+    limit_bit: jax.Array,
+    big_values: jax.Array,
+    region1: jax.Array,
+    region2: jax.Array,
+    tsel: jax.Array,
+    c1sel: jax.Array,
+    valid: jax.Array,
+    exp_b: jax.Array,
+    blockcfg: jax.Array,
+    st_flags: jax.Array,
+    sfr_bands: jax.Array,
+    rate_idx: jax.Array,
+    *,
+    channels: int,
+    joint_stereo: bool,
+    n_big: int = 288,
+    n_c1: int = 144,
+) -> jax.Array:
+    """Raw concatenated main_data + per-lane side metadata → PCM.
+
+    The whole Layer III decode below the frame/scalefactor layer runs on
+    device: lane-parallel Huffman (huffman_device.decode_spectra), band
+    exponent expansion, stereo derivation, antialias, hybrid IMDCT and the
+    polyphase synthesis — one compiled program, ~50 bytes of metadata plus
+    the compressed bitstream per granule over the wire.
+
+    Lane array shapes are flat ``[B, G*C]`` (tsel ``[B, G*C*3]``);
+    exp_b is ``[B, G*C*61]``, st_flags ``[B, G]``, sfr ``[B, G*61]``.
+    """
+    from .huffman_device import decode_spectra
+
+    B = start_bit.shape[0]
+    C = channels
+    G = start_bit.shape[1] // C
+    N = B * G * C
+    tsel = tsel.reshape(B, G * C, 3)
+
+    blockcfg_ = blockcfg.reshape(B, G, C)
+    cfg, win_idx, aa_bound = _expand_blockcfg(blockcfg_)
+    file_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), G * C)
+    rate_lane = jnp.repeat(rate_idx.astype(jnp.int32), G * C)
+
+    lines, fail = decode_spectra(
+        main_u8,
+        file_idx,
+        start_bit.reshape(N).astype(jnp.int32),
+        end_bit.reshape(N).astype(jnp.int32),
+        limit_bit.reshape(N).astype(jnp.int32),
+        big_values.reshape(N).astype(jnp.int32),
+        region1.reshape(N).astype(jnp.int32),
+        region2.reshape(N).astype(jnp.int32),
+        tsel.reshape(N, 3).astype(jnp.int32),
+        c1sel.reshape(N).astype(jnp.int32),
+        valid.reshape(N).astype(jnp.int32),
+        rate_lane,
+        cfg.reshape(N),
+        n_big=n_big,
+        n_c1=n_c1,
+    )
+    # Host parity: an entropy failure silences the whole frame.
+    fail_f = jnp.any(fail.reshape(B, G // 2, 2 * C), axis=-1)
+    fail_g = jnp.repeat(fail_f, 2, axis=1)  # [B, G]
+    is_q = jnp.where(fail_g[..., None, None], 0, lines.reshape(B, G, C, 576))
+
+    x = _requantize(is_q, exp_b.reshape(B, G, C, 61), cfg, rate_idx)
+    if C == 2 and joint_stereo:
+        st_mode = derive_stereo_modes(
+            is_q[:, :, 1], st_flags, sfr_bands.reshape(B, G, 61),
+            blockcfg_[:, :, 1], rate_idx,
+        )
+        x = _stereo_mix(x, st_mode)
+    return _hybrid_synthesis(x, win_idx, aa_bound)

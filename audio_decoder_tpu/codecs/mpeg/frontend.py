@@ -409,6 +409,153 @@ class Mp3Analysis:
         return {44100: 0, 48000: 1, 32000: 2}[self.sample_rate]
 
 
+@dataclasses.dataclass
+class Mp3Lanes:
+    """Lane metadata for on-device Huffman decode (huffman_device.py).
+
+    The host parses only fixed-size structures (headers, side info,
+    scalefactors); the raw concatenated main_data goes to the device, so
+    the host→TPU payload per file is the compressed bitstream itself plus
+    ~50 bytes of metadata per granule."""
+
+    sample_rate: int
+    channels: int
+    n_granules: int
+    joint_stereo: bool
+    main_data: np.ndarray  # uint8 [M], zero-padded to M % 4 == 0
+    start_bit: np.ndarray  # int32 [G, C] Huffman start (abs bit in main_data)
+    end_bit: np.ndarray  # int32 [G, C] part2_3 end
+    limit_bit: np.ndarray  # int32 [G, C] end of the frame's readable data
+    big_values: np.ndarray  # int16 [G, C]
+    region1: np.ndarray  # int16 [G, C] region boundary (line index)
+    region2: np.ndarray  # int16 [G, C]
+    tsel: np.ndarray  # int8 [G, C, 3]
+    c1sel: np.ndarray  # int8 [G, C]
+    valid: np.ndarray  # int8 [G, C]
+    exp_b: np.ndarray  # int16 [G, C, 61]
+    blockcfg: np.ndarray  # int8 [G, C]
+    st_flags: np.ndarray  # int8 [G]: bit0 joint, bit1 ms, bit2 intensity
+    sfr_bands: np.ndarray  # int8 [G, 61] right-channel scalefactors
+
+    @property
+    def rate_idx(self) -> int:
+        return {44100: 0, 48000: 1, 32000: 2}[self.sample_rate]
+
+
+def analyze_lanes(blob: bytes) -> Mp3Lanes:
+    """Host half of the on-device-Huffman decode path.
+
+    Walks frames, side info and scalefactors (all fixed-size reads) and
+    computes every granule-channel's absolute Huffman bit window into the
+    concatenated main_data stream — the bit reservoir (main_data_begin)
+    is just a backward offset into that same stream."""
+    frames = find_frames(blob)
+    frames = [(p, h) for p, h in frames if h["version"] == 3 and h["layer"] == 1]
+    if not frames:
+        raise E.InvalidDataError("no MPEG-1 Layer III frames")
+    h0 = frames[0][1]
+    sr, ch = h0["sr"], h0["channels"]
+    frames = [(p, h) for p, h in frames if h["sr"] == sr and h["channels"] == ch]
+    joint = any(h["mode"] == 1 for _, h in frames)
+
+    G = 2 * len(frames)
+    start_bit = np.zeros((G, ch), np.int32)
+    end_bit = np.zeros((G, ch), np.int32)
+    limit_bit = np.zeros((G, ch), np.int32)
+    big_values = np.zeros((G, ch), np.int16)
+    region1 = np.zeros((G, ch), np.int16)
+    region2 = np.zeros((G, ch), np.int16)
+    tsel = np.zeros((G, ch, 3), np.int8)
+    c1sel = np.zeros((G, ch), np.int8)
+    valid = np.zeros((G, ch), np.int8)
+    exp_b = np.zeros((G, ch, 61), np.int16)
+    blockcfg = np.zeros((G, ch), np.int8)
+    st_flags = np.zeros((G,), np.int8)
+    sfr_bands = np.zeros((G, 61), np.int8)
+
+    total_main = bytearray()
+    fi = 0
+    for pos, h in frames:
+        gbase = 2 * fi
+        fi += 1
+        side_len = 17 if ch == 1 else 32
+        off = pos + 4 + (2 if h["crc"] else 0)
+        main = bytes(blob[off + side_len : pos + h["frame_len"]])
+        try:
+            side = _read_side_info(_Bits(blob[off : off + side_len]), ch)
+        except (IndexError, E.DecodeError):
+            total_main += main
+            continue
+        start_byte_abs = len(total_main) - side["main_data_begin"]
+        if start_byte_abs < 0:
+            total_main += main
+            continue  # silent frame (reservoir underflow)
+        data = bytes(total_main[start_byte_abs:]) + main
+        limit = (start_byte_abs + len(data)) * 8
+        bits = _Bits(data)
+        base_bits = start_byte_abs * 8
+        prev_sf: list = [None] * ch
+        ok = True
+        for gr in range(2):
+            if not ok:
+                break
+            for c in range(ch):
+                g = side["gr"][gr][c]
+                part2_rel = bits.pos
+                end_rel = part2_rel + g["part2_3_length"]
+                if end_rel > len(data) * 8:
+                    ok = False
+                    break
+                try:
+                    sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
+                except (IndexError, E.DecodeError):
+                    ok = False
+                    break
+                prev_sf[c] = sf
+                gi = gbase + gr
+                start_bit[gi, c] = base_bits + bits.pos
+                end_bit[gi, c] = base_bits + end_rel
+                limit_bit[gi, c] = limit
+                big_values[gi, c] = g["big_values"]
+                if g["window_switching"]:
+                    region1[gi, c] = 36
+                    region2[gi, c] = 576
+                else:
+                    bands = T.SFB_LONG[sr]
+                    region1[gi, c] = int(bands[g["region0_count"] + 1])
+                    region2[gi, c] = int(
+                        bands[min(g["region0_count"] + g["region1_count"] + 2, 22)]
+                    )
+                tsel[gi, c] = g["table_select"]
+                c1sel[gi, c] = g["count1table_select"]
+                exp_b[gi, c] = _exp_bands(g, sf)
+                blockcfg[gi, c] = _blockcfg(g)
+                valid[gi, c] = 1
+                if c == ch - 1:
+                    st_flags[gi] = (
+                        (1 if h["mode"] == 1 else 0)
+                        | ((h["mode_ext"] & 2) >> 1 << 1)
+                        | ((h["mode_ext"] & 1) << 2)
+                    )
+                    if ch == 2:
+                        sfr_bands[gi, :22] = sf["l"][:22]
+                        sfr_bands[gi, 22:] = sf["s"].reshape(-1)
+                bits.pos = end_rel  # jump over the Huffman region
+        if not ok:
+            valid[gbase : gbase + 2] = 0
+        total_main += main
+
+    pad = (-len(total_main)) % 4
+    main_np = np.frombuffer(bytes(total_main) + b"\x00" * pad, np.uint8)
+    return Mp3Lanes(
+        sample_rate=sr, channels=ch, n_granules=G, joint_stereo=joint,
+        main_data=main_np, start_bit=start_bit, end_bit=end_bit,
+        limit_bit=limit_bit, big_values=big_values, region1=region1,
+        region2=region2, tsel=tsel, c1sel=c1sel, valid=valid, exp_b=exp_b,
+        blockcfg=blockcfg, st_flags=st_flags, sfr_bands=sfr_bands,
+    )
+
+
 def analyze(blob: bytes) -> Mp3Analysis:
     """Walk an MPEG-1 Layer III stream → dense per-granule tensors.
 

@@ -128,6 +128,25 @@ def _window32(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array) -> jax.A
     return jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> (32 - jnp.maximum(sh, 1))))
 
 
+def _window64(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array):
+    """Two 32-bit windows (bits [pos, pos+32) and [pos+32, pos+64)) from one
+    3-word gather — enough for a max-length code plus its escape/sign tail."""
+    W = words.shape[1]
+    wi = jnp.clip(bitpos >> 5, 0, W - 3)
+    w = words[file_idx[:, None], wi[:, None] + jnp.arange(3)]  # [N, 3]
+    sh = (bitpos & 31).astype(jnp.uint32)
+    nsh = 32 - jnp.maximum(sh, 1)
+    hi = jnp.where(sh == 0, w[:, 0], (w[:, 0] << sh) | (w[:, 1] >> nsh))
+    lo = jnp.where(sh == 0, w[:, 1], (w[:, 1] << sh) | (w[:, 2] >> nsh))
+    return hi, lo
+
+
+def _shift64(hi: jax.Array, lo: jax.Array, k: jax.Array) -> jax.Array:
+    """The 32 bits starting k (0..31) bits into the (hi, lo) window."""
+    k = k.astype(jnp.uint32)
+    return jnp.where(k == 0, hi, (hi << k) | (lo >> (32 - jnp.maximum(k, 1))))
+
+
 def _take(win: jax.Array, off: jax.Array, n: jax.Array) -> jax.Array:
     """Extract n bits (vector n, 0 ≤ n ≤ 31) at offset off from a 32-bit
     window; n == 0 yields 0."""
@@ -154,6 +173,9 @@ def decode_spectra(
     valid: jax.Array,
     rate_idx: jax.Array,
     cfg: jax.Array,
+    *,
+    n_big: int = 288,
+    n_c1: int = 144,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode all granule-channel lanes' quantized spectra on device.
 
@@ -176,8 +198,10 @@ def decode_spectra(
     i32 = jnp.int32
     words = _be_words(main_u8)
     sbits = limit_bit
+    n_big = min(max(n_big, 1), 288)
+    n_c1 = min(max(n_c1, 1), 144)
 
-    big_pairs = jnp.minimum(big_values, 288).astype(i32)
+    big_pairs = jnp.minimum(big_values, n_big).astype(i32)
     tid = jnp.asarray(_KTID)[tsel]  # [N, 3] big-table id per region
     reserved = jnp.asarray(_KTID_RESERVED)[tsel]
     lin = jnp.asarray(_KLIN)[tsel]
@@ -186,27 +210,30 @@ def decode_spectra(
     biglut = jnp.asarray(_BIGLUT)
     c1lut = jnp.asarray(_C1LUT)
 
+    def sel3(a, region):  # per-lane region select without a gather
+        return jnp.where(
+            region == 0, a[:, 0], jnp.where(region == 1, a[:, 1], a[:, 2])
+        )
+
     # ---- big-values region: pair `step` → lines (2*step, 2*step+1) ----
-    def big_step(step, carry):
-        pos, fail, out = carry
+    def big_step(carry, step):
+        pos, fail = carry
         active = (step < big_pairs) & jnp.logical_not(fail)
         line = 2 * step
         region = (line >= region1).astype(i32) + (line >= region2).astype(i32)
-        rsel = lambda a: jnp.take_along_axis(a, region[:, None], 1)[:, 0]
-        t_res = rsel(reserved)
-        width = rsel(kwidth)
-        base = rsel(kbase)
-        linb = rsel(lin)
-        win = _window32(words, file_idx, pos)
-        idx = base + (win >> (32 - jnp.maximum(width, 1)).astype(jnp.uint32)).astype(i32)
+        t_res = sel3(reserved, region)
+        width = sel3(kwidth, region)
+        base = sel3(kbase, region)
+        linb = sel3(lin, region)
+        hi, lo = _window64(words, file_idx, pos)
+        idx = base + (hi >> (32 - jnp.maximum(width, 1)).astype(jnp.uint32)).astype(i32)
         entry = biglut[jnp.where(width > 0, idx, 0)].astype(i32)
         ln = entry >> 8
         bad = active & ((t_res > 0) | ((width > 0) & (ln == 0)))
         x = (entry >> 4) & 15
         y = entry & 15
-        pos2 = pos + jnp.where(active & (width > 0), ln, 0)
-        # escape linbits + sign bits from a fresh window at pos2
-        win2 = _window32(words, file_idx, pos2)
+        # escape linbits + sign bits continue right after the code
+        win2 = _shift64(hi, lo, jnp.where(width > 0, ln, 0))
         off = jnp.zeros((N,), i32)
         xesc = (x == 15) & (linb > 0)
         x = x + jnp.where(xesc, _take(win2, off, jnp.where(xesc, linb, 0)), 0)
@@ -220,25 +247,28 @@ def decode_spectra(
         ys = _take(win2, off, jnp.where(y > 0, 1, 0))
         off = off + (y > 0)
         y = jnp.where(ys == 1, -y, y)
-        pos3 = pos2 + jnp.where(active & (width > 0), off, 0)
+        pos3 = pos + jnp.where(active & (width > 0), ln + off, 0)
         fail = fail | bad | (active & (pos3 > sbits))
         wr = active & jnp.logical_not(fail)
-        out = out.at[:, step, 0].set(jnp.where(wr, x, 0).astype(jnp.int16))
-        out = out.at[:, step, 1].set(jnp.where(wr, y, 0).astype(jnp.int16))
-        return (jnp.where(active, pos3, pos), fail, out)
+        xy = jnp.stack(
+            [jnp.where(wr, x, 0), jnp.where(wr, y, 0)], axis=-1
+        ).astype(jnp.int16)
+        return (jnp.where(active, pos3, pos), fail), xy
 
     pos0 = jnp.where(valid > 0, start_bit, 0).astype(i32)
     fail0 = jnp.logical_not(valid > 0)
-    big_out = jnp.zeros((N, 288, 2), jnp.int16)
-    pos, fail, big_out = jax.lax.fori_loop(
-        0, 288, big_step, (pos0, fail0, big_out)
+    (pos, fail), big_seq = jax.lax.scan(
+        big_step, (pos0, fail0), jnp.arange(n_big, dtype=i32)
     )
+    big_out = jnp.moveaxis(big_seq, 0, 1)  # [N, n_big, 2]
+    if n_big < 288:
+        big_out = jnp.pad(big_out, ((0, 0), (0, 288 - n_big), (0, 0)))
 
     # ---- count1 region: quad `step` → lines 2*bv + 4*step ----
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
 
-    def c1_step(step, carry):
-        pos, fail, out = carry
+    def c1_step(carry, step):
+        pos, fail = carry
         placed = idx0 + 4 * step
         active = (pos < end_bit) & (placed < 576) & jnp.logical_not(fail)
         win = _window32(words, file_idx, pos)
@@ -257,12 +287,17 @@ def decode_spectra(
         fail = fail | bad | (active & (pos2 > sbits))
         # a quad straddling the part2_3 boundary is discarded (host parity)
         wr = active & jnp.logical_not(fail) & (pos2 <= end_bit)
-        for q in range(4):
-            out = out.at[:, step, q].set(jnp.where(wr, vals[q], 0).astype(jnp.int16))
-        return (jnp.where(active, pos2, pos), fail, out)
+        quad = jnp.stack(
+            [jnp.where(wr, q, 0) for q in vals], axis=-1
+        ).astype(jnp.int16)
+        return (jnp.where(active, pos2, pos), fail), quad
 
-    c1_out = jnp.zeros((N, 144, 4), jnp.int16)
-    pos, fail, c1_out = jax.lax.fori_loop(0, 144, c1_step, (pos, fail, c1_out))
+    (pos, fail), c1_seq = jax.lax.scan(
+        c1_step, (pos, fail), jnp.arange(n_c1, dtype=i32)
+    )
+    c1_out = jnp.moveaxis(c1_seq, 0, 1)  # [N, n_c1, 4]
+    if n_c1 < 144:
+        c1_out = jnp.pad(c1_out, ((0, 0), (0, 144 - n_c1), (0, 0)))
 
     return _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg)
 

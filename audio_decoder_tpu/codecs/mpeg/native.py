@@ -38,6 +38,7 @@ class _Info(C.Structure):
         ("n_granules", C.c_int32),
         ("joint", C.c_int32),
         ("err", C.c_int32),
+        ("main_bytes", C.c_int32),
     ]
 
 
@@ -76,6 +77,16 @@ def _load():
             C.POINTER(C.c_int16), C.POINTER(C.c_int16), C.POINTER(C.c_int8),
             C.POINTER(C.c_int8), C.POINTER(_Info), C.c_int32,
         ]
+        lib.mp3fe_lanes_batch.argtypes = [
+            C.POINTER(C.c_char_p), C.POINTER(C.c_int64), C.c_int32, C.c_int32,
+            C.c_int64, C.c_int32,
+            C.POINTER(C.c_uint8),
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+            C.POINTER(C.c_int16), C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+            C.POINTER(C.c_int8), C.POINTER(C.c_int8), C.POINTER(C.c_int8),
+            C.POINTER(C.c_int16), C.POINTER(C.c_int8), C.POINTER(C.c_int8),
+            C.POINTER(C.c_int8), C.POINTER(_Info), C.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -93,6 +104,7 @@ def probe(blob: bytes) -> dict:
     return dict(
         sample_rate=info.sample_rate, channels=info.channels,
         n_granules=info.n_granules, joint=bool(info.joint), err=info.err,
+        main_bytes=info.main_bytes,
     )
 
 
@@ -137,4 +149,71 @@ def analyze_batch(
         n_granules=np.asarray([i.n_granules for i in infos], np.int32),
         sample_rate=np.asarray([i.sample_rate for i in infos], np.int32),
         channels=np.asarray([i.channels for i in infos], np.int32),
+    )
+
+
+def lanes_batch(
+    blobs: list[bytes], g_cap: int, m_cap: int, channels: int,
+    nthreads: int = 0,
+) -> dict:
+    """Lane-metadata analysis of a uniform-channel group of MP3 blobs for
+    the on-device Huffman path (dsp.mp3_decode_fused).
+
+    Returns dict of zero-padded host tensors:
+      main  uint8 [B, Mcap]           start/end/limit int32 [B, G, C]
+      big/r1/r2 int16 [B, G, C]       tsel int8 [B, G, C, 3]
+      c1sel/valid/cfg int8 [B, G, C]  exp_b int16 [B, G, C, 61]
+      stflags int8 [B, G]             sfr int8 [B, G, 61]
+      err/n_granules/sample_rate/channels/main_bytes int32 [B]
+    """
+    lib = _load()
+    assert lib is not None
+    assert m_cap % 4 == 0
+    B = len(blobs)
+    G, ch = g_cap, channels
+    main = np.zeros((B, m_cap), np.uint8)
+    start = np.zeros((B, G, ch), np.int32)
+    end = np.zeros((B, G, ch), np.int32)
+    limit = np.zeros((B, G, ch), np.int32)
+    big = np.zeros((B, G, ch), np.int16)
+    r1 = np.zeros((B, G, ch), np.int16)
+    r2 = np.zeros((B, G, ch), np.int16)
+    tsel = np.zeros((B, G, ch, 3), np.int8)
+    c1 = np.zeros((B, G, ch), np.int8)
+    valid = np.zeros((B, G, ch), np.int8)
+    exp_b = np.zeros((B, G, ch, 61), np.int16)
+    cfg = np.zeros((B, G, ch), np.int8)
+    stflags = np.zeros((B, G), np.int8)
+    sfr = np.zeros((B, G, 61), np.int8)
+    infos = (_Info * B)()
+
+    buf_ptrs = (C.c_char_p * B)(*blobs)
+    lens = (C.c_int64 * B)(*[len(b) for b in blobs])
+    lib.mp3fe_lanes_batch(
+        buf_ptrs, lens, B, g_cap, m_cap, channels,
+        main.ctypes.data_as(C.POINTER(C.c_uint8)),
+        start.ctypes.data_as(C.POINTER(C.c_int32)),
+        end.ctypes.data_as(C.POINTER(C.c_int32)),
+        limit.ctypes.data_as(C.POINTER(C.c_int32)),
+        big.ctypes.data_as(C.POINTER(C.c_int16)),
+        r1.ctypes.data_as(C.POINTER(C.c_int16)),
+        r2.ctypes.data_as(C.POINTER(C.c_int16)),
+        tsel.ctypes.data_as(C.POINTER(C.c_int8)),
+        c1.ctypes.data_as(C.POINTER(C.c_int8)),
+        valid.ctypes.data_as(C.POINTER(C.c_int8)),
+        exp_b.ctypes.data_as(C.POINTER(C.c_int16)),
+        cfg.ctypes.data_as(C.POINTER(C.c_int8)),
+        stflags.ctypes.data_as(C.POINTER(C.c_int8)),
+        sfr.ctypes.data_as(C.POINTER(C.c_int8)),
+        infos, nthreads,
+    )
+    return dict(
+        main=main, start=start, end=end, limit=limit, big=big, r1=r1, r2=r2,
+        tsel=tsel, c1sel=c1, valid=valid, exp_b=exp_b, cfg=cfg,
+        stflags=stflags, sfr=sfr,
+        err=np.asarray([i.err for i in infos], np.int32),
+        n_granules=np.asarray([i.n_granules for i in infos], np.int32),
+        sample_rate=np.asarray([i.sample_rate for i in infos], np.int32),
+        channels=np.asarray([i.channels for i in infos], np.int32),
+        main_bytes=np.asarray([i.main_bytes for i in infos], np.int32),
     )

@@ -1,0 +1,489 @@
+"""Command grammar, parsing and state application.
+
+The reference's REPL grammar (commands.rs:314-1277) drives 11 verbs —
+Load, Start, Pause, Resume, Stop, Unload, Velocity, Group, Tc, Seq, Quit
+(commands.rs:86-102) — parsed on the REPL thread into index-resolved
+`Command` values that cross a lock-free queue into the audio thread.
+Here the same split holds: `parse()` resolves names against the
+`HostRegistry` and validates flags on the host; `apply()` turns a parsed
+command into pure functional updates of the device `EngineArrays`.
+
+Grammar (mirroring the reference's flags):
+  load <track> [-t u:<unit>:<val> | -t c:<ctx> | -t g:<group>]
+  start|pause|resume|stop -v <voice> | -g <group> | -t <ctx>
+  unload <voice>
+  velocity <voice> <float>            (signed: negative = reverse play)
+  group <name> -v v1,v2,... [-t ...]
+  tc <name> <unit>:<val>              (unit: s=samples m=millis b=bpm)
+  seq <voice> -p <period> -s s1,s2,... [-c <chance-spec>] [-j <spec>]
+  q | quit
+
+Chance mini-language (≙ commands.rs:1032-1168): `_` default-all 1.0,
+`a:<p>` all steps p, `<n>:<p>` step n, `<n1>-<n2>:<p>` range.  The
+jitter flag is parsed and stored but (like the reference,
+commands.rs:1125-1136) not yet applied.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .state import MAX_STEPS, EngineArrays, HostRegistry
+
+
+class CmdErr(Exception):
+    """User-facing command error (≙ CmdErr/StateErr, commands.rs:1296-1374)."""
+
+
+@dataclasses.dataclass
+class TempoSpec:
+    kind: str  # "own" | "context" | "group" | "none"
+    interval_samples: int = 0
+    ref: int = -1  # context/group slot
+
+
+@dataclasses.dataclass
+class Command:
+    verb: str
+    voice: int = -1
+    group: int = -1
+    context: int = -1
+    track: int = -1
+    tempo: TempoSpec | None = None
+    value: float = 0.0
+    members: tuple = ()
+    period: int = 0
+    steps: tuple = ()
+    chance: tuple = ()
+    jitter: tuple = ()
+    name: str = ""
+
+
+def convert_interval(unit: str, val: float, rate: int) -> int:
+    """unit:val → samples (≙ TempoState::convert_interval,
+    blast_time.rs:151-161)."""
+    if unit == "s":
+        iv = int(val)
+    elif unit == "m":
+        iv = int(val * rate / 1000.0)
+    elif unit == "b":
+        if val <= 0:
+            raise CmdErr("bpm must be positive")
+        iv = int(rate * 60.0 / val)
+    else:
+        raise CmdErr(f"unknown tempo unit {unit!r} (s/m/b)")
+    if iv <= 0:
+        raise CmdErr("tempo interval must be >= 1 sample")
+    return iv
+
+
+class CmdProcessor:
+    """Parse + apply (≙ CmdProcessor, commands.rs:314-342)."""
+
+    def __init__(self, registry: HostRegistry, sample_rate: int):
+        self.reg = registry
+        self.rate = sample_rate
+
+    # ------------------------------------------------------------- parse
+    def parse(self, line: str) -> Command:
+        toks = line.split()
+        if not toks:
+            raise CmdErr("empty command")
+        verb = toks[0].lower()
+        args = toks[1:]
+        if verb in ("q", "quit"):
+            return Command(verb="quit")
+        if verb == "load":
+            return self._parse_load(args)
+        if verb in ("start", "pause", "resume", "stop"):
+            return self._parse_transport(verb, args)
+        if verb == "unload":
+            return self._parse_unload(args)
+        if verb == "velocity":
+            return self._parse_velocity(args)
+        if verb == "group":
+            return self._parse_group(args)
+        if verb == "tc":
+            return self._parse_tc(args)
+        if verb == "seq":
+            return self._parse_seq(args)
+        raise CmdErr(f"unknown command {verb!r}")
+
+    def _find_voice(self, name: str) -> int:
+        """Plain or dotted group.voice lookup (≙ commands.rs:1220-1261)."""
+        if name in self.reg.voices:
+            return self.reg.voices[name]
+        if "." in name:
+            gname, vname = name.split(".", 1)
+            if gname in self.reg.groups and vname in self.reg.group_members.get(
+                gname, ()
+            ):
+                return self.reg.voices[vname]
+        raise CmdErr(f"no voice named {name!r}")
+
+    def _parse_tempo_flag(self, spec: str) -> TempoSpec:
+        if ":" not in spec:
+            raise CmdErr(f"bad tempo spec {spec!r}")
+        kind, rest = spec.split(":", 1)
+        if kind == "c":
+            if rest not in self.reg.contexts:
+                raise CmdErr(f"no tempo context {rest!r}")
+            return TempoSpec("context", ref=self.reg.contexts[rest])
+        if kind == "g":
+            if rest not in self.reg.groups:
+                raise CmdErr(f"no group {rest!r}")
+            return TempoSpec("group", ref=self.reg.groups[rest])
+        return TempoSpec(
+            "own", interval_samples=convert_interval(kind, float(rest), self.rate)
+        )
+
+    def _parse_load(self, args: list[str]) -> Command:
+        if not args:
+            raise CmdErr("load: missing track name")
+        name = args[0]
+        if name not in self.reg.tracks:
+            raise CmdErr(f"no track named {name!r}")
+        if name in self.reg.voices:
+            raise CmdErr(f"voice {name!r} already loaded")
+        tempo = None
+        i = 1
+        while i < len(args):
+            if args[i] in ("-t", "--tempo") and i + 1 < len(args):
+                tempo = self._parse_tempo_flag(args[i + 1])
+                i += 2
+            else:
+                raise CmdErr(f"load: unexpected {args[i]!r}")
+        slot = self.reg.alloc_voice(name)
+        return Command(
+            verb="load", voice=slot, track=self.reg.tracks[name],
+            tempo=tempo, name=name,
+        )
+
+    def _parse_transport(self, verb: str, args: list[str]) -> Command:
+        if len(args) != 2 or args[0] not in ("-v", "-g", "-t"):
+            raise CmdErr(f"{verb}: expected -v|-g|-t <name>")
+        flag, name = args
+        if flag == "-v":
+            return Command(verb=verb, voice=self._find_voice(name))
+        if flag == "-g":
+            if name not in self.reg.groups:
+                raise CmdErr(f"no group {name!r}")
+            return Command(verb=verb, group=self.reg.groups[name])
+        if name not in self.reg.contexts:
+            raise CmdErr(f"no tempo context {name!r}")
+        return Command(verb=verb, context=self.reg.contexts[name])
+
+    def _parse_unload(self, args: list[str]) -> Command:
+        if len(args) != 1:
+            raise CmdErr("unload: expected voice name")
+        slot = self._find_voice(args[0])
+        name = next(n for n, s in self.reg.voices.items() if s == slot)
+        self.reg.free_voice(name)
+        for members in self.reg.group_members.values():
+            if name in members:
+                members.remove(name)
+        return Command(verb="unload", voice=slot, name=name)
+
+    def _parse_velocity(self, args: list[str]) -> Command:
+        if len(args) != 2:
+            raise CmdErr("velocity: expected <voice> <value>")
+        try:
+            val = float(args[1])
+        except ValueError as e:
+            raise CmdErr(f"velocity: bad value {args[1]!r}") from e
+        return Command(verb="velocity", voice=self._find_voice(args[0]), value=val)
+
+    def _parse_group(self, args: list[str]) -> Command:
+        if not args:
+            raise CmdErr("group: missing name")
+        name = args[0]
+        members: list[str] = []
+        tempo = None
+        i = 1
+        while i < len(args):
+            if args[i] in ("-v", "--voices") and i + 1 < len(args):
+                members = args[i + 1].split(",")
+                i += 2
+            elif args[i] in ("-t", "--tempo") and i + 1 < len(args):
+                tempo = self._parse_tempo_flag(args[i + 1])
+                i += 2
+            else:
+                raise CmdErr(f"group: unexpected {args[i]!r}")
+        if not members:
+            raise CmdErr("group: -v v1,v2,... required")
+        slots = tuple(self._find_voice(m) for m in members)
+        gslot = self.reg.alloc_group(name)
+        self.reg.group_members[name] = list(members)
+        return Command(
+            verb="group", group=gslot, members=slots, tempo=tempo, name=name
+        )
+
+    def _parse_tc(self, args: list[str]) -> Command:
+        if len(args) != 2 or ":" not in args[1]:
+            raise CmdErr("tc: expected <name> <unit>:<val>")
+        unit, val = args[1].split(":", 1)
+        iv = convert_interval(unit, float(val), self.rate)
+        slot = self.reg.alloc_context(args[0])
+        return Command(
+            verb="tc", context=slot,
+            tempo=TempoSpec("own", interval_samples=iv), name=args[0],
+        )
+
+    def _parse_seq(self, args: list[str]) -> Command:
+        if not args:
+            raise CmdErr("seq: missing voice name")
+        voice = self._find_voice(args[0])
+        period = 0
+        steps: list[int] = []
+        chance_spec = "_"
+        jitter: tuple = ()
+        tempo = None
+        i = 1
+        while i < len(args):
+            if args[i] in ("-p", "--period") and i + 1 < len(args):
+                period = int(args[i + 1])
+                i += 2
+            elif args[i] in ("-s", "--steps") and i + 1 < len(args):
+                steps = [int(s) for s in args[i + 1].split(",")]
+                i += 2
+            elif args[i] in ("-c", "--chance") and i + 1 < len(args):
+                chance_spec = args[i + 1]
+                i += 2
+            elif args[i] in ("-j", "--jitter") and i + 1 < len(args):
+                jitter = (args[i + 1],)
+                i += 2
+            elif args[i] in ("-t", "--tempo") and i + 1 < len(args):
+                tempo = self._parse_tempo_flag(args[i + 1])
+                i += 2
+            else:
+                raise CmdErr(f"seq: unexpected {args[i]!r}")
+        if period <= 0 or period > MAX_STEPS:
+            raise CmdErr(f"seq: -p period required (1..{MAX_STEPS})")
+        if not steps:
+            raise CmdErr("seq: -s s1,s2,... required")
+        if any(s < 0 or s >= period for s in steps):
+            raise CmdErr("seq: steps must lie in [0, period)")
+        chance = self._parse_chance(chance_spec, steps, period)
+        return Command(
+            verb="seq", voice=voice, period=period, steps=tuple(steps),
+            chance=tuple(chance), jitter=jitter, tempo=tempo,
+        )
+
+    @staticmethod
+    def _parse_chance(spec: str, steps: list[int], period: int) -> list[float]:
+        """`_` | `a:p` | `n:p` | `n1-n2:p` comma list → per-step chances
+        (≙ commands.rs:1032-1168)."""
+        chance = {s: 1.0 for s in steps}
+        if spec == "_":
+            return [chance.get(s, 0.0) for s in range(period)]
+        for part in spec.split(","):
+            if part == "_":
+                continue
+            if ":" not in part:
+                raise CmdErr(f"chance: bad entry {part!r}")
+            sel, p = part.rsplit(":", 1)
+            try:
+                pv = float(p)
+            except ValueError as e:
+                raise CmdErr(f"chance: bad probability {p!r}") from e
+            if not 0.0 <= pv <= 1.0:
+                raise CmdErr("chance: probability must be in [0,1]")
+            if sel == "a":
+                for s in chance:
+                    chance[s] = pv
+            elif "-" in sel:
+                lo, hi = sel.split("-", 1)
+                for s in range(int(lo), int(hi) + 1):
+                    if s in chance:
+                        chance[s] = pv
+            else:
+                s = int(sel)
+                if s not in chance:
+                    raise CmdErr(f"chance: step {s} not in -s list")
+                chance[s] = pv
+        return [chance.get(s, 0.0) for s in range(period)]
+
+
+# ---------------------------------------------------------------- apply
+
+
+def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
+    """Apply a parsed command to the device state (≙ Conductor::apply,
+    engine.rs:83-101) — pure functional array updates between blocks."""
+    v, g, x = cmd.voice, cmd.group, cmd.context
+    if cmd.verb == "load":
+        st = dataclasses.replace(
+            st,
+            v_used=st.v_used.at[v].set(True),
+            v_active=st.v_active.at[v].set(False),
+            v_track=st.v_track.at[v].set(cmd.track),
+            v_pos=st.v_pos.at[v].set(0.0),
+            v_vel=st.v_vel.at[v].set(1.0),
+            v_gain=st.v_gain.at[v].set(1.0),
+            v_group=st.v_group.at[v].set(-1),
+        )
+        return _bind_tempo_voice(st, reg, v, cmd.tempo)
+    if cmd.verb == "unload":
+        return dataclasses.replace(
+            st,
+            v_used=st.v_used.at[v].set(False),
+            v_active=st.v_active.at[v].set(False),
+            s_on=st.s_on.at[v].set(False),
+            v_tempo=st.v_tempo.at[v].set(-1),
+        )
+    if cmd.verb == "velocity":
+        return dataclasses.replace(st, v_vel=st.v_vel.at[v].set(cmd.value))
+    if cmd.verb in ("start", "resume", "pause", "stop"):
+        return _transport(st, reg, cmd)
+    if cmd.verb == "group":
+        st = dataclasses.replace(
+            st,
+            g_used=st.g_used.at[g].set(True),
+            g_active=st.g_active.at[g].set(False),
+        )
+        vg = st.v_group
+        for m in cmd.members:
+            vg = vg.at[m].set(g)
+        st = dataclasses.replace(st, v_group=vg)
+        if cmd.tempo is not None and cmd.tempo.kind == "own":
+            lane = reg.group_lane(g)
+            st = dataclasses.replace(
+                st,
+                t_interval=st.t_interval.at[lane].set(cmd.tempo.interval_samples),
+                g_tempo=st.g_tempo.at[g].set(lane),
+            )
+            # members flagged "inherit from group" (TBD mode) pick it up
+            vt = st.v_tempo
+            for m in cmd.members:
+                if int(st.v_tempo[m]) == -2:
+                    vt = vt.at[m].set(lane)
+            st = dataclasses.replace(st, v_tempo=vt)
+        return st
+    if cmd.verb == "tc":
+        lane = reg.context_lane(x)
+        return dataclasses.replace(
+            st, t_interval=st.t_interval.at[lane].set(cmd.tempo.interval_samples)
+        )
+    if cmd.verb == "seq":
+        mask = np.zeros(MAX_STEPS, bool)
+        ch = np.zeros(MAX_STEPS, np.float32)
+        for s in cmd.steps:
+            mask[s] = True
+        for s, p in enumerate(cmd.chance):
+            ch[s] = p
+        st = dataclasses.replace(
+            st,
+            s_on=st.s_on.at[v].set(True),
+            s_period=st.s_period.at[v].set(cmd.period),
+            s_stepmask=st.s_stepmask.at[v].set(jnp.asarray(mask)),
+            s_chance=st.s_chance.at[v].set(jnp.asarray(ch)),
+        )
+        if cmd.tempo is not None:
+            st = _bind_tempo_voice(st, reg, v, cmd.tempo)
+        return st
+    if cmd.verb == "quit":
+        return st
+    raise CmdErr(f"unhandled verb {cmd.verb!r}")
+
+
+def _bind_tempo_voice(st, reg, v: int, tempo: TempoSpec | None):
+    if tempo is None:
+        return st
+    if tempo.kind == "own":
+        lane = reg.voice_lane(v)
+        return dataclasses.replace(
+            st,
+            t_interval=st.t_interval.at[lane].set(tempo.interval_samples),
+            v_tempo=st.v_tempo.at[v].set(lane),
+        )
+    if tempo.kind == "context":
+        return dataclasses.replace(
+            st, v_tempo=st.v_tempo.at[v].set(reg.context_lane(tempo.ref))
+        )
+    if tempo.kind == "group":
+        lane = int(st.g_tempo[tempo.ref]) if tempo.ref >= 0 else -1
+        if lane < 0:
+            # group tempo not defined yet: mark "inherit later" (TBD mode,
+            # blast_time.rs:66-74)
+            return dataclasses.replace(st, v_tempo=st.v_tempo.at[v].set(-2))
+        return dataclasses.replace(st, v_tempo=st.v_tempo.at[v].set(lane))
+    return st
+
+
+def _transport(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
+    verb = cmd.verb
+    if cmd.voice >= 0:
+        v = cmd.voice
+        lane = int(st.v_tempo[v])
+        if verb == "start":
+            end = st.track_len[st.v_track[v]] - 1
+            reset = jnp.where(st.v_vel[v] < 0, end.astype(jnp.float32), 0.0)
+            st = dataclasses.replace(
+                st,
+                v_active=st.v_active.at[v].set(True),
+                v_pos=st.v_pos.at[v].set(reset),
+            )
+            if lane >= 0:
+                st = dataclasses.replace(
+                    st,
+                    t_active=st.t_active.at[lane].set(True),
+                    t_start=st.t_start.at[lane].set(st.clock),
+                )
+            return st
+        if verb == "pause":
+            return dataclasses.replace(st, v_active=st.v_active.at[v].set(False))
+        if verb == "resume":
+            return dataclasses.replace(st, v_active=st.v_active.at[v].set(True))
+        st = dataclasses.replace(  # stop
+            st,
+            v_active=st.v_active.at[v].set(False),
+            v_pos=st.v_pos.at[v].set(0.0),
+        )
+        if lane >= 0:
+            st = dataclasses.replace(st, t_active=st.t_active.at[lane].set(False))
+        return st
+    if cmd.group >= 0:
+        g = cmd.group
+        members = st.v_group == g
+        lane = int(st.g_tempo[g])
+        if verb == "start":
+            st = dataclasses.replace(
+                st,
+                g_active=st.g_active.at[g].set(True),
+                v_active=jnp.where(members, True, st.v_active),
+                v_pos=jnp.where(members, 0.0, st.v_pos),
+            )
+            if lane >= 0:
+                st = dataclasses.replace(
+                    st,
+                    t_active=st.t_active.at[lane].set(True),
+                    t_start=st.t_start.at[lane].set(st.clock),
+                )
+            return st
+        if verb == "pause":
+            return dataclasses.replace(st, g_active=st.g_active.at[g].set(False))
+        if verb == "resume":
+            return dataclasses.replace(st, g_active=st.g_active.at[g].set(True))
+        st = dataclasses.replace(
+            st,
+            g_active=st.g_active.at[g].set(False),
+            v_active=jnp.where(members, False, st.v_active),
+            v_pos=jnp.where(members, 0.0, st.v_pos),
+        )
+        if lane >= 0:
+            st = dataclasses.replace(st, t_active=st.t_active.at[lane].set(False))
+        return st
+    # tempo context transport
+    lane = reg.context_lane(cmd.context)
+    if verb == "start":
+        return dataclasses.replace(
+            st,
+            t_active=st.t_active.at[lane].set(True),
+            t_start=st.t_start.at[lane].set(st.clock),
+        )
+    if verb in ("pause", "stop"):
+        return dataclasses.replace(st, t_active=st.t_active.at[lane].set(False))
+    return dataclasses.replace(st, t_active=st.t_active.at[lane].set(True))

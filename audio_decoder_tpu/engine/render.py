@@ -1,0 +1,141 @@
+"""Jitted block renderer — the engine's hot loop, scan-free.
+
+The reference renders one sample at a time, per channel, per voice,
+straight into the ALSA DMA buffer (Conductor::coordinate,
+engine.rs:46-81: O(frames x channels x voices) scalar ops).  Here a whole
+block renders as one vectorized program:
+
+* sequencer triggers are *computed, not stepped*: a tempo boundary lands
+  on frame f iff ``(clock + f - start) % interval == 0`` — an elementwise
+  test over the [V, F] grid, with counter-derived uniform randoms for the
+  per-step chance roll (processes.rs:77-89's rng), so retriggers need no
+  per-sample loop.  This also fixes the reference's float-equality step
+  matching (SURVEY §5 defect 8);
+* voice positions are piecewise-linear between triggers: with the last
+  trigger frame per position obtained from a running maximum, every
+  frame's fractional cursor is closed-form — no carried state inside the
+  block;
+* sample fetch is a batched gather + linear interpolation
+  (engine.rs:429-438's velocity interp, applied uniformly), mono→stereo
+  fan-out via channel clamping (engine.rs:419-427);
+* the mix is a masked sum over voices with a final clamp to [-1, 1]
+  (the reference accumulates into i16 with silent wraparound —
+  SURVEY §5 defect 7 — deliberately not reproduced).
+
+Returns the rendered block plus the advanced state; commands mutate state
+between blocks (commands.py), mirroring the reference's queue-drain-then-
+render loop (runtime.rs:320-380).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .state import MAX_STEPS, MAX_VOICES, EngineArrays
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "out_channels"))
+def render_block(
+    st: EngineArrays, *, frames: int, out_channels: int
+) -> tuple[jax.Array, EngineArrays]:
+    """Render `frames` samples → (block [frames, out_channels] f32, state')."""
+    F = frames
+    V = MAX_VOICES
+    f32 = jnp.float32
+    i32 = jnp.int32
+    fidx = jnp.arange(F, dtype=i32)  # [F]
+
+    # ---- sequencer triggers on the [V, F] grid ----
+    lane = jnp.maximum(st.v_tempo, 0)
+    interval = jnp.maximum(st.t_interval[lane], 1)  # [V]
+    t_on = st.t_active[lane] & (st.v_tempo >= 0)
+    rel = (st.clock + fidx[None, :]) - st.t_start[lane][:, None]  # [V, F]
+    boundary = (rel >= 0) & (rel % interval[:, None] == 0)
+    step_num = jnp.maximum(rel, 0) // interval[:, None]
+    k = step_num % jnp.maximum(st.s_period, 1)[:, None]  # [V, F]
+    k = jnp.minimum(k, MAX_STEPS - 1)
+    in_step = jnp.take_along_axis(st.s_stepmask, k, axis=1)
+    chance = jnp.take_along_axis(st.s_chance, k, axis=1)
+    u = jax.random.uniform(
+        jax.random.fold_in(st.rng_key, st.clock), (V, F), dtype=f32
+    )
+    grp = st.v_group
+    g_ok = jnp.where(grp >= 0, st.g_active[jnp.maximum(grp, 0)], True)
+    sounding = st.v_used & st.v_active & g_ok
+    trig = (
+        sounding[:, None]
+        & st.s_on[:, None]
+        & t_on[:, None]
+        & boundary
+        & in_step
+        & (u < chance)
+    )
+
+    # ---- closed-form positions between triggers ----
+    end = (st.track_len[st.v_track] - 1).astype(f32)  # [V]
+    reset = jnp.where(st.v_vel < 0, end, 0.0)  # [V]
+    last_trig = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(trig, fidx[None, :], -1), axis=1
+    )  # [V, F]
+    free_pos = st.v_pos[:, None] + st.v_vel[:, None] * fidx[None, :].astype(f32)
+    trig_pos = reset[:, None] + st.v_vel[:, None] * (
+        fidx[None, :] - last_trig
+    ).astype(f32)
+    pos = jnp.where(last_trig >= 0, trig_pos, free_pos)  # [V, F]
+
+    # ---- audibility + sample fetch (gather + linear interp) ----
+    in_range = (pos >= 0.0) & (pos <= end[:, None])
+    audible = sounding[:, None] & in_range  # [V, F]
+
+    S = st.tracks.shape[1]
+    base = jnp.clip(jnp.floor(pos).astype(i32), 0, S - 1)
+    frac = pos - base.astype(f32)
+    nxt = jnp.minimum(base + 1, S - 1)
+    flat = st.tracks.reshape(-1, st.tracks.shape[2])  # [T*S, C]
+    off = (st.v_track * S)[:, None]
+    s0 = flat[off + base]  # [V, F, C]
+    s1 = flat[off + nxt]
+    smp = s0 + (s1 - s0) * frac[..., None]  # [V, F, C]
+
+    # mono fan-out: 1-channel tracks drive every output channel
+    mono = (st.track_ch[st.v_track] == 1)[:, None, None]
+    smp = jnp.where(mono, smp[:, :, :1], smp[:, :, :out_channels])
+
+    w = jnp.where(audible, st.v_gain[:, None], 0.0)  # [V, F]
+    block = jnp.einsum("vf,vfc->fc", w, smp)
+    block = jnp.clip(block, -1.0, 1.0)
+
+    # ---- advance state (paused/stopped voices hold position) ----
+    pos_next = jnp.where(sounding, pos[:, F - 1] + st.v_vel, st.v_pos)
+    # without a sequencer the voice parks when it runs off the track
+    ran_off = (pos_next < 0.0) | (pos_next > end)
+    active_next = st.v_active & (~sounding | st.s_on | ~ran_off)
+
+    st2 = EngineArrays(
+        tracks=st.tracks, track_len=st.track_len, track_ch=st.track_ch,
+        v_used=st.v_used, v_active=active_next, v_track=st.v_track,
+        v_pos=pos_next, v_vel=st.v_vel, v_gain=st.v_gain, v_group=st.v_group,
+        t_interval=st.t_interval, t_start=st.t_start, t_active=st.t_active,
+        v_tempo=st.v_tempo, g_tempo=st.g_tempo,
+        s_on=st.s_on, s_period=st.s_period, s_stepmask=st.s_stepmask,
+        s_chance=st.s_chance,
+        g_used=st.g_used, g_active=st.g_active,
+        clock=st.clock + F, rng_key=st.rng_key,
+    )
+    return block, st2
+
+
+def render_seconds(st: EngineArrays, seconds: float, rate: int,
+                   out_channels: int, block: int = 128):
+    """Render a stretch of audio block-by-block (test/offline sink)."""
+    import numpy as np
+
+    n_blocks = int(seconds * rate) // block
+    out = []
+    for _ in range(n_blocks):
+        blk, st = render_block(st, frames=block, out_channels=out_channels)
+        out.append(np.asarray(blk))
+    return np.concatenate(out), st

@@ -1,0 +1,184 @@
+"""Engine state: voices, groups, tempo and sequencers as device arrays.
+
+The reference's render graph is heap-objects-with-RefCells — `Conductor`
+owning `Voice`/`Group` each cloning its track samples and carrying
+`VoiceState{active, position, end, velocity, gain, tempo}`
+(engine.rs:27-33, 279-286, 288-449) plus `Rc<RefCell<TempoState>>` shared
+clocks (blast_time.rs:57-64) and per-voice `Seq` step sequencers
+(processes.rs:52-99).  A TPU engine is a *pytree of arrays* instead: a
+fixed-capacity structure-of-arrays that flows through one jitted block
+renderer, with commands applied between blocks as functional array
+updates.
+
+Capacity is static (MAX_VOICES / MAX_STEPS) so the renderer compiles
+once; inactive slots are masked.  Tracks live in one padded device tensor
+so per-voice sample reads are gathers, not per-object pointers — and,
+unlike the reference, voices referencing the same track share it instead
+of cloning (engine.rs:309 clones the full sample Vec per voice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_VOICES = 64
+MAX_GROUPS = 16
+MAX_CONTEXTS = 16
+MAX_STEPS = 64  # sequencer period capacity (steps per period)
+
+#: tempo owner kinds (≙ TempoMode, blast_time.rs:66-74)
+TEMPO_VOICE = 0
+TEMPO_GROUP = 1
+TEMPO_CONTEXT = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EngineArrays:
+    """Device-resident engine state (one pytree through the renderer)."""
+
+    # tracks
+    tracks: jax.Array  # f32 [T, S, C] padded decoded PCM
+    track_len: jax.Array  # i32 [T]
+    track_ch: jax.Array  # i32 [T]
+
+    # voices (SoA over MAX_VOICES; ≙ VoiceState engine.rs:279-286)
+    v_used: jax.Array  # bool [V] slot allocated
+    v_active: jax.Array  # bool [V] currently sounding
+    v_track: jax.Array  # i32 [V]
+    v_pos: jax.Array  # f32 [V] fractional sample cursor
+    v_vel: jax.Array  # f32 [V] signed playback velocity
+    v_gain: jax.Array  # f32 [V]
+    v_group: jax.Array  # i32 [V] owning group or -1
+
+    # tempo lanes: one per voice/group/context owner
+    # (interval in samples, start clock, running flag; ≙ TempoState)
+    t_interval: jax.Array  # i32 [V + G + X]
+    t_start: jax.Array  # i64-ish i32 [V + G + X] clock at (re)start
+    t_active: jax.Array  # bool [V + G + X]
+    v_tempo: jax.Array  # i32 [V] tempo lane per voice (-1 = none)
+    g_tempo: jax.Array  # i32 [G] tempo lane per group (-1 = none)
+
+    # sequencers (one optional per voice; ≙ Seq processes.rs:52-99)
+    s_on: jax.Array  # bool [V]
+    s_period: jax.Array  # i32 [V] steps per cycle
+    s_stepmask: jax.Array  # bool [V, MAX_STEPS] trigger steps
+    s_chance: jax.Array  # f32 [V, MAX_STEPS] per-step probability
+
+    # groups
+    g_used: jax.Array  # bool [G]
+    g_active: jax.Array  # bool [G]
+
+    # global sample clock (≙ blast_time.rs:24-36) + RNG key
+    clock: jax.Array  # i32 scalar (samples since engine start)
+    rng_key: jax.Array
+
+
+def empty_state(
+    tracks: jax.Array, track_len, track_ch, out_channels: int
+) -> EngineArrays:
+    V, G, X = MAX_VOICES, MAX_GROUPS, MAX_CONTEXTS
+    lanes = V + G + X
+    return EngineArrays(
+        tracks=jnp.asarray(tracks, jnp.float32),
+        track_len=jnp.asarray(track_len, jnp.int32),
+        track_ch=jnp.asarray(track_ch, jnp.int32),
+        v_used=jnp.zeros(V, bool),
+        v_active=jnp.zeros(V, bool),
+        v_track=jnp.zeros(V, jnp.int32),
+        v_pos=jnp.zeros(V, jnp.float32),
+        v_vel=jnp.ones(V, jnp.float32),
+        v_gain=jnp.ones(V, jnp.float32),
+        v_group=jnp.full((V,), -1, jnp.int32),
+        t_interval=jnp.ones(lanes, jnp.int32),
+        t_start=jnp.zeros(lanes, jnp.int32),
+        t_active=jnp.zeros(lanes, bool),
+        v_tempo=jnp.full((V,), -1, jnp.int32),
+        g_tempo=jnp.full((G,), -1, jnp.int32),
+        s_on=jnp.zeros(V, bool),
+        s_period=jnp.ones(V, jnp.int32),
+        s_stepmask=jnp.zeros((V, MAX_STEPS), bool),
+        s_chance=jnp.zeros((V, MAX_STEPS), jnp.float32),
+        g_used=jnp.zeros(G, bool),
+        g_active=jnp.zeros(G, bool),
+        clock=jnp.zeros((), jnp.int32),
+        rng_key=jax.random.PRNGKey(0xB1A57),
+    )
+
+
+def tracks_from_batch(batch, consensus_channels: int):
+    """AudioBatch → (tracks [T,S,C], lens, chs) device tensors."""
+    pcm = batch.pcm
+    if pcm.shape[2] < consensus_channels:
+        pcm = jnp.pad(
+            pcm, ((0, 0), (0, 0), (0, consensus_channels - pcm.shape[2]))
+        )
+    return pcm[:, :, :consensus_channels], batch.valid_frames, batch.num_channels
+
+
+class HostRegistry:
+    """Host-side name → slot mirror (≙ EngineState, commands.rs:287-310).
+
+    All naming, lookup and validation happens here so the jitted renderer
+    only ever sees integer slots — the same split the reference enforces
+    between its REPL thread and audio thread."""
+
+    def __init__(self, track_names: list[str]):
+        self.tracks = {n: i for i, n in enumerate(track_names)}
+        self.voices: dict[str, int] = {}
+        self.groups: dict[str, int] = {}
+        self.contexts: dict[str, int] = {}
+        self.group_members: dict[str, list[str]] = {}
+        self._free_v = list(range(MAX_VOICES))
+        self._free_g = list(range(MAX_GROUPS))
+        self._free_x = list(range(MAX_CONTEXTS))
+
+    def alloc_voice(self, name: str) -> int:
+        if name in self.voices:
+            raise KeyError(f"voice exists: {name}")
+        if not self._free_v:
+            raise RuntimeError("voice capacity exhausted")
+        slot = self._free_v.pop(0)
+        self.voices[name] = slot
+        return slot
+
+    def free_voice(self, name: str) -> int:
+        slot = self.voices.pop(name)
+        self._free_v.append(slot)
+        return slot
+
+    def alloc_group(self, name: str) -> int:
+        if name in self.groups:
+            raise KeyError(f"group exists: {name}")
+        if not self._free_g:
+            raise RuntimeError("group capacity exhausted")
+        slot = self._free_g.pop(0)
+        self.groups[name] = slot
+        self.group_members[name] = []
+        return slot
+
+    def alloc_context(self, name: str) -> int:
+        if name in self.contexts:
+            raise KeyError(f"tempo context exists: {name}")
+        if not self._free_x:
+            raise RuntimeError("context capacity exhausted")
+        slot = self._free_x.pop(0)
+        self.contexts[name] = slot
+        return slot
+
+    # tempo lane index layout: [voices | groups | contexts]
+    @staticmethod
+    def voice_lane(v: int) -> int:
+        return v
+
+    @staticmethod
+    def group_lane(g: int) -> int:
+        return MAX_VOICES + g
+
+    @staticmethod
+    def context_lane(x: int) -> int:
+        return MAX_VOICES + MAX_GROUPS + x

@@ -464,8 +464,9 @@ typedef struct {
   int32_t sample_rate;
   int32_t channels;
   int32_t n_granules;
-  int32_t joint;  // any frame joint-stereo
-  int32_t err;    // 0 ok, 3 invalid (no MPEG-1 L3 frames)
+  int32_t joint;       // any frame joint-stereo
+  int32_t err;         // 0 ok, 3 invalid (no MPEG-1 L3 frames)
+  int32_t main_bytes;  // total concatenated main_data bytes
 } mp3fe_info;
 
 // Phase 1: cheap frame walk — geometry only (no entropy decode).
@@ -475,18 +476,24 @@ void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
   std::vector<Frame> frames;
   find_frames(blob, n, &frames);
   int sr = 0, ch = 0, count = 0, joint = 0;
+  int64_t main_bytes = 0;
   for (const Frame& f : frames) {
     if (f.h.version != 3 || f.h.layer != 1) continue;
     if (!sr) { sr = f.h.sr; ch = f.h.channels; }
     if (f.h.sr != sr || f.h.channels != ch) continue;
     count++;
     if (f.h.mode == 1) joint = 1;
+    int side_len = ch == 1 ? 17 : 32;
+    int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
+    int64_t ml = f.pos + f.h.frame_len - (off + side_len);
+    if (ml > 0) main_bytes += ml;
   }
   if (!count) { info->err = 3; return; }
   info->sample_rate = sr;
   info->channels = ch;
   info->n_granules = 2 * count;
   info->joint = joint;
+  info->main_bytes = (int32_t)main_bytes;
 }
 
 // Phase 2: full analysis into caller-allocated dense tensors:
@@ -592,6 +599,167 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
     // !ok: frame granules stay zero (caller pre-zeroed the buffers)
     push_reservoir();
   }
+}
+
+// Lane-metadata analysis for ON-DEVICE Huffman decode: the host parses
+// only headers, side info and scalefactors; the raw concatenated
+// main_data plus per-granule-channel bit windows go to the device
+// (dsp.mp3_decode_fused).  Output contract mirrors frontend.analyze_lanes.
+//
+// Caller-allocated, zero-initialized outputs (Gcap granules, ch channels):
+//   main  uint8 [Mcap]               start/end/limit int32 [Gcap, ch]
+//   big/r1/r2 int16 [Gcap, ch]       tsel int8 [Gcap, ch, 3]
+//   c1sel/valid/cfg int8 [Gcap, ch]  exp_b int16 [Gcap, ch, 61]
+//   stflags int8 [Gcap]              sfr int8 [Gcap, 61]
+void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
+                 uint8_t* main_out, int32_t* start_out, int32_t* end_out,
+                 int32_t* limit_out, int16_t* big_out, int16_t* r1_out,
+                 int16_t* r2_out, int8_t* tsel_out, int8_t* c1_out,
+                 int8_t* valid_out, int16_t* expb_out, int8_t* cfg_out,
+                 int8_t* stflags_out, int8_t* sfr_out, mp3fe_info* info) {
+  init_tables();
+  mp3fe_probe(blob, n, info);
+  if (info->err) return;
+  int sr = info->sample_rate, ch = info->channels;
+  int ridx = rate_idx(sr);
+  if (ridx < 0) { info->err = 3; return; }
+
+  std::vector<Frame> frames;
+  find_frames(blob, n, &frames);
+
+  int64_t total_main = 0;  // bytes appended to main_out so far
+  Scalefacs sf_store[2][2];
+  int fi = 0;
+  for (const Frame& f : frames) {
+    if (f.h.version != 3 || f.h.layer != 1) continue;
+    if (f.h.sr != sr || f.h.channels != ch) continue;
+    int gbase = 2 * fi;
+    fi++;
+    if (gbase + 2 > g_cap) break;
+
+    int side_len = ch == 1 ? 17 : 32;
+    int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
+    const uint8_t* main = blob + off + side_len;
+    int64_t main_len = f.pos + f.h.frame_len - (off + side_len);
+    if (main_len < 0) main_len = 0;
+    if (total_main + main_len > m_cap) break;
+
+    auto append_main = [&]() {
+      memcpy(main_out + total_main, main, main_len);
+      total_main += main_len;
+    };
+
+    if (off + side_len > n) { append_main(); continue; }
+    BitReader sb{blob + off, (size_t)side_len, 0};
+    SideInfo si;
+    read_side_info(&sb, ch, &si);
+
+    int64_t start_byte_abs = total_main - si.main_data_begin;
+    if (start_byte_abs < 0) { append_main(); continue; }
+    // Data window = main_out[start_byte_abs .. total_main) + this main.
+    int64_t data_bytes = (total_main - start_byte_abs) + main_len;
+    int64_t limit = (start_byte_abs + data_bytes) * 8;
+    int64_t base_bits = start_byte_abs * 8;
+
+    // Scalefactor walk over the logical window: reads never cross the
+    // reservoir/main boundary mid-field unsafely, so use a small local
+    // concat buffer (cheap: <= ~2 KB).
+    static thread_local std::vector<uint8_t> data;
+    data.assign(main_out + start_byte_abs, main_out + total_main);
+    data.insert(data.end(), main, main + main_len);
+    BitReader b{data.data(), data.size(), 0};
+
+    bool ok = true;
+    const Scalefacs* prev[2] = {nullptr, nullptr};
+    for (int gr = 0; gr < 2 && ok; gr++) {
+      for (int c = 0; c < ch && ok; c++) {
+        const Granule* g = &si.gr[gr][c];
+        size_t part2_rel = b.pos;
+        size_t end_rel = part2_rel + g->part2_3_length;
+        if (end_rel > data.size() * 8) { ok = false; break; }
+        Scalefacs* sf = &sf_store[gr][c];
+        read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        prev[c] = sf;
+        int64_t gi = gbase + gr;
+        int64_t li = gi * ch + c;
+        start_out[li] = (int32_t)(base_bits + b.pos);
+        end_out[li] = (int32_t)(base_bits + end_rel);
+        limit_out[li] = (int32_t)limit;
+        big_out[li] = (int16_t)g->big_values;
+        if (g->window_switching) {
+          r1_out[li] = 36;
+          r2_out[li] = 576;
+        } else {
+          const int16_t* bands = kSfbLong[ridx];
+          r1_out[li] = bands[g->region0_count + 1];
+          int r2 = g->region0_count + g->region1_count + 2;
+          r2_out[li] = bands[r2 > 22 ? 22 : r2];
+        }
+        for (int rg = 0; rg < 3; rg++)
+          tsel_out[li * 3 + rg] = (int8_t)g->table_select[rg];
+        c1_out[li] = (int8_t)g->count1table_select;
+        compute_exp_bands(g, sf, expb_out + li * 61);
+        cfg_out[li] = (int8_t)(g->block_type | (g->mixed << 2));
+        valid_out[li] = 1;
+        if (c == ch - 1) {
+          stflags_out[gi] = (int8_t)((f.h.mode == 1 ? 1 : 0) |
+                                     (f.h.mode_ext & 2) |
+                                     ((f.h.mode_ext & 1) << 2));
+          if (ch == 2) {
+            for (int sfb = 0; sfb < 22; sfb++)
+              sfr_out[gi * 61 + sfb] = (int8_t)sf->l[sfb];
+            for (int sfb = 0; sfb < 13; sfb++)
+              for (int w = 0; w < 3; w++)
+                sfr_out[gi * 61 + 22 + sfb * 3 + w] = (int8_t)sf->s[sfb][w];
+          }
+        }
+        b.pos = end_rel;  // jump over the Huffman region
+      }
+    }
+    if (!ok) {
+      for (int gi = gbase; gi < gbase + 2; gi++)
+        for (int c = 0; c < ch; c++) valid_out[gi * ch + c] = 0;
+    }
+    append_main();
+  }
+  info->main_bytes = (int32_t)total_main;
+}
+
+// Batched lane analysis, threaded over files; outputs strided [B, ...].
+void mp3fe_lanes_batch(const uint8_t* const* blobs, const int64_t* lens,
+                       int32_t nfiles, int32_t g_cap, int64_t m_cap,
+                       int32_t channels, uint8_t* main_out,
+                       int32_t* start_out, int32_t* end_out,
+                       int32_t* limit_out, int16_t* big_out, int16_t* r1_out,
+                       int16_t* r2_out, int8_t* tsel_out, int8_t* c1_out,
+                       int8_t* valid_out, int16_t* expb_out, int8_t* cfg_out,
+                       int8_t* stflags_out, int8_t* sfr_out,
+                       mp3fe_info* infos, int32_t nthreads) {
+  init_tables();
+  if (nthreads <= 0) {
+    nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > nfiles) nthreads = nfiles;
+  std::atomic<int32_t> next(0);
+  int64_t L = (int64_t)g_cap * channels;
+  auto worker = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= nfiles) return;
+      mp3fe_lanes(blobs[b], lens[b], g_cap, m_cap, main_out + b * m_cap,
+                  start_out + b * L, end_out + b * L, limit_out + b * L,
+                  big_out + b * L, r1_out + b * L, r2_out + b * L,
+                  tsel_out + b * L * 3, c1_out + b * L, valid_out + b * L,
+                  expb_out + b * L * 61, cfg_out + b * L,
+                  stflags_out + b * g_cap, sfr_out + b * g_cap * 61,
+                  infos + b);
+    }
+  };
+  if (nthreads == 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nthreads; i++) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
 }
 
 // Batched analysis: one uniform (channels, joint) group, threaded over files.

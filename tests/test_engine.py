@@ -1,0 +1,185 @@
+"""Engine: command grammar, block renderer, voices/groups/tempo/seq.
+
+Renders into an in-memory sink — the reference's own tests were
+unrunnable precisely because its engine is welded to ALSA `hw:0,0`
+(SURVEY §4); here the renderer is a pure jitted function.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_decoder_tpu.engine import commands as EC
+from audio_decoder_tpu.engine import state as ES
+from audio_decoder_tpu.engine.render import render_block, render_seconds
+
+RATE = 1000  # tiny fake rate keeps tests fast
+
+
+def _engine(track_arrays):
+    """track_arrays: dict name -> [S, C] f32."""
+    names = list(track_arrays)
+    S = max(a.shape[0] for a in track_arrays.values())
+    C = max(a.shape[1] for a in track_arrays.values())
+    tracks = np.zeros((len(names), S, C), np.float32)
+    lens, chs = [], []
+    for i, n in enumerate(names):
+        a = track_arrays[n]
+        tracks[i, : a.shape[0], : a.shape[1]] = a
+        lens.append(a.shape[0])
+        chs.append(a.shape[1])
+    st = ES.empty_state(tracks, lens, chs, out_channels=C)
+    reg = ES.HostRegistry(names)
+    proc = EC.CmdProcessor(reg, RATE)
+    return st, reg, proc
+
+
+def _run(st, reg, proc, lines):
+    for line in lines:
+        cmd = proc.parse(line)
+        st = EC.apply(st, reg, cmd)
+    return st
+
+
+def test_load_start_renders_track():
+    ramp = np.linspace(0.0, 0.5, 256, dtype=np.float32)[:, None]
+    st, reg, proc = _engine({"ramp": ramp})
+    st = _run(st, reg, proc, ["load ramp", "start -v ramp"])
+    block, st = render_block(st, frames=128, out_channels=1)
+    np.testing.assert_allclose(np.asarray(block)[:, 0], ramp[:128, 0], atol=1e-6)
+    block2, st = render_block(st, frames=128, out_channels=1)
+    np.testing.assert_allclose(np.asarray(block2)[:, 0], ramp[128:, 0], atol=1e-6)
+    # ran off the end -> silent + deactivated
+    block3, st = render_block(st, frames=128, out_channels=1)
+    assert np.all(np.asarray(block3) == 0)
+
+
+def test_pause_resume_stop():
+    ramp = np.arange(512, dtype=np.float32)[:, None] / 1024.0
+    st, reg, proc = _engine({"r": ramp})
+    st = _run(st, reg, proc, ["load r", "start -v r"])
+    b1, st = render_block(st, frames=64, out_channels=1)
+    st = _run(st, reg, proc, ["pause -v r"])
+    b2, st = render_block(st, frames=64, out_channels=1)
+    assert np.all(np.asarray(b2) == 0)
+    st = _run(st, reg, proc, ["resume -v r"])
+    b3, st = render_block(st, frames=64, out_channels=1)
+    # resumes where it paused (position held at 64 + 64 paused frames? no —
+    # paused voices do not advance)
+    assert np.asarray(b3)[0, 0] == pytest.approx(64 / 1024.0, abs=1e-6)
+    st = _run(st, reg, proc, ["stop -v r"])
+    b4, st = render_block(st, frames=64, out_channels=1)
+    assert np.all(np.asarray(b4) == 0)
+
+
+def test_velocity_reverse_play():
+    ramp = np.arange(256, dtype=np.float32)[:, None] / 512.0
+    st, reg, proc = _engine({"r": ramp})
+    st = _run(st, reg, proc, ["load r", "velocity r -1.0", "start -v r"])
+    block, st = render_block(st, frames=64, out_channels=1)
+    got = np.asarray(block)[:, 0]
+    want = ramp[255:191:-1, 0]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fractional_velocity_interpolates():
+    ramp = np.arange(64, dtype=np.float32)[:, None] / 64.0
+    st, reg, proc = _engine({"r": ramp})
+    st = _run(st, reg, proc, ["load r", "velocity r 0.5", "start -v r"])
+    block, st = render_block(st, frames=32, out_channels=1)
+    got = np.asarray(block)[:, 0]
+    want = (np.arange(32) * 0.5) / 64.0  # linear interp of a ramp is exact
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mono_fanout_to_stereo():
+    mono = np.full((128, 1), 0.25, np.float32)
+    stereo = np.zeros((128, 2), np.float32)
+    st, reg, proc = _engine({"m": mono, "s": stereo})
+    st = _run(st, reg, proc, ["load m", "start -v m"])
+    block, st = render_block(st, frames=32, out_channels=2)
+    assert np.allclose(np.asarray(block), 0.25)
+
+
+def test_mix_clamps():
+    loud = np.full((128, 1), 0.9, np.float32)
+    st, reg, proc = _engine({"a": loud, "b": loud.copy()})
+    st = _run(st, reg, proc, ["load a", "load b", "start -v a", "start -v b"])
+    block, st = render_block(st, frames=16, out_channels=1)
+    assert np.all(np.asarray(block) <= 1.0)  # 1.8 clamps to 1.0
+
+
+def test_seq_retriggers_on_tempo_grid():
+    decay = np.zeros((1000, 1), np.float32)
+    decay[0] = 1.0  # click at trigger
+    st, reg, proc = _engine({"click": decay})
+    st = _run(st, reg, proc, [
+        "load click -t s:100",          # own tempo: every 100 samples
+        "seq click -p 4 -s 0,2",        # steps 0 and 2 of a 4-step cycle
+        "start -v click",
+    ])
+    audio, st = render_seconds(st, 1.0, RATE, 1, block=128)
+    clicks = np.nonzero(audio[:, 0] >= 0.99)[0]
+    # triggers at step numbers 0,2,4,6,... x interval -> samples 0,200,400,...
+    assert list(clicks[:4]) == [0, 200, 400, 600]
+
+
+def test_seq_chance_zero_never_triggers():
+    decay = np.zeros((1000, 1), np.float32)
+    decay[0] = 1.0
+    st, reg, proc = _engine({"click": decay})
+    st = _run(st, reg, proc, [
+        "load click -t s:50",
+        "seq click -p 2 -s 0,1 -c a:0.0",
+        "start -v click",
+    ])
+    audio, st = render_seconds(st, 0.5, RATE, 1, block=128)
+    assert np.count_nonzero(audio[:, 0] >= 0.99) <= 1  # only the start click
+
+
+def test_group_transport_cascades():
+    a = np.full((64, 1), 0.1, np.float32)
+    b = np.full((64, 1), 0.2, np.float32)
+    st, reg, proc = _engine({"a": a, "b": b})
+    st = _run(st, reg, proc, [
+        "load a", "load b",
+        "group duo -v a,b",
+        "start -g duo",
+    ])
+    block, st = render_block(st, frames=16, out_channels=1)
+    assert np.allclose(np.asarray(block), 0.3, atol=1e-6)
+    st = _run(st, reg, proc, ["stop -g duo"])
+    block, st = render_block(st, frames=16, out_channels=1)
+    assert np.all(np.asarray(block) == 0)
+
+
+def test_unload_frees_name_and_silences():
+    a = np.full((64, 1), 0.5, np.float32)
+    st, reg, proc = _engine({"a": a})
+    st = _run(st, reg, proc, ["load a", "start -v a", "unload a"])
+    block, st = render_block(st, frames=16, out_channels=1)
+    assert np.all(np.asarray(block) == 0)
+    st = _run(st, reg, proc, ["load a"])  # name reusable after unload
+
+
+def test_parser_errors():
+    st, reg, proc = _engine({"a": np.zeros((8, 1), np.float32)})
+    for bad in [
+        "blorp", "load nope", "start -v ghost", "velocity a",
+        "seq a -p 4", "group g1", "tc t1 x:10",
+    ]:
+        with pytest.raises(EC.CmdErr):
+            cmd = proc.parse(bad)
+    # duplicate load rejected (≙ main.rs:82-88 duplicate-name skip)
+    proc.parse("load a")
+    with pytest.raises(EC.CmdErr):
+        proc.parse("load a")
+
+
+def test_tempo_units():
+    assert EC.convert_interval("s", 441, 44100) == 441
+    assert EC.convert_interval("m", 500, 44100) == 22050
+    assert EC.convert_interval("b", 120, 44100) == 22050
+    with pytest.raises(EC.CmdErr):
+        EC.convert_interval("x", 1, 44100)

@@ -1,0 +1,145 @@
+"""On-device Huffman decode path: lane metadata + fused device decode.
+
+Three layers of checks:
+1. device entropy decode (huffman_device.decode_spectra) is BIT-EXACT
+   against the host reference front-end's spectra;
+2. the fused full-device decode (raw main_data bits → PCM in one jit,
+   including device-derived stereo) matches the NumPy oracle and mpg123
+   at float32 roundoff;
+3. the C++ lane emitter (mp3fe_lanes_batch) is bit-identical to the
+   Python analyze_lanes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_decoder_tpu.codecs.mpeg import frontend as FE
+from audio_decoder_tpu.codecs.mpeg import huffman_device as HD
+from audio_decoder_tpu.codecs.mpeg import native as NA
+from audio_decoder_tpu.codecs.mpeg.dsp import mp3_decode_fused
+
+from . import codec_refs as CR
+from . import mp3_oracle as MO
+
+pytestmark = pytest.mark.skipif(
+    not (CR.have_lame() and CR.have_mpg123()),
+    reason="system lame/mpg123 not available",
+)
+
+TOL = 5e-7
+
+
+def _sig(kind: str, n: int, ch: int, sr: int = 44100) -> np.ndarray:
+    rng = np.random.default_rng(29)
+    t = np.arange(n)
+    if kind == "transient":
+        s = 0.2 * np.sin(2 * np.pi * 880 * t / sr)
+        s[::4000] = 0.9
+    else:
+        s = 0.3 * rng.standard_normal(n)
+    sig = np.stack([s] * ch, 1)
+    if ch == 2:
+        sig[:, 1] = np.roll(sig[:, 1], 17) * 0.8
+    return np.clip(sig * 30000, -32768, 32767).astype(np.int16)
+
+
+CASES = [
+    ("noise", 2, 1, 128, 44100),
+    ("transient", 2, 0, 320, 48000),
+    ("transient", 2, 1, 128, 44100),
+    ("noise", 1, None, 64, 44100),
+    ("noise", 2, 0, 64, 32000),
+]
+
+
+def _fused(ln: "FE.Mp3Lanes") -> np.ndarray:
+    G, C = ln.n_granules, ln.channels
+    L = G * C
+    pcm = mp3_decode_fused(
+        jnp.asarray(ln.main_data)[None],
+        jnp.asarray(ln.start_bit.reshape(1, L)),
+        jnp.asarray(ln.end_bit.reshape(1, L)),
+        jnp.asarray(ln.limit_bit.reshape(1, L)),
+        jnp.asarray(ln.big_values.reshape(1, L)),
+        jnp.asarray(ln.region1.reshape(1, L)),
+        jnp.asarray(ln.region2.reshape(1, L)),
+        jnp.asarray(ln.tsel.reshape(1, L * 3)),
+        jnp.asarray(ln.c1sel.reshape(1, L)),
+        jnp.asarray(ln.valid.reshape(1, L)),
+        jnp.asarray(ln.exp_b.reshape(1, L * 61)),
+        jnp.asarray(ln.blockcfg.reshape(1, L)),
+        jnp.asarray(ln.st_flags.reshape(1, G)),
+        jnp.asarray(ln.sfr_bands.reshape(1, G * 61)),
+        jnp.asarray([ln.rate_idx], jnp.int32),
+        channels=C,
+        joint_stereo=ln.joint_stereo,
+    )
+    return np.asarray(pcm[0])[:, :C]
+
+
+@pytest.mark.parametrize("kind,ch,mode,bitrate,sr", CASES)
+def test_device_huffman_bitexact_vs_host(kind, ch, mode, bitrate, sr):
+    blob = CR.lame_encode(_sig(kind, int(sr * 0.25), ch, sr), sr, bitrate, mode=mode)
+    ref = FE.analyze(blob)
+    ln = FE.analyze_lanes(blob)
+    G, C = ln.n_granules, ln.channels
+    N = G * C
+    short = (ln.blockcfg & 3) == 2
+    cfg = np.where(short, np.where((ln.blockcfg >> 2) == 1, 2, 1), 0)
+    lines, fail = HD.decode_spectra(
+        jnp.asarray(ln.main_data)[None],
+        jnp.zeros(N, jnp.int32),
+        jnp.asarray(ln.start_bit.reshape(-1)),
+        jnp.asarray(ln.end_bit.reshape(-1)),
+        jnp.asarray(ln.limit_bit.reshape(-1)),
+        jnp.asarray(ln.big_values.reshape(-1), jnp.int32),
+        jnp.asarray(ln.region1.reshape(-1), jnp.int32),
+        jnp.asarray(ln.region2.reshape(-1), jnp.int32),
+        jnp.asarray(ln.tsel.reshape(-1, 3), jnp.int32),
+        jnp.asarray(ln.c1sel.reshape(-1), jnp.int32),
+        jnp.asarray(ln.valid.reshape(-1), jnp.int32),
+        jnp.full((N,), ln.rate_idx, jnp.int32),
+        jnp.asarray(cfg.reshape(-1), jnp.int32),
+    )
+    assert int(np.asarray(fail).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(lines).reshape(G, C, 576), ref.is_q)
+
+
+@pytest.mark.parametrize("kind,ch,mode,bitrate,sr", CASES)
+def test_fused_device_decode_matches_oracle(kind, ch, mode, bitrate, sr):
+    blob = CR.lame_encode(_sig(kind, int(sr * 0.25), ch, sr), sr, bitrate, mode=mode)
+    mine = _fused(FE.analyze_lanes(blob))
+    ref, _ = MO.decode(blob)
+    n = min(len(ref), len(mine))
+    assert n > sr // 10
+    rms = float(np.sqrt(((ref[:n] - mine[:n]) ** 2).mean()))
+    assert rms < TOL, f"oracle rms {rms}"
+    mref, _ = CR.mpg123_decode(blob)
+    n = min(len(mref), len(mine))
+    rms = float(np.sqrt(((mref[:n] - mine[:n]) ** 2).mean()))
+    assert rms < TOL, f"mpg123 rms {rms}"
+
+
+@pytest.mark.skipif(not NA.available(), reason="native toolchain unavailable")
+@pytest.mark.parametrize("kind,ch,mode,bitrate,sr", CASES[:3])
+def test_native_lanes_bitexact_vs_python(kind, ch, mode, bitrate, sr):
+    blob = CR.lame_encode(_sig(kind, int(sr * 0.25), ch, sr), sr, bitrate, mode=mode)
+    ln = FE.analyze_lanes(blob)
+    M = (len(ln.main_data) + 3) // 4 * 4
+    r = NA.lanes_batch([blob], ln.n_granules, M, ln.channels)
+    np.testing.assert_array_equal(r["main"][0][: len(ln.main_data)], ln.main_data)
+    np.testing.assert_array_equal(r["start"][0], ln.start_bit)
+    np.testing.assert_array_equal(r["end"][0], ln.end_bit)
+    np.testing.assert_array_equal(r["limit"][0], ln.limit_bit)
+    np.testing.assert_array_equal(r["big"][0], ln.big_values)
+    np.testing.assert_array_equal(r["r1"][0], ln.region1)
+    np.testing.assert_array_equal(r["r2"][0], ln.region2)
+    np.testing.assert_array_equal(r["tsel"][0], ln.tsel)
+    np.testing.assert_array_equal(r["c1sel"][0], ln.c1sel)
+    np.testing.assert_array_equal(r["valid"][0], ln.valid)
+    np.testing.assert_array_equal(r["exp_b"][0], ln.exp_b)
+    np.testing.assert_array_equal(r["cfg"][0], ln.blockcfg)
+    np.testing.assert_array_equal(r["stflags"][0], ln.st_flags)
+    np.testing.assert_array_equal(r["sfr"][0], ln.sfr_bands)
