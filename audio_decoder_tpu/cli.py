@@ -1,0 +1,133 @@
+"""Command-line entry: asset scan → batched decode → engine REPL.
+
+The reference's `main()` (blast/src/main.rs:13-131) scans `blast/assets/`,
+decodes each file, picks a consensus config, and enters the real-time
+loop.  `python -m audio_decoder_tpu.cli repl --assets DIR` is the same
+pipeline TPU-first: one batched decode for the whole folder, consensus as
+a reduction, optional resample-to-consensus (the reference skips
+conversion), then the jitted block renderer against the native sink.
+
+Subcommands:
+  repl   — interactive engine (reads command lines from stdin)
+  decode — decode a folder, print per-file results
+  bench  — run the throughput benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _build_engine(asset_dir: str, resample: bool, realtime: bool,
+                  device: str):
+    import jax.numpy as jnp
+
+    from .codecs.registry import decode_dir
+    from .dsp.consensus import consensus_for
+    from .dsp.resample import resample_to_consensus
+    from .engine import state as ES
+    from .runtime.loop import EngineLoop
+    from .runtime.native import Sink
+
+    batch, names = decode_dir(asset_dir)
+    rate, channels = consensus_for(batch)
+    rate, channels = int(rate), int(channels)
+    if resample:
+        batch = resample_to_consensus(batch, rate)
+    err = np.asarray(batch.err)
+    kept = [n for n, i in names.items() if err[i] == 0]
+    print(f"loaded {len(kept)} tracks @ {rate} Hz, {channels} ch: "
+          f"{', '.join(sorted(kept))}")
+    for n, i in names.items():
+        if err[i] != 0:
+            print(f"  skipped {n!r} (decode error {int(err[i])})")
+
+    ok_idx = [names[n] for n in kept]
+    sel = jnp.asarray(ok_idx, jnp.int32)
+    tracks, lens, chs = ES.tracks_from_batch(
+        type(batch)(
+            pcm=batch.pcm[sel], sample_rate=batch.sample_rate[sel],
+            num_channels=batch.num_channels[sel],
+            bits_per_sample=batch.bits_per_sample[sel],
+            valid_frames=batch.valid_frames[sel], err=batch.err[sel],
+            names=tuple(kept), formats=(),
+        ),
+        channels,
+    )
+    st = ES.empty_state(tracks, lens, chs, out_channels=channels)
+    reg = ES.HostRegistry(kept)
+    sink = Sink(device, rate, channels, realtime=realtime)
+    return EngineLoop(st, reg, rate, channels, sink=sink), rate, channels
+
+
+def cmd_repl(args) -> int:
+    loop, rate, ch = _build_engine(
+        args.assets, args.resample, realtime=not args.offline, device=args.device
+    )
+    kind = "alsa" if loop.sink.is_hardware else "null"
+    print(f"sink: {kind} ({rate} Hz x {ch}); commands: load/start/pause/"
+          f"resume/stop/unload/velocity/group/tc/seq/quit")
+    from .runtime.loop import repl
+
+    repl(loop)
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .codecs.registry import decode_dir
+    from .dsp.consensus import consensus_for
+
+    batch, names = decode_dir(args.assets)
+    rate, ch = consensus_for(batch)
+    for name in sorted(names):
+        f = batch.file(names[name])
+        status = "ok" if f.err == 0 else f"err={f.err}"
+        print(f"{name}: {status} {f.format} {f.sample_rate} Hz "
+              f"{f.num_channels} ch {f.pcm.shape[0]} frames")
+    print(f"consensus: {int(rate)} Hz, {int(ch)} ch")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="audio_decoder_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("repl", help="interactive engine REPL")
+    pr.add_argument("--assets", required=True)
+    pr.add_argument("--device", default="default", help="ALSA device name")
+    pr.add_argument("--resample", action="store_true",
+                    help="resample tracks to the consensus rate")
+    pr.add_argument("--offline", action="store_true",
+                    help="no pacing/audio hardware (test mode)")
+    pr.set_defaults(fn=cmd_repl)
+
+    pd = sub.add_parser("decode", help="decode a folder and report")
+    pd.add_argument("--assets", required=True)
+    pd.set_defaults(fn=cmd_decode)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override (cpu/tpu); real-time REPL "
+                        "rendering wants cpu unless the TPU is local")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

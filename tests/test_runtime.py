@@ -1,0 +1,96 @@
+"""Runtime loop, native SPSC ring, sink, and CLI surface.
+
+Everything renders into an in-memory/null sink — no audio hardware
+(SURVEY §4: the reference's hard ALSA coupling made its tests unrunnable;
+the sink abstraction here is the fix).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from audio_decoder_tpu.engine import state as ES
+from audio_decoder_tpu.runtime.loop import EngineLoop, PERIOD
+from audio_decoder_tpu.runtime.native import CmdRing, Sink, available
+
+
+def test_spsc_ring_roundtrip():
+    ring = CmdRing(8)
+    assert ring.try_pop() is None
+    for i in range(7):  # capacity - 1 usable, like the reference
+        assert ring.try_push(f"cmd{i}")
+    assert not ring.try_push("overflow")
+    got = []
+    while (c := ring.try_pop()) is not None:
+        got.append(c)
+    assert got == [f"cmd{i}" for i in range(7)]
+
+
+def test_native_runtime_built():
+    # the toolchain exists in this image; the native ring must be in use
+    assert available()
+
+
+def _loop_with_tone():
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(44100) / 44100)).astype(
+        np.float32
+    )[:, None]
+    tracks = tone[None, :, :]
+    st = ES.empty_state(tracks, [44100], [1], out_channels=1)
+    reg = ES.HostRegistry(["tone"])
+    sink = Sink("default", 44100, 1, capture=True, realtime=False)
+    return EngineLoop(st, reg, 44100, 1, sink=sink), sink
+
+
+def test_engine_loop_commands_flow_through_ring():
+    loop, sink = _loop_with_tone()
+    assert loop.submit("load tone")
+    assert loop.submit("start -v tone")
+    audio = loop.run_blocks(8)
+    assert audio.shape == (8 * PERIOD, 1)
+    assert np.abs(audio).max() > 0.3
+    assert loop.submit("stop -v tone")
+    audio2 = loop.run_blocks(2)
+    assert np.all(audio2 == 0)
+    assert len(sink.capture) == 10
+
+
+def test_engine_loop_reports_bad_commands():
+    loop, _ = _loop_with_tone()
+    assert not loop.submit("load ghost")
+    assert "ghost" in loop.errors[-1]
+    assert not loop.submit("blorp")
+
+
+def test_quit_sets_term_flag():
+    loop, _ = _loop_with_tone()
+    assert loop.submit("quit")
+    assert loop.term.is_set()
+
+
+def test_cli_decode_and_repl_offline():
+    from audio_decoder_tpu import cli
+    from .synth import make_wav
+
+    rng = np.random.default_rng(7)
+    d = tempfile.mkdtemp(prefix="cli_assets_")
+    pcm = np.clip(rng.standard_normal((2048, 2)) * 8000, -32768, 32767).astype(
+        np.int16
+    )
+    with open(os.path.join(d, "kick.wav"), "wb") as f:
+        f.write(make_wav(pcm, 44100))
+    rc = cli.main(["decode", "--assets", d])
+    assert rc == 0
+
+    # scripted REPL session against the offline sink
+    loop, rate, ch = cli._build_engine(d, resample=False, realtime=False,
+                                       device="default")
+    assert rate == 44100 and ch == 2
+    loop.sink.capture = []
+    assert loop.submit("load kick")
+    assert loop.submit("start -v kick")
+    audio = loop.run_blocks(4)
+    ref = pcm[: 4 * PERIOD].astype(np.float32) / 32768.0
+    np.testing.assert_allclose(audio, ref, atol=2e-4)
