@@ -303,17 +303,36 @@ def decode_spectra(
 
 
 def _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg):
+    """Stitch big-values pairs + count1 quads into 576 lines, reordered.
+
+    Gather-free on purpose — per-lane dynamic gathers are the slowest op
+    class on TPU.  Big pairs are already line-ordered (pair k = lines
+    2k/2k+1); the count1 block moves to its per-lane offset 2*big_values
+    with a barrel shifter (10 masked static shifts); the short-block
+    reorder applies every static permutation variant and masks (6 cheap
+    relayouts beat one 18M-element dynamic gather ~30x here)."""
     N = big_out.shape[0]
     j = jnp.arange(576)
     bv2 = jnp.minimum(2 * big_values, 576)[:, None]  # [N,1]
-    # from big pairs: line j → big_out[:, j>>1, j&1]
-    big_flat = big_out.reshape(N, 576)
-    from_big = jnp.take_along_axis(big_flat, jnp.broadcast_to(j, (N, 576)), 1)
-    # from count1: line j → c1_out[:, (j-bv2)>>2, (j-bv2)&3]
-    rel = jnp.clip(j - bv2, 0, 575)
-    c1_flat = c1_out.reshape(N, 576)
-    from_c1 = jnp.take_along_axis(c1_flat, rel, 1)
-    lines = jnp.where(j < bv2, from_big, from_c1)
+    big_flat = big_out.reshape(N, 576)  # line j = big pair j>>1 — in order
+
+    # barrel-shift count1 lines right by 2*big_values (even, <= 576)
+    c1 = c1_out.reshape(N, 576)
+    shift = bv2[:, 0] >> 1  # in units of 2 lines
+    for k in range(9):  # shift/2 in [0, 288] → 9 bits
+        step = 2 << k
+        shifted = jnp.pad(c1, ((0, 0), (step, 0)))[:, :576]
+        c1 = jnp.where(((shift >> k) & 1)[:, None] == 1, shifted, c1)
+
+    lines = jnp.where(j < bv2, big_flat, c1)
     lines = jnp.where(fail[:, None], 0, lines)
-    perm = jnp.asarray(_REORDER)[rate_idx, cfg]  # [N, 576]
-    return jnp.take_along_axis(lines, perm, 1).astype(jnp.int16), fail
+
+    # short-block reorder: static permutation variants + masked select
+    perms = _REORDER  # [3 rates, 3 cfgs, 576] (cfg 0 rows are identity)
+    out = lines
+    for r in range(3):
+        for c in (1, 2):
+            variant = lines[:, jnp.asarray(perms[r, c])]
+            m = ((rate_idx == r) & (cfg == c))[:, None]
+            out = jnp.where(m, variant, out)
+    return out.astype(jnp.int16), fail

@@ -67,6 +67,26 @@ def decode_pcm_step(
     return pcm, meta
 
 
+def sharded_mp3_decode_fn(mesh: Mesh, *, channels: int, joint_stereo: bool,
+                          n_big: int = 288, n_c1: int = 144):
+    """Bind the fused on-device MP3 decoder to a mesh: every per-file axis
+    (raw main_data streams, lane metadata) shards over 'data', so entropy
+    decode + DSP run data-parallel across chips with no collectives —
+    decode is embarrassingly parallel over files; only downstream
+    consensus reduces."""
+    from ..codecs.mpeg.dsp import mp3_decode_fused
+
+    data = NamedSharding(mesh, P("data"))
+
+    def step(*args):
+        return mp3_decode_fused(
+            *args, channels=channels, joint_stereo=joint_stereo,
+            n_big=n_big, n_c1=n_c1,
+        )
+
+    return jax.jit(step, in_shardings=(data,) * 15, out_shardings=data)
+
+
 def sharded_decode_fn(mesh: Mesh, **static):
     """Bind decode_pcm_step to a mesh: inputs sharded over 'data', outputs
     likewise; consensus reduction included (a cross-shard collective)."""
