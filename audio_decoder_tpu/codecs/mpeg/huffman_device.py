@@ -110,12 +110,12 @@ _REORDER = _reorder_perms()
 
 
 def _be_words(main_u8: jax.Array) -> jax.Array:
-    """uint8 [B, M] (M % 4 == 0) → big-endian uint32 words [B, M/4 + 1]
-    (one zero pad word so window reads never index out of range)."""
+    """uint8 [B, M] (M % 4 == 0) → big-endian uint32 words [B, M/4 + 6]
+    (zero pad words so multi-word window reads never index out of range)."""
     B = main_u8.shape[0]
     b = main_u8.reshape(B, -1, 4).astype(jnp.uint32)
     w = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
-    return jnp.pad(w, ((0, 0), (0, 1)))
+    return jnp.pad(w, ((0, 0), (0, 6)))
 
 
 def _window32(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array) -> jax.Array:
@@ -145,6 +145,31 @@ def _shift64(hi: jax.Array, lo: jax.Array, k: jax.Array) -> jax.Array:
     """The 32 bits starting k (0..31) bits into the (hi, lo) window."""
     k = k.astype(jnp.uint32)
     return jnp.where(k == 0, hi, (hi << k) | (lo >> (32 - jnp.maximum(k, 1))))
+
+
+def _aligned_windows(words, file_idx, bitpos, n: int) -> list:
+    """n consecutive 32-bit windows at bitpos from ONE (n+1)-word gather:
+    a[i] holds bits [bitpos + 32*i, bitpos + 32*(i+1))."""
+    W = words.shape[1]
+    wi = jnp.clip(bitpos >> 5, 0, W - (n + 1))
+    w = words[file_idx[:, None], wi[:, None] + jnp.arange(n + 1)]  # [N, n+1]
+    sh = (bitpos & 31).astype(jnp.uint32)
+    nsh = 32 - jnp.maximum(sh, 1)
+    return [
+        jnp.where(sh == 0, w[:, i], (w[:, i] << sh) | (w[:, i + 1] >> nsh))
+        for i in range(n)
+    ]
+
+
+def _win_at(a: list, k: jax.Array) -> jax.Array:
+    """32 bits at offset k (0 <= k < 32*(len(a)-1)) into aligned windows."""
+    res = jnp.zeros_like(a[0])
+    for i in range(len(a) - 1):
+        kk = jnp.clip(k - 32 * i, 0, 31)
+        res = jnp.where(
+            (k >= 32 * i) & (k < 32 * (i + 1)), _shift64(a[i], a[i + 1], kk), res
+        )
+    return res
 
 
 def _take(win: jax.Array, off: jax.Array, n: jax.Array) -> jax.Array:
@@ -215,89 +240,121 @@ def decode_spectra(
             region == 0, a[:, 0], jnp.where(region == 1, a[:, 1], a[:, 2])
         )
 
-    # ---- big-values region: pair `step` → lines (2*step, 2*step+1) ----
-    def big_step(carry, step):
-        pos, fail = carry
-        active = (step < big_pairs) & jnp.logical_not(fail)
-        line = 2 * step
+    # ---- big-values region: 2 pairs per step from ONE 5-word gather ----
+    # Worst case per pair: 19-bit code + 13+1+13+1 escape/sign = 47 bits;
+    # two pairs end <= 94 bits in, reads reach <= 98 bits; +31 alignment
+    # fits in 129 <= 160 bits (5 aligned windows).
+    def decode_pair(a, off, pair_idx, fail):
+        """One (x, y) pair at bit offset `off` into aligned windows `a`."""
+        act = (pair_idx < big_pairs) & jnp.logical_not(fail)
+        line = 2 * pair_idx
         region = (line >= region1).astype(i32) + (line >= region2).astype(i32)
         t_res = sel3(reserved, region)
         width = sel3(kwidth, region)
         base = sel3(kbase, region)
         linb = sel3(lin, region)
-        hi, lo = _window64(words, file_idx, pos)
-        idx = base + (hi >> (32 - jnp.maximum(width, 1)).astype(jnp.uint32)).astype(i32)
+        win = _win_at(a, off)
+        idx = base + (
+            win >> (32 - jnp.maximum(width, 1)).astype(jnp.uint32)
+        ).astype(i32)
         entry = biglut[jnp.where(width > 0, idx, 0)].astype(i32)
         ln = entry >> 8
-        bad = active & ((t_res > 0) | ((width > 0) & (ln == 0)))
+        bad = act & ((t_res > 0) | ((width > 0) & (ln == 0)))
         x = (entry >> 4) & 15
         y = entry & 15
-        # escape linbits + sign bits continue right after the code
-        win2 = _shift64(hi, lo, jnp.where(width > 0, ln, 0))
-        off = jnp.zeros((N,), i32)
+        win2 = _win_at(a, off + jnp.where(width > 0, ln, 0))
+        o = jnp.zeros((N,), i32)
         xesc = (x == 15) & (linb > 0)
-        x = x + jnp.where(xesc, _take(win2, off, jnp.where(xesc, linb, 0)), 0)
-        off = off + jnp.where(xesc, linb, 0)
-        xs = _take(win2, off, jnp.where(x > 0, 1, 0))
-        off = off + (x > 0)
+        x = x + jnp.where(xesc, _take(win2, o, jnp.where(xesc, linb, 0)), 0)
+        o = o + jnp.where(xesc, linb, 0)
+        xs = _take(win2, o, jnp.where(x > 0, 1, 0))
+        o = o + (x > 0)
         x = jnp.where(xs == 1, -x, x)
         yesc = (y == 15) & (linb > 0)
-        y = y + jnp.where(yesc, _take(win2, off, jnp.where(yesc, linb, 0)), 0)
-        off = off + jnp.where(yesc, linb, 0)
-        ys = _take(win2, off, jnp.where(y > 0, 1, 0))
-        off = off + (y > 0)
+        y = y + jnp.where(yesc, _take(win2, o, jnp.where(yesc, linb, 0)), 0)
+        o = o + jnp.where(yesc, linb, 0)
+        ys = _take(win2, o, jnp.where(y > 0, 1, 0))
+        o = o + (y > 0)
         y = jnp.where(ys == 1, -y, y)
-        pos3 = pos + jnp.where(active & (width > 0), ln + off, 0)
-        fail = fail | bad | (active & (pos3 > sbits))
-        wr = active & jnp.logical_not(fail)
+        consumed = jnp.where(act & (width > 0), ln + o, 0)
+        return x, y, consumed, act, bad
+
+    n_big2 = (n_big + 1) // 2  # steps of 2 pairs
+
+    def big_step(carry, step):
+        pos, fail = carry
+        a = _aligned_windows(words, file_idx, pos, 5)
+        off = jnp.zeros((N,), i32)
+        xs, ys, wrs = [], [], []
+        for sub in range(2):
+            pair_idx = 2 * step + sub
+            x, y, consumed, act, bad = decode_pair(a, off, pair_idx, fail)
+            off = off + consumed
+            fail = fail | bad | (act & (pos + off > sbits))
+            wr = act & jnp.logical_not(fail)
+            xs.append(jnp.where(wr, x, 0))
+            ys.append(jnp.where(wr, y, 0))
+        pos = pos + off
         xy = jnp.stack(
-            [jnp.where(wr, x, 0), jnp.where(wr, y, 0)], axis=-1
-        ).astype(jnp.int16)
-        return (jnp.where(active, pos3, pos), fail), xy
+            [xs[0], ys[0], xs[1], ys[1]], axis=-1
+        ).astype(jnp.int16)  # [N, 4] = lines 4s..4s+3
+        return (pos, fail), xy
 
     pos0 = jnp.where(valid > 0, start_bit, 0).astype(i32)
     fail0 = jnp.logical_not(valid > 0)
     (pos, fail), big_seq = jax.lax.scan(
-        big_step, (pos0, fail0), jnp.arange(n_big, dtype=i32)
+        big_step, (pos0, fail0), jnp.arange(n_big2, dtype=i32)
     )
-    big_out = jnp.moveaxis(big_seq, 0, 1)  # [N, n_big, 2]
-    if n_big < 288:
-        big_out = jnp.pad(big_out, ((0, 0), (0, 288 - n_big), (0, 0)))
+    big_out = jnp.moveaxis(big_seq, 0, 1).reshape(N, n_big2 * 2, 2)
+    if n_big2 * 2 < 288:
+        big_out = jnp.pad(big_out, ((0, 0), (0, 288 - n_big2 * 2), (0, 0)))
+    else:
+        big_out = big_out[:, :288]
 
-    # ---- count1 region: quad `step` → lines 2*bv + 4*step ----
+    # ---- count1 region: 4 quads per step from ONE 5-word gather ----
+    # Worst case per quad: 6-bit code + 4 signs = 10 bits; 4 quads end
+    # <= 40 bits in, reads reach <= 62; +31 alignment fits in 93 <= 128.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
+    n_c14 = (n_c1 + 3) // 4  # steps of 4 quads
 
     def c1_step(carry, step):
         pos, fail = carry
-        placed = idx0 + 4 * step
-        active = (pos < end_bit) & (placed < 576) & jnp.logical_not(fail)
-        win = _window32(words, file_idx, pos)
-        entry = c1lut[c1sel * 64 + (win >> 26).astype(i32)].astype(i32)
-        ln = entry >> 4
-        bad = active & (ln == 0)
-        v = entry & 15
-        off = jnp.where(active, ln, 0)
-        vals = []
-        for q in range(4):
-            bit = (v >> (3 - q)) & 1
-            sgn = _take(win, off, bit)
-            off = off + bit
-            vals.append(jnp.where(bit == 1, jnp.where(sgn == 1, -1, 1), 0))
-        pos2 = pos + off
-        fail = fail | bad | (active & (pos2 > sbits))
-        # a quad straddling the part2_3 boundary is discarded (host parity)
-        wr = active & jnp.logical_not(fail) & (pos2 <= end_bit)
-        quad = jnp.stack(
-            [jnp.where(wr, q, 0) for q in vals], axis=-1
-        ).astype(jnp.int16)
-        return (jnp.where(active, pos2, pos), fail), quad
+        a = _aligned_windows(words, file_idx, pos, 4)
+        off = jnp.zeros((N,), i32)
+        vals16 = []
+        for sub in range(4):
+            placed = idx0 + 4 * (4 * step + sub)
+            act = (pos + off < end_bit) & (placed < 576) & jnp.logical_not(fail)
+            win = _win_at(a, off)
+            entry = c1lut[c1sel * 64 + (win >> 26).astype(i32)].astype(i32)
+            ln = entry >> 4
+            bad = act & (ln == 0)
+            v = entry & 15
+            o = jnp.where(act, ln, 0)
+            quad = []
+            for q in range(4):
+                bit = (v >> (3 - q)) & 1
+                sgn = _take(win, o, bit)
+                o = o + bit
+                quad.append(jnp.where(bit == 1, jnp.where(sgn == 1, -1, 1), 0))
+            fail = fail | bad | (act & (pos + off + o > sbits))
+            # a quad straddling the part2_3 boundary is discarded
+            wr = act & jnp.logical_not(fail) & (pos + off + o <= end_bit)
+            for q in range(4):
+                vals16.append(jnp.where(wr, quad[q], 0))
+            off = off + jnp.where(act, o, 0)
+        pos = pos + off
+        out16 = jnp.stack(vals16, axis=-1).astype(jnp.int16)  # [N, 16]
+        return (pos, fail), out16
 
     (pos, fail), c1_seq = jax.lax.scan(
-        c1_step, (pos, fail), jnp.arange(n_c1, dtype=i32)
+        c1_step, (pos, fail), jnp.arange(n_c14, dtype=i32)
     )
-    c1_out = jnp.moveaxis(c1_seq, 0, 1)  # [N, n_c1, 4]
-    if n_c1 < 144:
-        c1_out = jnp.pad(c1_out, ((0, 0), (0, 144 - n_c1), (0, 0)))
+    c1_out = jnp.moveaxis(c1_seq, 0, 1).reshape(N, n_c14 * 4, 4)
+    if n_c14 * 4 < 144:
+        c1_out = jnp.pad(c1_out, ((0, 0), (0, 144 - n_c14 * 4), (0, 0)))
+    else:
+        c1_out = c1_out[:, :144]
 
     return _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg)
 

@@ -98,17 +98,112 @@ class EngineLoop:
             self.sink.close()
 
 
+_MARKERS = "^X v>X<Z".replace(" ", "")  # spinner glyphs (runtime.rs:56-63)
+
+
+def _read_line_raw(term: RawTerminal, history: list[str], prompt_state) -> str | None:
+    """Raw-mode line editor: backspace, ←/→ cursor, ↑/↓ history, Ctrl-C
+    (≙ the reference's key-reader thread, runtime.rs:137-243)."""
+    buf: list[str] = []
+    cur = 0
+    hist_idx = len(history)
+    while True:
+        prompt_state["line"] = "".join(buf)
+        prompt_state["cursor"] = cur
+        c = term.read_char()
+        if c < 0:
+            return None
+        if c in (3, 4):  # Ctrl-C / Ctrl-D
+            return None
+        if c in (10, 13):  # Enter
+            line = "".join(buf)
+            if line:
+                history.append(line)
+            return line
+        if c in (8, 127):  # backspace
+            if cur > 0:
+                buf.pop(cur - 1)
+                cur -= 1
+            continue
+        if c == 27:  # ESC [ sequences: arrows + history
+            if term.read_char() != ord("["):
+                continue
+            k = term.read_char()
+            if k == ord("D") and cur > 0:  # left
+                cur -= 1
+            elif k == ord("C") and cur < len(buf):  # right
+                cur += 1
+            elif k == ord("A") and hist_idx > 0:  # up
+                hist_idx -= 1
+                buf = list(history[hist_idx])
+                cur = len(buf)
+            elif k == ord("B"):  # down
+                hist_idx = min(hist_idx + 1, len(history))
+                buf = list(history[hist_idx]) if hist_idx < len(history) else []
+                cur = len(buf)
+            continue
+        if 32 <= c < 127:
+            buf.insert(cur, chr(c))
+            cur += 1
+
+
+def _render_prompt(loop: EngineLoop, prompt_state, stop: threading.Event):
+    """Marker + line redraw thread (≙ runtime.rs:56-117: spinner every
+    100 ms, line repaint at 15 ms)."""
+    import time
+
+    i = 0
+    last_marker = 0.0
+    while not stop.is_set():
+        now = time.monotonic()
+        if now - last_marker > 0.1:
+            i = (i + 1) % len(_MARKERS)
+            last_marker = now
+        line = prompt_state.get("line", "")
+        cur = prompt_state.get("cursor", len(line))
+        sys.stdout.write(f"\r\x1b[2K{_MARKERS[i]} {line}")
+        back = len(line) - cur
+        if back > 0:
+            sys.stdout.write(f"\x1b[{back}D")
+        sys.stdout.flush()
+        stop.wait(0.015)
+    sys.stdout.write("\r\x1b[2K")
+    sys.stdout.flush()
+
+
 def repl(loop: EngineLoop, infile=None, outfile=None):
-    """Line-oriented REPL feeding the engine loop (≙ the reference's
-    key-reader thread, runtime.rs:137-243, minus raw-mode line editing
-    when stdin is not a tty)."""
+    """REPL feeding the engine loop.  With a tty: raw-mode editing,
+    history, spinner (≙ runtime.rs:39-243).  Piped input: line mode."""
     infile = infile or sys.stdin
     outfile = outfile or sys.stdout
     loop.install_sigterm()
     render_thread = threading.Thread(target=loop.run_forever, daemon=True)
     render_thread.start()
+    interactive = hasattr(infile, "isatty") and infile.isatty()
     try:
-        with RawTerminal():
+        if interactive:
+            history: list[str] = []
+            prompt_state: dict = {"line": "", "cursor": 0}
+            stop_prompt = threading.Event()
+            painter = threading.Thread(
+                target=_render_prompt, args=(loop, prompt_state, stop_prompt),
+                daemon=True,
+            )
+            with RawTerminal() as term:
+                painter.start()
+                while not loop.term.is_set():
+                    line = _read_line_raw(term, history, prompt_state)
+                    if line is None:
+                        break
+                    if line:
+                        ok = loop.submit(line)
+                        if not ok and loop.errors:
+                            sys.stdout.write(
+                                f"\r\x1b[2Kerror: {loop.errors[-1]}\n"
+                            )
+                stop_prompt.set()
+                painter.join(timeout=1)
+        else:
             for line in infile:
                 line = line.strip()
                 if not line:

@@ -97,17 +97,24 @@ def main() -> None:
     )
 
     def run_once() -> float:
-        """One full mixed decode; returns decoded audio-seconds."""
-        audio = 0.0
+        """One full mixed decode; returns decoded audio-seconds.
+
+        WAV device work is dispatched first (async) so it overlaps the MP3
+        host frame/side-info walk — only the final scalar fetches sync."""
         pcm, meta = decode_pcm_step(
             wav_bufs, wav_lens, bits=16, channels=2,
             max_frames=max_frames, family="wav")
-        audio += float(jnp.sum(meta["n_frames"])) / rate
+        wav_frames = jnp.sum(meta["n_frames"])  # stays async on device
+        mp3_secs = []
         if mp3_assets:
             for _idxs, batch in mpeg_decoder.decode_group(mp3_assets):
-                jax.block_until_ready(batch.pcm)
-                audio += float(batch.pcm[..., 0].sum() * 0 +  # force exec
-                               batch.audio_seconds())
+                # derive the scalar THROUGH pcm so fetching it forces the
+                # whole decode execution (audio_seconds alone would not
+                # depend on the pcm buffer)
+                anchor = batch.pcm[:, -1, :].sum() * 0.0
+                mp3_secs.append(batch.audio_seconds() + anchor)
+        audio = float(wav_frames) / rate
+        audio += sum(float(s) for s in mp3_secs)
         return audio
 
     run_once()  # compile/warm
