@@ -1,3 +1,7 @@
 from .consensus import consensus_config, consensus_for
+from .resample import resample_batch, resample_to_consensus
 
-__all__ = ["consensus_config", "consensus_for"]
+__all__ = [
+    "consensus_config", "consensus_for", "resample_batch",
+    "resample_to_consensus",
+]

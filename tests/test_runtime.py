@@ -94,3 +94,57 @@ def test_cli_decode_and_repl_offline():
     audio = loop.run_blocks(4)
     ref = pcm[: 4 * PERIOD].astype(np.float32) / 32768.0
     np.testing.assert_allclose(audio, ref, atol=2e-4)
+
+
+def test_spsc_ring_threaded_stress():
+    """Producer/consumer race: no loss, no reorder, no duplication."""
+    import threading
+
+    ring = CmdRing(64)
+    n = 20000
+    got = []
+    done = threading.Event()
+
+    def producer():
+        i = 0
+        while i < n:
+            if ring.try_push(str(i)):
+                i += 1
+        done.set()
+
+    def consumer():
+        while not (done.is_set() and len(got) >= n):
+            c = ring.try_pop()
+            if c is not None:
+                got.append(int(c))
+            if len(got) >= n:
+                return
+
+    t1 = threading.Thread(target=producer)
+    t2 = threading.Thread(target=consumer)
+    t1.start(); t2.start()
+    t1.join(timeout=30); t2.join(timeout=30)
+    assert got == list(range(n))
+
+
+def test_engine_checkpoint_resume_sample_exact():
+    """Stop mid-performance, reload, and the audio continues bit-for-bit."""
+    from audio_decoder_tpu.engine.checkpoint import load_state, save_state
+
+    loop, _ = _loop_with_tone()
+    loop.submit("load tone")
+    loop.submit("start -v tone")
+    loop.run_blocks(3)
+
+    path = tempfile.mktemp(prefix="ckpt_")
+    save_state(path, loop.state, loop.reg)
+
+    ref = loop.run_blocks(4)  # the future from the original session
+
+    st2, reg2 = load_state(path)
+    sink2 = Sink("default", 44100, 1, capture=True, realtime=False)
+    loop2 = EngineLoop(st2, reg2, 44100, 1, sink=sink2)
+    got = loop2.run_blocks(4)
+    np.testing.assert_array_equal(got, ref)
+    # the registry round-trips: names still resolve
+    assert loop2.submit("pause -v tone")
