@@ -279,51 +279,52 @@ def decode_spectra(
         consumed = jnp.where(act & (width > 0), ln + o, 0)
         return x, y, consumed, act, bad
 
-    n_big2 = (n_big + 1) // 2  # steps of 2 pairs
+    # 4 pairs per step: worst-case bit span 4*47 + (19+32 read overhang)
+    # = 192 bits, +31 alignment → 7 aligned windows (one 8-word gather).
+    PAIRS = 4
+    n_bigS = (n_big + PAIRS - 1) // PAIRS
 
     def big_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 5)
+        a = _aligned_windows(words, file_idx, pos, 7)
         off = jnp.zeros((N,), i32)
-        xs, ys, wrs = [], [], []
-        for sub in range(2):
-            pair_idx = 2 * step + sub
+        cols = []
+        for sub in range(PAIRS):
+            pair_idx = PAIRS * step + sub
             x, y, consumed, act, bad = decode_pair(a, off, pair_idx, fail)
             off = off + consumed
             fail = fail | bad | (act & (pos + off > sbits))
             wr = act & jnp.logical_not(fail)
-            xs.append(jnp.where(wr, x, 0))
-            ys.append(jnp.where(wr, y, 0))
+            cols.append(jnp.where(wr, x, 0))
+            cols.append(jnp.where(wr, y, 0))
         pos = pos + off
-        xy = jnp.stack(
-            [xs[0], ys[0], xs[1], ys[1]], axis=-1
-        ).astype(jnp.int16)  # [N, 4] = lines 4s..4s+3
-        return (pos, fail), xy
+        return (pos, fail), jnp.stack(cols, axis=-1).astype(jnp.int16)
 
     pos0 = jnp.where(valid > 0, start_bit, 0).astype(i32)
     fail0 = jnp.logical_not(valid > 0)
     (pos, fail), big_seq = jax.lax.scan(
-        big_step, (pos0, fail0), jnp.arange(n_big2, dtype=i32)
+        big_step, (pos0, fail0), jnp.arange(n_bigS, dtype=i32)
     )
-    big_out = jnp.moveaxis(big_seq, 0, 1).reshape(N, n_big2 * 2, 2)
-    if n_big2 * 2 < 288:
-        big_out = jnp.pad(big_out, ((0, 0), (0, 288 - n_big2 * 2), (0, 0)))
+    big_out = jnp.moveaxis(big_seq, 0, 1).reshape(N, n_bigS * PAIRS, 2)
+    if n_bigS * PAIRS < 288:
+        big_out = jnp.pad(big_out, ((0, 0), (0, 288 - n_bigS * PAIRS), (0, 0)))
     else:
         big_out = big_out[:, :288]
 
-    # ---- count1 region: 4 quads per step from ONE 5-word gather ----
-    # Worst case per quad: 6-bit code + 4 signs = 10 bits; 4 quads end
-    # <= 40 bits in, reads reach <= 62; +31 alignment fits in 93 <= 128.
+    # ---- count1 region: 8 quads per step from ONE 6-word gather ----
+    # Worst case per quad: 6-bit code + 4 signs = 10 bits; 8 quads end
+    # <= 80 bits in, reads reach <= 102; +31 alignment fits in 133 <= 160.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
-    n_c14 = (n_c1 + 3) // 4  # steps of 4 quads
+    QUADS = 8
+    n_c1S = (n_c1 + QUADS - 1) // QUADS
 
     def c1_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 4)
+        a = _aligned_windows(words, file_idx, pos, 5)
         off = jnp.zeros((N,), i32)
         vals16 = []
-        for sub in range(4):
-            placed = idx0 + 4 * (4 * step + sub)
+        for sub in range(QUADS):
+            placed = idx0 + 4 * (QUADS * step + sub)
             act = (pos + off < end_bit) & (placed < 576) & jnp.logical_not(fail)
             win = _win_at(a, off)
             entry = c1lut[c1sel * 64 + (win >> 26).astype(i32)].astype(i32)
@@ -344,15 +345,15 @@ def decode_spectra(
                 vals16.append(jnp.where(wr, quad[q], 0))
             off = off + jnp.where(act, o, 0)
         pos = pos + off
-        out16 = jnp.stack(vals16, axis=-1).astype(jnp.int16)  # [N, 16]
-        return (pos, fail), out16
+        out = jnp.stack(vals16, axis=-1).astype(jnp.int16)  # [N, QUADS*4]
+        return (pos, fail), out
 
     (pos, fail), c1_seq = jax.lax.scan(
-        c1_step, (pos, fail), jnp.arange(n_c14, dtype=i32)
+        c1_step, (pos, fail), jnp.arange(n_c1S, dtype=i32)
     )
-    c1_out = jnp.moveaxis(c1_seq, 0, 1).reshape(N, n_c14 * 4, 4)
-    if n_c14 * 4 < 144:
-        c1_out = jnp.pad(c1_out, ((0, 0), (0, 144 - n_c14 * 4), (0, 0)))
+    c1_out = jnp.moveaxis(c1_seq, 0, 1).reshape(N, n_c1S * QUADS, 4)
+    if n_c1S * QUADS < 144:
+        c1_out = jnp.pad(c1_out, ((0, 0), (0, 144 - n_c1S * QUADS), (0, 0)))
     else:
         c1_out = c1_out[:, :144]
 
