@@ -1,0 +1,97 @@
+"""Property/fuzz tests: truncations and corruptions never crash.
+
+SURVEY §4c: the byte-cursor parsers must map malformed input onto the
+DecodeError taxonomy (≙ decode_helpers.rs semantics), never onto Python
+exceptions or device faults.  The reference itself panics on several of
+these (e.g. its sync scan reads past EOF, SURVEY §5 defect 4).
+"""
+
+import numpy as np
+import pytest
+
+from audio_decoder_tpu.codecs.registry import decode_assets
+from audio_decoder_tpu.io.assets import Asset
+
+from . import codec_refs as CR
+from .synth import make_aiff, make_wav
+
+
+def _decode_one(name, ext, data):
+    batch = decode_assets([Asset(path=name, name=name, ext=ext, data=data)])
+    return batch.file(0)
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(99)
+    pcm = np.clip(rng.standard_normal((2048, 2)) * 8000, -32768, 32767).astype(
+        np.int16
+    )
+    out = {
+        "wav": make_wav(pcm, 44100),
+        "aiff": make_aiff(pcm, 44100),
+    }
+    if CR.have_lame():
+        out["mp3"] = CR.lame_encode(pcm, 44100, 128, mode=1)
+    return out
+
+
+@pytest.mark.parametrize("ext", ["wav", "aiff", "mp3"])
+def test_truncations_never_crash(blobs, ext):
+    if ext not in blobs:
+        pytest.skip("lame unavailable")
+    blob = blobs[ext]
+    rng = np.random.default_rng(5)
+    cuts = sorted(set(
+        [0, 1, 2, 3, 4, 7, 8, 11, 12, 40, 43, 44, 45, 100]
+        + list(rng.integers(0, len(blob), 12))
+    ))
+    for cut in cuts:
+        f = _decode_one("t", ext if ext != "aiff" else "aif", blob[:cut])
+        # either a clean per-file error code or a valid (possibly shorter)
+        # decode — never an exception
+        assert f.err in (0, 1, 2, 3, 4)
+        if f.err == 0:
+            assert f.pcm.shape[0] >= 0
+
+
+@pytest.mark.parametrize("ext", ["wav", "aiff", "mp3"])
+def test_byte_corruptions_never_crash(blobs, ext):
+    if ext not in blobs:
+        pytest.skip("lame unavailable")
+    blob = bytearray(blobs[ext])
+    rng = np.random.default_rng(17)
+    for _ in range(16):
+        i = int(rng.integers(0, len(blob)))
+        mut = bytearray(blob)
+        mut[i] ^= int(rng.integers(1, 256))
+        f = _decode_one("c", ext if ext != "aiff" else "aif", bytes(mut))
+        assert f.err in (0, 1, 2, 3, 4)
+
+
+def test_empty_and_tiny_inputs():
+    for ext in ("wav", "aif", "mp3"):
+        for data in (b"", b"\x00", b"RIFF", b"FORM\x00\x00"):
+            f = _decode_one("e", ext, data)
+            assert f.err != 0
+
+
+def test_wav_garbage_chunks_skipped():
+    """Unknown chunks before data must be walked over (RIFF semantics)."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    pcm = np.clip(rng.standard_normal((256, 1)) * 8000, -32768, 32767).astype(
+        np.int16
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"JUNK" + struct.pack("<I", 10) + b"0123456789"
+    data = pcm.tobytes()
+    body = (b"WAVE" + junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + junk + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    f = _decode_one("j", "wav", blob)
+    assert f.err == 0
+    np.testing.assert_array_equal(
+        np.round(f.pcm * 32768.0).astype(np.int16), pcm
+    )
