@@ -148,3 +148,34 @@ def test_engine_checkpoint_resume_sample_exact():
     np.testing.assert_array_equal(got, ref)
     # the registry round-trips: names still resolve
     assert loop2.submit("pause -v tone")
+
+
+def test_stream_decode_prefetch():
+    """Chunked streaming decode yields the same results as one-shot."""
+    import numpy as np
+    from audio_decoder_tpu.codecs.registry import decode_paths
+    from audio_decoder_tpu.io.stream import stream_decode
+    from .synth import make_wav
+
+    rng = np.random.default_rng(21)
+    d = tempfile.mkdtemp(prefix="stream_")
+    paths = []
+    refs = {}
+    for i in range(7):
+        pcm = np.clip(rng.standard_normal((512 + 64 * i, 2)) * 8000,
+                      -32768, 32767).astype(np.int16)
+        p = os.path.join(d, f"t{i}.wav")
+        with open(p, "wb") as f:
+            f.write(make_wav(pcm, 44100))
+        paths.append(p)
+        refs[f"t{i}"] = pcm
+    got = {}
+    for chunk, batch in stream_decode(paths, files_per_batch=3):
+        for j, name in enumerate(batch.names):
+            got[name] = batch.file(j)
+    assert set(got) == set(refs)
+    for name, pcm in refs.items():
+        f = got[name]
+        assert f.err == 0
+        np.testing.assert_array_equal(
+            np.round(f.pcm * 32768.0).astype(np.int16), pcm)
