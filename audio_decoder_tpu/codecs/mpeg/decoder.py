@@ -132,10 +132,7 @@ def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBa
         r = native.analyze_batch(
             [assets[i].data for i in idxs], g_cap, ch, joint
         )
-        rate_idx = np.select(
-            [r["sample_rate"] == 48000, r["sample_rate"] == 32000],
-            [1, 2], default=0,
-        ).astype(np.int32)
+        rate_idx = _rate_idx_arr(r["sample_rate"])
         B = len(idxs)
         pcm = mp3_dsp_tail(
             jnp.asarray(r["is_q"].reshape(B, g_cap * ch, 576)),
@@ -161,9 +158,12 @@ def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBa
 
 
 def _rate_idx_arr(sample_rate: np.ndarray) -> np.ndarray:
-    return np.select(
-        [sample_rate == 48000, sample_rate == 32000], [1, 2], default=0
-    ).astype(np.int32)
+    from . import tables as T
+
+    out = np.zeros(len(sample_rate), np.int32)
+    for i, sr in enumerate(np.asarray(sample_rate)):
+        out[i] = T.RATE_IDX.get(int(sr), 0)
+    return out
 
 
 def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
@@ -202,9 +202,10 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
     groups: dict[tuple, list[int]] = {}
     for i, p in enumerate(probes):
         if p["err"] == 0:
-            groups.setdefault((p["channels"], bool(p["joint"])), []).append(i)
+            gpf = 2 if p["sample_rate"] >= 32000 else 1  # MPEG-1 vs LSF
+            groups.setdefault((p["channels"], bool(p["joint"]), gpf), []).append(i)
 
-    for (ch, joint), idxs in groups.items():
+    for (ch, joint, gpf), idxs in groups.items():
         B = len(idxs)
         g_cap = _bucket(max(probes[i]["n_granules"] for i in idxs))
         m_cap = _bucket(max(probes[i]["main_bytes"] for i in idxs), 1024)
@@ -221,7 +222,9 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         L = g_cap * ch
         act = r["valid"].reshape(-1) > 0
         bvs = r["big"].reshape(-1)[act]
-        n_big = 32 if bvs.size == 0 else min(288, int(-(-int(bvs.max()) // 32) * 32))
+        # pairs beyond 288 still consume bits (count1 cursor), so n_big
+        # follows the true max big_values (<= 511), not the 576-line cap
+        n_big = 32 if bvs.size == 0 else min(512, int(-(-int(bvs.max()) // 32) * 32))
         quads = (576 - 2 * bvs.astype(np.int64)).clip(0) // 4 + 1
         n_c1 = 32 if bvs.size == 0 else min(144, int(-(-int(quads.max()) // 32) * 32))
         pcm = mp3_decode_fused(
@@ -244,6 +247,7 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             joint_stereo=joint,
             n_big=max(n_big, 1),
             n_c1=max(n_c1, 1),
+            granules_per_frame=gpf,
         )
         batch = AudioBatch(
             pcm=pcm,

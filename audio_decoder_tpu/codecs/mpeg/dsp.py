@@ -77,13 +77,12 @@ _G2 = np.stack(
     ]
 )
 
-#: line → exponent-band slot maps, [3 rates, 3 cfgs, 576] (cfg 0 long,
+#: line → exponent-band slot maps, [9 rates, 3 cfgs, 576] (cfg 0 long,
 #: 1 short, 2 mixed), in final (reordered) line order.  Slot layout per
 #: granule-channel: 0..21 long sfb, 22 + sfb*3 + w short (sfb, window).
 def _line2band() -> np.ndarray:
-    rates = (44100, 48000, 32000)
-    m = np.zeros((3, 3, 576), np.int32)
-    for r, sr in enumerate(rates):
+    m = np.zeros((len(T.RATE_ORDER), 3, 576), np.int32)
+    for r, sr in enumerate(T.RATE_ORDER):
         lb = T.SFB_LONG[sr]
         sb = T.SFB_SHORT[sr]
         # cfg 0: long blocks — slot = long sfb of the line
@@ -95,9 +94,10 @@ def _line2band() -> np.ndarray:
             w_ = hi - lo
             for w in range(3):
                 m[r, 1, lo * 3 + w : lo * 3 + 3 * w_ : 3] = 22 + sfb * 3 + w
-        # cfg 2: mixed — long sfb 0..7 below line 36, short sfb 3.. above
+        # cfg 2: mixed — long sfbs below line 36 (8 MPEG-1 / 6 LSF sfbs),
+        # short sfb 3.. above
         m[r, 2] = m[r, 1]
-        for sfb in range(8):
+        for sfb in range(8 if r < 3 else 6):
             m[r, 2, lb[sfb] : lb[sfb + 1]] = sfb
     return m
 
@@ -270,11 +270,10 @@ def _hybrid_synthesis(x, win_idx, aa_bound):
 # On-device stereo-mode derivation (for the fused full-device decode)
 # ---------------------------------------------------------------------------
 
-#: line → long sfb index, [3 rates, 576]
+#: line → long sfb index, [9 rates, 576]
 def _line2sfb_long() -> np.ndarray:
-    rates = (44100, 48000, 32000)
-    m = np.zeros((3, 576), np.int32)
-    for r, sr in enumerate(rates):
+    m = np.zeros((len(T.RATE_ORDER), 576), np.int32)
+    for r, sr in enumerate(T.RATE_ORDER):
         lb = T.SFB_LONG[sr]
         for sfb in range(22):
             m[r, lb[sfb] : lb[sfb + 1]] = sfb
@@ -282,12 +281,12 @@ def _line2sfb_long() -> np.ndarray:
 
 
 #: line → short segment id sfb*3+w (pre-reorder window-segment layout, the
-#: coordinates the ISO intensity bound logic runs in), [3 rates, 576];
-#: plus each segment's start position a(sfb, w), [3, 39].
+#: coordinates the ISO intensity bound logic runs in), [9 rates, 576];
+#: plus each segment's start position a(sfb, w), [9, 39].
 def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
-    rates = (44100, 48000, 32000)
-    seg = np.zeros((3, 576), np.int32)
-    apos = np.zeros((3, 39), np.int32)
+    rates = T.RATE_ORDER
+    seg = np.zeros((len(rates), 576), np.int32)
+    apos = np.zeros((len(rates), 39), np.int32)
     for r, sr in enumerate(rates):
         sb = T.SFB_SHORT[sr]
         for sfb in range(13):
@@ -302,7 +301,7 @@ def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
 
 _LINE2SFB_LONG = _line2sfb_long()
 _SEG_MAP, _A_POS = _seg_maps()
-_LB = np.stack([T.SFB_LONG[sr] for sr in (44100, 48000, 32000)])  # [3, 23]
+_LB = np.stack([T.SFB_LONG[sr] for sr in T.RATE_ORDER])  # [9, 23]
 
 
 def derive_stereo_modes(
@@ -396,7 +395,10 @@ def derive_stereo_modes(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("channels", "joint_stereo", "n_big", "n_c1")
+    jax.jit,
+    static_argnames=(
+        "channels", "joint_stereo", "n_big", "n_c1", "granules_per_frame",
+    ),
 )
 def mp3_decode_fused(
     main_u8: jax.Array,
@@ -417,8 +419,9 @@ def mp3_decode_fused(
     *,
     channels: int,
     joint_stereo: bool,
-    n_big: int = 288,
+    n_big: int = 512,
     n_c1: int = 144,
+    granules_per_frame: int = 2,
 ) -> jax.Array:
     """Raw concatenated main_data + per-lane side metadata → PCM.
 
@@ -461,9 +464,12 @@ def mp3_decode_fused(
         n_big=n_big,
         n_c1=n_c1,
     )
-    # Host parity: an entropy failure silences the whole frame.
-    fail_f = jnp.any(fail.reshape(B, G // 2, 2 * C), axis=-1)
-    fail_g = jnp.repeat(fail_f, 2, axis=1)  # [B, G]
+    # Host parity: an entropy failure silences the whole frame (2 granules
+    # for MPEG-1, 1 for LSF); failed-but-invalid lanes are already zero.
+    gpf = granules_per_frame
+    fail_real = fail & (valid.reshape(N) > 0)
+    fail_f = jnp.any(fail_real.reshape(B, G // gpf, gpf * C), axis=-1)
+    fail_g = jnp.repeat(fail_f, gpf, axis=1)  # [B, G]
     is_q = jnp.where(fail_g[..., None, None], 0, lines.reshape(B, G, C, 576))
 
     x = _requantize(is_q, exp_b.reshape(B, G, C, 61), cfg, rate_idx)

@@ -121,19 +121,28 @@ def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     return frames
 
 
-def _read_side_info(bits: _Bits, channels: int) -> dict:
-    si = dict(main_data_begin=bits.get(9))
-    bits.get(5 if channels == 1 else 3)  # private bits
-    si["scfsi"] = [[bits.get1() for _ in range(4)] for _ in range(channels)]
+def _read_side_info(bits: _Bits, channels: int, version: int = 3) -> dict:
+    lsf = version != 3
+    si = dict(main_data_begin=bits.get(8 if lsf else 9))
+    if lsf:
+        bits.get(1 if channels == 1 else 2)  # private bits
+        si["scfsi"] = [[0] * 4 for _ in range(channels)]
+        ngr = 1
+    else:
+        bits.get(5 if channels == 1 else 3)  # private bits
+        si["scfsi"] = [[bits.get1() for _ in range(4)] for _ in range(channels)]
+        ngr = 2
+    si["ngr"] = ngr
     si["gr"] = []
-    for _gr in range(2):
+    for _gr in range(ngr):
         chs = []
         for _ch in range(channels):
             g = dict(
+                version=version,
                 part2_3_length=bits.get(12),
                 big_values=bits.get(9),
                 global_gain=bits.get(8),
-                scalefac_compress=bits.get(4),
+                scalefac_compress=bits.get(9 if lsf else 4),
                 window_switching=bits.get1(),
             )
             if g["window_switching"]:
@@ -150,12 +159,47 @@ def _read_side_info(bits: _Bits, channels: int) -> dict:
                 g["subblock_gain"] = [0, 0, 0]
                 g["region0_count"] = bits.get(4)
                 g["region1_count"] = bits.get(3)
-            g["preflag"] = bits.get1()
+            # LSF has no preflag bit — it derives from scalefac_compress
+            g["preflag"] = 0 if lsf else bits.get1()
             g["scalefac_scale"] = bits.get1()
             g["count1table_select"] = bits.get1()
             chs.append(g)
         si["gr"].append(chs)
     return si
+
+
+def _read_scalefacs_lsf(bits: _Bits, g: dict) -> dict:
+    """LSF scalefactors (ISO 13818-3 2.4.3.2): four groups of nr_of_sfb
+    values at slen bits each; sets g['preflag'] from the category."""
+    short = g["window_switching"] and g["block_type"] == 2
+    kind = (2 if g["mixed"] else 1) if short else 0
+    slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
+    g["preflag"] = preflag
+    sf_l = np.zeros(23, np.int32)
+    sf_s = np.zeros((13, 3), np.int32)
+    seq = []
+    for k in range(4):
+        for _ in range(nr[k]):
+            seq.append(bits.get(slen[k]) if slen[k] else 0)
+    i = 0
+    if kind == 0:
+        for sfb in range(21):
+            sf_l[sfb] = seq[i]
+            i += 1
+    elif kind == 1:
+        for sfb in range(12):
+            for w in range(3):
+                sf_s[sfb, w] = seq[i]
+                i += 1
+    else:
+        for sfb in range(6):
+            sf_l[sfb] = seq[i]
+            i += 1
+        for sfb in range(3, 12):
+            for w in range(3):
+                sf_s[sfb, w] = seq[i]
+                i += 1
+    return dict(l=sf_l, s=sf_s)
 
 
 def _read_scalefacs(bits: _Bits, g: dict, gr: int, scfsi, prev) -> dict:
@@ -194,7 +238,8 @@ def _read_scalefacs(bits: _Bits, g: dict, gr: int, scfsi, prev) -> dict:
 def _huffman_spectrum(bits: _Bits, g: dict, sr: int, part2_start: int) -> np.ndarray:
     is_ = np.zeros(576, np.int32)
     if g["window_switching"]:
-        region1, region2 = 36, 576
+        region1 = T.ws_region1_lines(g.get("version", 3), g["block_type"], sr)
+        region2 = 576
     else:
         bands = T.SFB_LONG[sr]
         region1 = int(bands[g["region0_count"] + 1])
@@ -300,8 +345,10 @@ def _exp_bands(g: dict, sf: dict) -> np.ndarray:
     gg = g["global_gain"] - 210
     sf_mult4 = 2 * (1 + g["scalefac_scale"])  # 4 * sf_mult
     short = g["window_switching"] and g["block_type"] == 2
+    lsf = g.get("version", 3) != 3
     if not short or g["mixed"]:
-        hi_sfb = 8 if short else 22
+        # mixed long region: 8 sfbs (MPEG-1) / 6 sfbs (LSF), both to line 36
+        hi_sfb = (6 if lsf else 8) if short else 22
         for sfb in range(hi_sfb):
             e[sfb] = gg - sf_mult4 * (
                 int(sf["l"][sfb]) + g["preflag"] * int(T.PRETAB[sfb])
@@ -406,7 +453,7 @@ class Mp3Analysis:
 
     @property
     def rate_idx(self) -> int:
-        return {44100: 0, 48000: 1, 32000: 2}[self.sample_rate]
+        return T.RATE_IDX[self.sample_rate]
 
 
 @dataclasses.dataclass
@@ -439,7 +486,7 @@ class Mp3Lanes:
 
     @property
     def rate_idx(self) -> int:
-        return {44100: 0, 48000: 1, 32000: 2}[self.sample_rate]
+        return T.RATE_IDX[self.sample_rate]
 
 
 def analyze_lanes(blob: bytes) -> Mp3Lanes:
@@ -450,15 +497,20 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
     concatenated main_data stream — the bit reservoir (main_data_begin)
     is just a backward offset into that same stream."""
     frames = find_frames(blob)
-    frames = [(p, h) for p, h in frames if h["version"] == 3 and h["layer"] == 1]
+    frames = [(p, h) for p, h in frames if h["layer"] == 1]
     if not frames:
-        raise E.InvalidDataError("no MPEG-1 Layer III frames")
+        raise E.InvalidDataError("no Layer III frames")
     h0 = frames[0][1]
-    sr, ch = h0["sr"], h0["channels"]
-    frames = [(p, h) for p, h in frames if h["sr"] == sr and h["channels"] == ch]
+    sr, ch, ver = h0["sr"], h0["channels"], h0["version"]
+    lsf = ver != 3
+    ngr = 1 if lsf else 2
+    frames = [
+        (p, h) for p, h in frames
+        if h["sr"] == sr and h["channels"] == ch and h["version"] == ver
+    ]
     joint = any(h["mode"] == 1 for _, h in frames)
 
-    G = 2 * len(frames)
+    G = ngr * len(frames)
     start_bit = np.zeros((G, ch), np.int32)
     end_bit = np.zeros((G, ch), np.int32)
     limit_bit = np.zeros((G, ch), np.int32)
@@ -476,13 +528,16 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
     total_main = bytearray()
     fi = 0
     for pos, h in frames:
-        gbase = 2 * fi
+        gbase = ngr * fi
         fi += 1
-        side_len = 17 if ch == 1 else 32
+        if lsf:
+            side_len = 9 if ch == 1 else 17
+        else:
+            side_len = 17 if ch == 1 else 32
         off = pos + 4 + (2 if h["crc"] else 0)
         main = bytes(blob[off + side_len : pos + h["frame_len"]])
         try:
-            side = _read_side_info(_Bits(blob[off : off + side_len]), ch)
+            side = _read_side_info(_Bits(blob[off : off + side_len]), ch, ver)
         except (IndexError, E.DecodeError):
             total_main += main
             continue
@@ -496,7 +551,7 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
         base_bits = start_byte_abs * 8
         prev_sf: list = [None] * ch
         ok = True
-        for gr in range(2):
+        for gr in range(ngr):
             if not ok:
                 break
             for c in range(ch):
@@ -507,7 +562,12 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
                     ok = False
                     break
                 try:
-                    sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
+                    if lsf:
+                        sf = _read_scalefacs_lsf(bits, g)
+                    else:
+                        sf = _read_scalefacs(
+                            bits, g, gr, side["scfsi"][c], prev_sf[c]
+                        )
                 except (IndexError, E.DecodeError):
                     ok = False
                     break
@@ -518,7 +578,7 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
                 limit_bit[gi, c] = limit
                 big_values[gi, c] = g["big_values"]
                 if g["window_switching"]:
-                    region1[gi, c] = 36
+                    region1[gi, c] = T.ws_region1_lines(ver, g["block_type"], sr)
                     region2[gi, c] = 576
                 else:
                     bands = T.SFB_LONG[sr]
@@ -542,7 +602,7 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
                         sfr_bands[gi, 22:] = sf["s"].reshape(-1)
                 bits.pos = end_rel  # jump over the Huffman region
         if not ok:
-            valid[gbase : gbase + 2] = 0
+            valid[gbase : gbase + ngr] = 0
         total_main += main
 
     pad = (-len(total_main)) % 4
@@ -563,15 +623,20 @@ def analyze(blob: bytes) -> Mp3Analysis:
     entropy data) become silent granules rather than failing the file,
     matching the reference's per-file catch-and-skip (main.rs:55-77)."""
     frames = find_frames(blob)
-    frames = [(p, h) for p, h in frames if h["version"] == 3 and h["layer"] == 1]
+    frames = [(p, h) for p, h in frames if h["layer"] == 1]
     if not frames:
-        raise E.InvalidDataError("no MPEG-1 Layer III frames")
+        raise E.InvalidDataError("no Layer III frames")
     h0 = frames[0][1]
-    sr, ch = h0["sr"], h0["channels"]
-    frames = [(p, h) for p, h in frames if h["sr"] == sr and h["channels"] == ch]
+    sr, ch, ver = h0["sr"], h0["channels"], h0["version"]
+    lsf = ver != 3
+    ngr = 1 if lsf else 2
+    frames = [
+        (p, h) for p, h in frames
+        if h["sr"] == sr and h["channels"] == ch and h["version"] == ver
+    ]
     joint = any(h["mode"] == 1 for _, h in frames)
 
-    G = 2 * len(frames)
+    G = ngr * len(frames)
     is_q = np.zeros((G, ch, 576), np.int16)
     exp_b = np.zeros((G, ch, 61), np.int16)
     st_mode = np.zeros((G, 576), np.int8) if (ch == 2 and joint) else None
@@ -580,13 +645,16 @@ def analyze(blob: bytes) -> Mp3Analysis:
     reservoir = b""
     fi = 0
     for pos, h in frames:
-        gbase = 2 * fi
+        gbase = ngr * fi
         fi += 1
-        side_len = 17 if ch == 1 else 32
+        if lsf:
+            side_len = 9 if ch == 1 else 17
+        else:
+            side_len = 17 if ch == 1 else 32
         off = pos + 4 + (2 if h["crc"] else 0)
         main = bytes(blob[off + side_len : pos + h["frame_len"]])
         try:
-            side = _read_side_info(_Bits(blob[off : off + side_len]), ch)
+            side = _read_side_info(_Bits(blob[off : off + side_len]), ch, ver)
         except (IndexError, E.DecodeError):
             reservoir = (reservoir + main)[-4096:]
             continue
@@ -598,13 +666,18 @@ def analyze(blob: bytes) -> Mp3Analysis:
         bits = _Bits(data)
         prev_sf: list = [None] * ch
         try:
-            for gr in range(2):
+            for gr in range(ngr):
                 line_is = [None] * ch
                 sfx = [None] * ch
                 for c in range(ch):
                     g = side["gr"][gr][c]
                     part2_start = bits.pos
-                    sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
+                    if lsf:
+                        sf = _read_scalefacs_lsf(bits, g)
+                    else:
+                        sf = _read_scalefacs(
+                            bits, g, gr, side["scfsi"][c], prev_sf[c]
+                        )
                     prev_sf[c] = sf
                     sfx[c] = sf
                     is_pre = _huffman_spectrum(bits, g, sr, part2_start)
@@ -622,11 +695,11 @@ def analyze(blob: bytes) -> Mp3Analysis:
                         line_is[0], line_is[1], side["gr"][gr][1], sfx[1], h, sr
                     )
         except (IndexError, E.DecodeError):
-            is_q[gbase : gbase + 2] = 0
-            exp_b[gbase : gbase + 2] = 0
-            blockcfg[gbase : gbase + 2] = 0
+            is_q[gbase : gbase + ngr] = 0
+            exp_b[gbase : gbase + ngr] = 0
+            blockcfg[gbase : gbase + ngr] = 0
             if st_mode is not None:
-                st_mode[gbase : gbase + 2] = 0
+                st_mode[gbase : gbase + ngr] = 0
         reservoir = (reservoir + main)[-4096:]
 
     return Mp3Analysis(

@@ -84,10 +84,10 @@ def _c1_lut():
 _C1LUT = _c1_lut()
 
 #: short-block reorder permutations in gather form out = in[perm],
-#: [3 rates, 3 cfgs, 576]; cfg 0 (long) rows are identity.
+#: [9 rates, 3 cfgs, 576]; cfg 0 (long) rows are identity.
 def _reorder_perms():
-    rates = (44100, 48000, 32000)
-    p = np.tile(np.arange(576, dtype=np.int32), (3, 3, 1))
+    rates = T.RATE_ORDER
+    p = np.tile(np.arange(576, dtype=np.int32), (len(rates), 3, 1))
     for r, sr in enumerate(rates):
         bands = T.SFB_SHORT[sr]
         for cfg, mixed in ((1, 0), (2, 1)):
@@ -199,7 +199,7 @@ def decode_spectra(
     rate_idx: jax.Array,
     cfg: jax.Array,
     *,
-    n_big: int = 288,
+    n_big: int = 512,
     n_c1: int = 144,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode all granule-channel lanes' quantized spectra on device.
@@ -223,7 +223,10 @@ def decode_spectra(
     i32 = jnp.int32
     words = _be_words(main_u8)
     sbits = limit_bit
-    n_big = min(max(n_big, 1), 288)
+    # big_values can exceed 288 pairs (576 lines): the extra pairs are
+    # decoded for their BIT CONSUMPTION (the count1 cursor depends on it)
+    # even though only the first 288 store lines.
+    n_big = min(max(n_big, 1), 512)
     n_c1 = min(max(n_c1, 1), 144)
 
     big_pairs = jnp.minimum(big_values, n_big).astype(i32)
@@ -294,7 +297,7 @@ def decode_spectra(
             x, y, consumed, act, bad = decode_pair(a, off, pair_idx, fail)
             off = off + consumed
             fail = fail | bad | (act & (pos + off > sbits))
-            wr = act & jnp.logical_not(fail)
+            wr = act & jnp.logical_not(fail) & (pair_idx < 288)
             cols.append(jnp.where(wr, x, 0))
             cols.append(jnp.where(wr, y, 0))
         pos = pos + off
@@ -385,12 +388,20 @@ def _assemble(big_out, c1_out, big_values, fail, rate_idx, cfg):
     lines = jnp.where(j < bv2, big_flat, c1)
     lines = jnp.where(fail[:, None], 0, lines)
 
-    # short-block reorder: static permutation variants + masked select
-    perms = _REORDER  # [3 rates, 3 cfgs, 576] (cfg 0 rows are identity)
+    # short-block reorder: static permutation variants + masked select.
+    # Distinct permutations are shared across rates (band tables repeat),
+    # so dedupe before emitting variants.
+    perms = _REORDER  # [9 rates, 3 cfgs, 576] (cfg 0 rows are identity)
     out = lines
-    for r in range(3):
+    seen: dict[bytes, list] = {}
+    for r in range(perms.shape[0]):
         for c in (1, 2):
-            variant = lines[:, jnp.asarray(perms[r, c])]
-            m = ((rate_idx == r) & (cfg == c))[:, None]
-            out = jnp.where(m, variant, out)
+            seen.setdefault(perms[r, c].tobytes(), []).append((r, c))
+    for key, rcs in seen.items():
+        perm = np.frombuffer(key, dtype=perms.dtype)
+        variant = lines[:, jnp.asarray(perm)]
+        m = jnp.zeros_like(cfg, dtype=bool)
+        for r, c in rcs:
+            m = m | ((rate_idx == r) & (cfg == c))
+        out = jnp.where(m[:, None], variant, out)
     return out.astype(jnp.int16), fail

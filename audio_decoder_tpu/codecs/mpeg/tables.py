@@ -68,6 +68,7 @@ SAMPLE_RATES = {
 # ---------------------------------------------------------------------------
 
 SFB_LONG = {
+    # MPEG-1
     44100: np.array(
         [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162,
          196, 238, 288, 342, 418, 576], np.int32),
@@ -77,6 +78,26 @@ SFB_LONG = {
     32000: np.array(
         [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194,
          240, 296, 364, 448, 550, 576], np.int32),
+    # MPEG-2 (ISO 13818-3 Table B.2)
+    22050: np.array(
+        [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+         238, 284, 336, 396, 464, 522, 576], np.int32),
+    24000: np.array(
+        [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162, 194,
+         232, 278, 332, 394, 464, 540, 576], np.int32),
+    16000: np.array(
+        [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+         238, 284, 336, 396, 464, 522, 576], np.int32),
+    # MPEG-2.5
+    11025: np.array(
+        [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+         238, 284, 336, 396, 464, 522, 576], np.int32),
+    12000: np.array(
+        [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200,
+         238, 284, 336, 396, 464, 522, 576], np.int32),
+    8000: np.array(
+        [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280, 336,
+         400, 476, 566, 568, 570, 572, 574, 576], np.int32),
 }
 
 SFB_SHORT = {
@@ -86,7 +107,24 @@ SFB_SHORT = {
         [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192], np.int32),
     32000: np.array(
         [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192], np.int32),
+    22050: np.array(
+        [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192], np.int32),
+    24000: np.array(
+        [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192], np.int32),
+    16000: np.array(
+        [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192], np.int32),
+    11025: np.array(
+        [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192], np.int32),
+    12000: np.array(
+        [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192], np.int32),
+    8000: np.array(
+        [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192],
+        np.int32),
 }
+
+#: canonical rate → rate-index order used by the device tables
+RATE_ORDER = (44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+RATE_IDX = {r: i for i, r in enumerate(RATE_ORDER)}
 
 #: preemphasis table, long scalefactor bands 0..20 (+0 for the stub band)
 PRETAB = np.array(
@@ -97,6 +135,49 @@ PRETAB = np.array(
 #: scalefac_compress → (slen1, slen2), MPEG-1 (ISO 2.4.2.7)
 SLEN1 = np.array([0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4], np.int32)
 SLEN2 = np.array([0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3], np.int32)
+
+
+def lsf_scalefac_layout(scalefac_compress: int, block_kind: int):
+    """LSF (MPEG-2/2.5) scalefactor layout (ISO 13818-3 2.4.3.2).
+
+    scalefac_compress is 9 bits; returns (slen[4], nr_of_sfb[4], preflag)
+    for the non-intensity channel.  block_kind: 0 long, 1 short, 2 mixed.
+    """
+    sc = scalefac_compress
+    if sc < 400:
+        slen = ((sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4)
+        cat, preflag = 0, 0
+    elif sc < 500:
+        s = sc - 400
+        slen = ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0)
+        cat, preflag = 1, 0
+    else:
+        s = sc - 500
+        slen = (s // 3, s % 3, 0, 0)
+        cat, preflag = 2, 1
+    nr = LSF_NR_SFB[cat][block_kind]
+    return slen, nr, preflag
+
+
+#: nr_of_sfb per slen group: [category][block_kind long/short/mixed]
+LSF_NR_SFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+)
+
+
+def ws_region1_lines(version: int, block_type: int, sr: int) -> int:
+    """Implicit region1 boundary (in spectral lines) for window-switching
+    granules (ISO: region0_count = 7 long / 8 short, in scalefactor-band
+    units where a short sfb counts three times):
+
+      short blocks: 3 * short_bands[3]  (36 everywhere except 72 @ 8 kHz)
+      long  blocks: long_bands[8]       (36 MPEG-1; 54 LSF; 108 @ 8 kHz)
+    """
+    if block_type == 2:
+        return int(SFB_SHORT[sr][3]) * 3
+    return int(SFB_LONG[sr][8])
 
 # ---------------------------------------------------------------------------
 # Antialias butterflies (ISO 2.4.3.4.10.1)

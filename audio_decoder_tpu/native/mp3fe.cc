@@ -46,20 +46,52 @@ static const int kSampleRates[4][3] = {
     {44100, 48000, 32000}, // version 3: MPEG-1
 };
 
-// Long/short scalefactor band boundaries per MPEG-1 rate (B.8).
-// Rate index: 0=44100, 1=48000, 2=32000.
-static const int16_t kSfbLong[3][23] = {
+// Long/short scalefactor band boundaries (ISO 11172-3 B.8 / 13818-3 B.2).
+// Rate index: 0=44100 1=48000 2=32000 3=22050 4=24000 5=16000
+//             6=11025 7=12000 8=8000  (MPEG-1 / -2 / -2.5 families).
+static const int16_t kSfbLong[9][23] = {
     {0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162, 196,
      238, 288, 342, 418, 576},
     {0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128, 156, 190,
      230, 276, 330, 384, 576},
     {0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156, 194, 240,
-     296, 364, 448, 550, 576}};
+     296, 364, 448, 550, 576},
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162, 194, 232,
+     278, 332, 394, 464, 540, 576},
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},
+    {0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168, 200, 238,
+     284, 336, 396, 464, 522, 576},
+    {0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280, 336, 400,
+     476, 566, 568, 570, 572, 574, 576}};
 
-static const int16_t kSfbShort[3][14] = {
+static const int16_t kSfbShort[9][14] = {
     {0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192},
     {0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192},
-    {0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192}};
+    {0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192},
+    {0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192},
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192},
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192},
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192},
+    {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192},
+    {0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192}};
+
+// LSF nr_of_sfb per slen group: [category][block_kind long/short/mixed][4]
+static const int8_t kLsfNr[3][3][4] = {
+    {{6, 5, 5, 5}, {9, 9, 9, 9}, {6, 9, 9, 9}},
+    {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}},
+    {{11, 10, 0, 0}, {18, 18, 0, 0}, {15, 18, 0, 0}}};
+
+// Implicit region1 boundary (lines) for window-switching granules:
+// 3*short[3] for short blocks, long[8] for start/stop blocks.
+static int ws_region1_lines(int block_type, int ridx) {
+  if (block_type == 2) return kSfbShort[ridx][3] * 3;
+  return kSfbLong[ridx][8];
+}
 
 static const int8_t kPretab[22] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                                    1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0};
@@ -72,18 +104,24 @@ static int rate_idx(int sr) {
     case 44100: return 0;
     case 48000: return 1;
     case 32000: return 2;
+    case 22050: return 3;
+    case 24000: return 4;
+    case 16000: return 5;
+    case 11025: return 6;
+    case 12000: return 7;
+    case 8000: return 8;
   }
   return -1;
 }
 
 // Short-block reorder permutations out = in[perm], keyed [rate][mixed].
-static int16_t g_reorder[3][2][576];
+static int16_t g_reorder[9][2][576];
 static float g_is_ratio_a[8], g_is_ratio_b[8];  // intensity L/R factors
 static bool g_init_done = false;
 
 static void init_tables() {
   if (g_init_done) return;
-  for (int r = 0; r < 3; r++) {
+  for (int r = 0; r < 9; r++) {
     for (int mixed = 0; mixed < 2; mixed++) {
       int16_t* p = g_reorder[r][mixed];
       for (int i = 0; i < 576; i++) p[i] = (int16_t)i;
@@ -232,22 +270,32 @@ struct Granule {
 
 struct SideInfo {
   int main_data_begin;
+  int ngr;
   int scfsi[2][4];
   Granule gr[2][2];  // [granule][channel]
 };
 
-static void read_side_info(BitReader* b, int channels, SideInfo* si) {
-  si->main_data_begin = b->get(9);
-  b->get(channels == 1 ? 5 : 3);  // private bits
-  for (int c = 0; c < channels; c++)
-    for (int i = 0; i < 4; i++) si->scfsi[c][i] = b->get1();
-  for (int gr = 0; gr < 2; gr++) {
+static void read_side_info(BitReader* b, int channels, SideInfo* si,
+                           int version = 3) {
+  bool lsf = version != 3;
+  si->main_data_begin = b->get(lsf ? 8 : 9);
+  if (lsf) {
+    b->get(channels == 1 ? 1 : 2);  // private bits
+    memset(si->scfsi, 0, sizeof(si->scfsi));
+    si->ngr = 1;
+  } else {
+    b->get(channels == 1 ? 5 : 3);  // private bits
+    for (int c = 0; c < channels; c++)
+      for (int i = 0; i < 4; i++) si->scfsi[c][i] = b->get1();
+    si->ngr = 2;
+  }
+  for (int gr = 0; gr < si->ngr; gr++) {
     for (int c = 0; c < channels; c++) {
       Granule* g = &si->gr[gr][c];
       g->part2_3_length = b->get(12);
       g->big_values = b->get(9);
       g->global_gain = b->get(8);
-      g->scalefac_compress = b->get(4);
+      g->scalefac_compress = b->get(lsf ? 9 : 4);
       g->window_switching = b->get1();
       if (g->window_switching) {
         g->block_type = b->get(2);
@@ -266,7 +314,8 @@ static void read_side_info(BitReader* b, int channels, SideInfo* si) {
         g->region0_count = b->get(4);
         g->region1_count = b->get(3);
       }
-      g->preflag = b->get1();
+      // LSF has no preflag bit — it derives from scalefac_compress
+      g->preflag = lsf ? 0 : b->get1();
       g->scalefac_scale = b->get1();
       g->count1table_select = b->get1();
     }
@@ -277,6 +326,56 @@ struct Scalefacs {
   int32_t l[23];
   int32_t s[13][3];
 };
+
+// LSF scalefactors (ISO 13818-3 2.4.3.2): four groups of nr_of_sfb values
+// at slen bits each; sets g->preflag from the category.
+static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf) {
+  memset(sf, 0, sizeof(*sf));
+  int sc = g->scalefac_compress;
+  int slen[4], cat;
+  if (sc < 400) {
+    slen[0] = (sc >> 4) / 5;
+    slen[1] = (sc >> 4) % 5;
+    slen[2] = (sc % 16) >> 2;
+    slen[3] = sc % 4;
+    cat = 0;
+    g->preflag = 0;
+  } else if (sc < 500) {
+    int s = sc - 400;
+    slen[0] = (s >> 2) / 5;
+    slen[1] = (s >> 2) % 5;
+    slen[2] = s % 4;
+    slen[3] = 0;
+    cat = 1;
+    g->preflag = 0;
+  } else {
+    int s = sc - 500;
+    slen[0] = s / 3;
+    slen[1] = s % 3;
+    slen[2] = 0;
+    slen[3] = 0;
+    cat = 2;
+    g->preflag = 1;
+  }
+  bool short_blk = g->window_switching && g->block_type == 2;
+  int kind = short_blk ? (g->mixed ? 2 : 1) : 0;
+  int seq[40];
+  int n = 0;
+  for (int k = 0; k < 4; k++)
+    for (int j = 0; j < kLsfNr[cat][kind][k]; j++)
+      seq[n++] = slen[k] ? b->get(slen[k]) : 0;
+  int i = 0;
+  if (kind == 0) {
+    for (int sfb = 0; sfb < 21; sfb++) sf->l[sfb] = seq[i++];
+  } else if (kind == 1) {
+    for (int sfb = 0; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+  } else {
+    for (int sfb = 0; sfb < 6; sfb++) sf->l[sfb] = seq[i++];
+    for (int sfb = 3; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+  }
+}
 
 static void read_scalefacs(BitReader* b, const Granule* g, int gr,
                            const int* scfsi, const Scalefacs* prev,
@@ -318,7 +417,7 @@ static bool huffman_spectrum(BitReader* b, const Granule* g, int ridx,
   memset(is_, 0, 576 * sizeof(int32_t));
   int region1, region2;
   if (g->window_switching) {
-    region1 = 36;
+    region1 = ws_region1_lines(g->block_type, ridx);
     region2 = 576;
   } else {
     const int16_t* bands = kSfbLong[ridx];
@@ -377,13 +476,14 @@ static bool huffman_spectrum(BitReader* b, const Granule* g, int ridx,
 // 0..21 long sfb, 22 + sfb*3 + w short.  The device expands per line
 // through a static line->band map and computes gain = 2^(e/4).
 static void compute_exp_bands(const Granule* g, const Scalefacs* sf,
-                              int16_t* e /*[61]*/) {
+                              int16_t* e /*[61]*/, int version = 3) {
   memset(e, 0, 61 * sizeof(int16_t));
   int gg = g->global_gain - 210;
   int sf_mult4 = 2 * (1 + g->scalefac_scale);  // 4 * sf_mult
   bool short_blk = g->window_switching && g->block_type == 2;
   if (!short_blk || g->mixed) {
-    int hi_sfb = short_blk ? 8 : 22;
+    // mixed long region: 8 sfbs (MPEG-1) / 6 sfbs (LSF), both to line 36
+    int hi_sfb = short_blk ? (version == 3 ? 8 : 6) : 22;
     for (int sfb = 0; sfb < hi_sfb; sfb++)
       e[sfb] = (int16_t)(gg - sf_mult4 * (sf->l[sfb] + g->preflag * kPretab[sfb]));
   }
@@ -475,15 +575,15 @@ void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
   memset(info, 0, sizeof(*info));
   std::vector<Frame> frames;
   find_frames(blob, n, &frames);
-  int sr = 0, ch = 0, count = 0, joint = 0;
+  int sr = 0, ch = 0, ver = -1, count = 0, joint = 0;
   int64_t main_bytes = 0;
   for (const Frame& f : frames) {
-    if (f.h.version != 3 || f.h.layer != 1) continue;
-    if (!sr) { sr = f.h.sr; ch = f.h.channels; }
-    if (f.h.sr != sr || f.h.channels != ch) continue;
+    if (f.h.layer != 1) continue;  // Layer III only (any MPEG version)
+    if (!sr) { sr = f.h.sr; ch = f.h.channels; ver = f.h.version; }
+    if (f.h.sr != sr || f.h.channels != ch || f.h.version != ver) continue;
     count++;
     if (f.h.mode == 1) joint = 1;
-    int side_len = ch == 1 ? 17 : 32;
+    int side_len = ver == 3 ? (ch == 1 ? 17 : 32) : (ch == 1 ? 9 : 17);
     int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
     int64_t ml = f.pos + f.h.frame_len - (off + side_len);
     if (ml > 0) main_bytes += ml;
@@ -491,7 +591,7 @@ void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
   if (!count) { info->err = 3; return; }
   info->sample_rate = sr;
   info->channels = ch;
-  info->n_granules = 2 * count;
+  info->n_granules = (ver == 3 ? 2 : 1) * count;
   info->joint = joint;
   info->main_bytes = (int32_t)main_bytes;
 }
@@ -523,15 +623,18 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
   int16_t eb_tmp[2][2][61];
   Scalefacs sf_store[2][2];
 
+  int ver = ridx < 3 ? 3 : (ridx < 6 ? 2 : 0);  // rate family ⇒ version
+  int ngr = ver == 3 ? 2 : 1;
+  Granule* gmut;
   int fi = 0;
   for (const Frame& f : frames) {
-    if (f.h.version != 3 || f.h.layer != 1) continue;
+    if (f.h.layer != 1) continue;
     if (f.h.sr != sr || f.h.channels != ch) continue;
-    int gbase = 2 * fi;
+    int gbase = ngr * fi;
     fi++;
-    if (gbase + 2 > g_cap) break;
+    if (gbase + ngr > g_cap) break;
 
-    int side_len = ch == 1 ? 17 : 32;
+    int side_len = ver == 3 ? (ch == 1 ? 17 : 32) : (ch == 1 ? 9 : 17);
     int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
     const uint8_t* main = blob + off + side_len;
     int64_t main_len = f.pos + f.h.frame_len - (off + side_len);
@@ -547,7 +650,7 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
     if (off + side_len > n) { push_reservoir(); continue; }
     BitReader sb{blob + off, (size_t)side_len, 0};
     SideInfo si;
-    read_side_info(&sb, ch, &si);
+    read_side_info(&sb, ch, &si, ver);
 
     int64_t start = (int64_t)reservoir.size() - si.main_data_begin;
     if (start < 0) { push_reservoir(); continue; }  // silent frame
@@ -558,18 +661,22 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
 
     bool ok = true;
     const Scalefacs* prev[2] = {nullptr, nullptr};
-    for (int gr = 0; gr < 2 && ok; gr++) {
+    for (int gr = 0; gr < ngr && ok; gr++) {
       for (int c = 0; c < ch && ok; c++) {
-        const Granule* g = &si.gr[gr][c];
+        gmut = &si.gr[gr][c];
+        const Granule* g = gmut;
         size_t part2_start = b.pos;
         Scalefacs* sf = &sf_store[gr][c];
-        read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        if (ver == 3)
+          read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        else
+          read_scalefacs_lsf(&b, gmut, sf);  // sets preflag
         prev[c] = sf;
         if (!huffman_spectrum(&b, g, ridx, part2_start, is_tmp[gr][c])) {
           ok = false;
           break;
         }
-        compute_exp_bands(g, sf, eb_tmp[gr][c]);
+        compute_exp_bands(g, sf, eb_tmp[gr][c], ver);
         if (g->window_switching && g->block_type == 2) {
           const int16_t* perm = g_reorder[ridx][g->mixed ? 1 : 0];
           int32_t ti[576];
@@ -580,7 +687,7 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
       }
     }
     if (ok) {
-      for (int gr = 0; gr < 2; gr++) {
+      for (int gr = 0; gr < ngr; gr++) {
         int64_t gi = gbase + gr;
         for (int c = 0; c < ch; c++) {
           int16_t* dst_is = is_out + (gi * ch + c) * 576;
@@ -629,15 +736,17 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
 
   int64_t total_main = 0;  // bytes appended to main_out so far
   Scalefacs sf_store[2][2];
+  int ver = ridx < 3 ? 3 : (ridx < 6 ? 2 : 0);  // rate family ⇒ version
+  int ngr = ver == 3 ? 2 : 1;
   int fi = 0;
   for (const Frame& f : frames) {
-    if (f.h.version != 3 || f.h.layer != 1) continue;
+    if (f.h.layer != 1) continue;
     if (f.h.sr != sr || f.h.channels != ch) continue;
-    int gbase = 2 * fi;
+    int gbase = ngr * fi;
     fi++;
-    if (gbase + 2 > g_cap) break;
+    if (gbase + ngr > g_cap) break;
 
-    int side_len = ch == 1 ? 17 : 32;
+    int side_len = ver == 3 ? (ch == 1 ? 17 : 32) : (ch == 1 ? 9 : 17);
     int64_t off = f.pos + 4 + (f.h.crc ? 2 : 0);
     const uint8_t* main = blob + off + side_len;
     int64_t main_len = f.pos + f.h.frame_len - (off + side_len);
@@ -652,7 +761,7 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
     if (off + side_len > n) { append_main(); continue; }
     BitReader sb{blob + off, (size_t)side_len, 0};
     SideInfo si;
-    read_side_info(&sb, ch, &si);
+    read_side_info(&sb, ch, &si, ver);
 
     int64_t start_byte_abs = total_main - si.main_data_begin;
     if (start_byte_abs < 0) { append_main(); continue; }
@@ -671,14 +780,18 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
 
     bool ok = true;
     const Scalefacs* prev[2] = {nullptr, nullptr};
-    for (int gr = 0; gr < 2 && ok; gr++) {
+    for (int gr = 0; gr < ngr && ok; gr++) {
       for (int c = 0; c < ch && ok; c++) {
-        const Granule* g = &si.gr[gr][c];
+        Granule* gmut = &si.gr[gr][c];
+        const Granule* g = gmut;
         size_t part2_rel = b.pos;
         size_t end_rel = part2_rel + g->part2_3_length;
         if (end_rel > data.size() * 8) { ok = false; break; }
         Scalefacs* sf = &sf_store[gr][c];
-        read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        if (ver == 3)
+          read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
+        else
+          read_scalefacs_lsf(&b, gmut, sf);  // sets preflag
         prev[c] = sf;
         int64_t gi = gbase + gr;
         int64_t li = gi * ch + c;
@@ -687,7 +800,7 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
         limit_out[li] = (int32_t)limit;
         big_out[li] = (int16_t)g->big_values;
         if (g->window_switching) {
-          r1_out[li] = 36;
+          r1_out[li] = (int16_t)ws_region1_lines(g->block_type, ridx);
           r2_out[li] = 576;
         } else {
           const int16_t* bands = kSfbLong[ridx];
@@ -698,7 +811,7 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
         for (int rg = 0; rg < 3; rg++)
           tsel_out[li * 3 + rg] = (int8_t)g->table_select[rg];
         c1_out[li] = (int8_t)g->count1table_select;
-        compute_exp_bands(g, sf, expb_out + li * 61);
+        compute_exp_bands(g, sf, expb_out + li * 61, ver);
         cfg_out[li] = (int8_t)(g->block_type | (g->mixed << 2));
         valid_out[li] = 1;
         if (c == ch - 1) {
@@ -717,7 +830,7 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
       }
     }
     if (!ok) {
-      for (int gi = gbase; gi < gbase + 2; gi++)
+      for (int gi = gbase; gi < gbase + ngr; gi++)
         for (int c = 0; c < ch; c++) valid_out[gi * ch + c] = 0;
     }
     append_main();

@@ -110,19 +110,27 @@ def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     return frames
 
 
-def _read_side_info(bits: Bits, channels: int) -> dict:
-    si = dict(main_data_begin=bits.get(9))
-    bits.get(5 if channels == 1 else 3)  # private bits
-    si["scfsi"] = [[bits.get1() for _ in range(4)] for _ in range(channels)]
+def _read_side_info(bits: Bits, channels: int, version: int = 3) -> dict:
+    lsf = version != 3
+    si = dict(main_data_begin=bits.get(8 if lsf else 9))
+    if lsf:
+        bits.get(1 if channels == 1 else 2)  # private bits
+        si["scfsi"] = [[0] * 4 for _ in range(channels)]
+        ngr = 1
+    else:
+        bits.get(5 if channels == 1 else 3)
+        si["scfsi"] = [[bits.get1() for _ in range(4)] for _ in range(channels)]
+        ngr = 2
+    si["ngr"] = ngr
     si["gr"] = []
-    for _gr in range(2):
+    for _gr in range(ngr):
         chs = []
         for _ch in range(channels):
             g = dict(
                 part2_3_length=bits.get(12),
                 big_values=bits.get(9),
                 global_gain=bits.get(8),
-                scalefac_compress=bits.get(4),
+                scalefac_compress=bits.get(9 if lsf else 4),
                 window_switching=bits.get1(),
             )
             if g["window_switching"]:
@@ -139,12 +147,48 @@ def _read_side_info(bits: Bits, channels: int) -> dict:
                 g["subblock_gain"] = [0, 0, 0]
                 g["region0_count"] = bits.get(4)
                 g["region1_count"] = bits.get(3)
-            g["preflag"] = bits.get1()
+            # LSF has no preflag bit — it derives from scalefac_compress
+            g["preflag"] = 0 if lsf else bits.get1()
             g["scalefac_scale"] = bits.get1()
             g["count1table_select"] = bits.get1()
             chs.append(g)
         si["gr"].append(chs)
     return si
+
+
+def _read_scalefacs_lsf(bits: Bits, g: dict) -> dict:
+    """LSF (MPEG-2/2.5) scalefactors (ISO 13818-3 2.4.3.2): four groups of
+    nr_of_sfb values at slen bits each, layout chosen by scalefac_compress
+    category and block kind.  Sets g['preflag'] as a side effect."""
+    short = g["window_switching"] and g["block_type"] == 2
+    kind = (2 if g["mixed"] else 1) if short else 0
+    slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
+    g["preflag"] = preflag
+    sf_l = np.zeros(23, np.int32)
+    sf_s = np.zeros((13, 3), np.int32)
+    seq = []
+    for k in range(4):
+        for _ in range(nr[k]):
+            seq.append(bits.get(slen[k]) if slen[k] else 0)
+    i = 0
+    if kind == 0:
+        for sfb in range(21):
+            sf_l[sfb] = seq[i]
+            i += 1
+    elif kind == 1:
+        for sfb in range(12):
+            for w in range(3):
+                sf_s[sfb, w] = seq[i]
+                i += 1
+    else:
+        for sfb in range(6):
+            sf_l[sfb] = seq[i]
+            i += 1
+        for sfb in range(3, 12):
+            for w in range(3):
+                sf_s[sfb, w] = seq[i]
+                i += 1
+    return dict(l=sf_l, s=sf_s)
 
 
 def _read_scalefacs(bits: Bits, g: dict, gr: int, scfsi, prev) -> dict:
@@ -186,7 +230,7 @@ def _huffman_spectrum(bits: Bits, g: dict, sr: int, part2_start: int) -> np.ndar
     is_ = np.zeros(576, np.int32)
     short = g["window_switching"] and g["block_type"] == 2
     if g["window_switching"]:
-        region1 = 36
+        region1 = T.ws_region1_lines(g.get("version", 3), g["block_type"], sr)
         region2 = 576
     else:
         bands = T.SFB_LONG[sr]
@@ -259,7 +303,9 @@ def _requantize(is_: np.ndarray, g: dict, sf: dict, sr: int) -> np.ndarray:
         long_range(0, 22)
     else:
         if g["mixed"]:
-            long_range(0, 8)
+            # mixed long region: 8 sfbs (MPEG-1) / 6 sfbs (LSF) — both end
+            # at line 36
+            long_range(0, g.get("n_long_mixed", 8))
             first_short_sfb = 3
         else:
             first_short_sfb = 0
@@ -416,40 +462,52 @@ class _Synth:
 
 
 def decode(blob: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG-1 Layer III stream → (pcm [N, ch] f32, sample_rate)."""
+    """Decode an MPEG Layer III stream (MPEG-1, -2 or -2.5) →
+    (pcm [N, ch] f32, sample_rate)."""
     frames = find_frames(blob)
-    frames = [(p, h) for p, h in frames if h["version"] == 3 and h["layer"] == 1]
+    frames = [(p, h) for p, h in frames if h["layer"] == 1]
     if not frames:
-        raise ValueError("no MPEG-1 Layer III frames")
+        raise ValueError("no Layer III frames")
     h0 = frames[0][1]
-    sr, ch = h0["sr"], h0["channels"]
+    sr, ch, ver = h0["sr"], h0["channels"], h0["version"]
+    lsf = ver != 3
+    ngr = 1 if lsf else 2
     reservoir = b""
     overlap = [np.zeros((32, 18)) for _ in range(ch)]
     synth = [_Synth() for _ in range(ch)]
     pcm = []
     for pos, h in frames:
-        if h["sr"] != sr or h["channels"] != ch:
+        if h["sr"] != sr or h["channels"] != ch or h["version"] != ver:
             continue
-        side_len = 17 if ch == 1 else 32
+        if lsf:
+            side_len = 9 if ch == 1 else 17
+        else:
+            side_len = 17 if ch == 1 else 32
         off = pos + 4 + (2 if h["crc"] else 0)
-        side = _read_side_info(Bits(blob[off : off + side_len]), ch)
+        side = _read_side_info(Bits(blob[off : off + side_len]), ch, ver)
         main = blob[off + side_len : pos + h["frame_len"]]
         start = len(reservoir) - side["main_data_begin"]
         if start < 0:
             reservoir = (reservoir + main)[-4096:]
-            pcm.append(np.zeros((1152, ch)))
+            pcm.append(np.zeros((576 * ngr, ch)))
             continue
         data = reservoir[start:] + main
         bits = Bits(data)
         prev_sf = [None] * ch
-        frame_pcm = np.zeros((1152, ch))
-        grx = [[None] * ch, [None] * ch]
-        sfx = [[None] * ch, [None] * ch]
-        for gr in range(2):
+        frame_pcm = np.zeros((576 * ngr, ch))
+        grx = [[None] * ch for _ in range(ngr)]
+        sfx = [[None] * ch for _ in range(ngr)]
+        for gr in range(ngr):
             for c in range(ch):
                 g = side["gr"][gr][c]
+                g["version"] = ver
+                if lsf:
+                    g["n_long_mixed"] = 6
                 part2_start = bits.pos
-                sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
+                if lsf:
+                    sf = _read_scalefacs_lsf(bits, g)
+                else:
+                    sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
                 prev_sf[c] = sf
                 is_ = _huffman_spectrum(bits, g, sr, part2_start)
                 xr = _requantize(is_, g, sf, sr)
