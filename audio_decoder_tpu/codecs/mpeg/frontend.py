@@ -104,11 +104,26 @@ def parse_header(word: int) -> dict | None:
     )
 
 
+def skip_id3v2(blob: bytes, i: int = 0) -> int:
+    """Return the offset just past an ID3v2 tag at ``i`` (synchsafe size),
+    or ``i`` unchanged.  Real-world files lead with these; skipping avoids
+    false sync matches inside tag payloads."""
+    if blob[i : i + 3] == b"ID3" and len(blob) >= i + 10:
+        size = (
+            ((blob[i + 6] & 0x7F) << 21)
+            | ((blob[i + 7] & 0x7F) << 14)
+            | ((blob[i + 8] & 0x7F) << 7)
+            | (blob[i + 9] & 0x7F)
+        )
+        return i + 10 + size
+    return i
+
+
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk with resync-on-junk (robust form of the
     reference's statistical scan, mpeg.rs:17-121)."""
     frames = []
-    i = 0
+    i = skip_id3v2(blob)
     n = len(blob)
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:

@@ -239,8 +239,15 @@ struct Frame {
 };
 
 // Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
+// A leading ID3v2 tag (synchsafe size) is skipped to avoid false syncs.
 static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
   int64_t i = 0;
+  if (n >= 10 && blob[0] == 'I' && blob[1] == 'D' && blob[2] == '3') {
+    int64_t size = ((int64_t)(blob[6] & 0x7F) << 21) |
+                   ((int64_t)(blob[7] & 0x7F) << 14) |
+                   ((int64_t)(blob[8] & 0x7F) << 7) | (blob[9] & 0x7F);
+    i = 10 + size;
+  }
   while (i + 4 <= n) {
     if (blob[i] == 0xFF && (blob[i + 1] & 0xE0) == 0xE0) {
       uint32_t word = ((uint32_t)blob[i] << 24) | ((uint32_t)blob[i + 1] << 16) |

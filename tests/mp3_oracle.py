@@ -96,8 +96,10 @@ def parse_header(word: int) -> dict | None:
 
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk (the robust form of mpeg.rs:17-50's scan)."""
+    from audio_decoder_tpu.codecs.mpeg.frontend import skip_id3v2
+
     frames = []
-    i = 0
+    i = skip_id3v2(blob)
     n = len(blob)
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:

@@ -95,3 +95,27 @@ def test_wav_garbage_chunks_skipped():
     np.testing.assert_array_equal(
         np.round(f.pcm * 32768.0).astype(np.int16), pcm
     )
+
+
+def test_id3v2_tag_skipped():
+    """A leading ID3v2 tag (with sync-like payload bytes) must not derail
+    frame discovery."""
+    if not (CR.have_lame() and CR.have_mpg123()):
+        pytest.skip("lame unavailable")
+    rng = np.random.default_rng(31)
+    s = 0.3 * rng.standard_normal(11025)
+    pcm = np.clip(np.stack([s, s], 1) * 30000, -32768, 32767).astype(np.int16)
+    blob = CR.lame_encode(pcm, 44100, 128, mode=1)
+    payload = b"\xff\xfb\x90\x00" * 64  # fake syncs inside the tag
+    size = len(payload)
+    tag = (b"ID3\x04\x00\x00"
+           + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+           + payload)
+    from . import mp3_oracle as MO
+    ref, _ = MO.decode(blob)
+    f = _decode_one("id3", "mp3", tag + blob)
+    assert f.err == 0
+    n = min(len(ref), f.pcm.shape[0])
+    rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean()))
+    assert rms < 5e-7
