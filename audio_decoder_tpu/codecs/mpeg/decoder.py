@@ -308,12 +308,89 @@ def _pack_python_lanes(lanes, g_cap: int, m_cap: int, ch: int) -> dict:
     return r
 
 
-def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
-    """Decode a group of MP3 assets → (local_indices, AudioBatch) pieces.
+def _decode_group_layer12(
+    assets: "list[Asset]", layer: int
+) -> list[tuple[list[int], AudioBatch]]:
+    """Layer I/II path: host fixed-width parse → jitted requantize +
+    shared polyphase synthesis (layer12.py)."""
+    from . import layer12 as L12
 
-    Default: the fused on-device-Huffman path (raw bitstream to the TPU).
-    The host-Huffman paths remain available for reference and tests."""
-    return _decode_group_fused(assets)
+    analyze = L12.analyze_l1 if layer == 1 else L12.analyze_l2
+    analyses: list = []
+    failures: list = []
+    for i, a in enumerate(assets):
+        try:
+            analyses.append((i, analyze(a.data)))
+        except E.DecodeError as e:
+            failures.append((i, e.code))
+        except Exception:
+            failures.append((i, E.ERR_INVALID))
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    if failures:
+        idxs = [i for i, _ in failures]
+        pieces.append(
+            (idxs, _error_batch([assets[i].name for i in idxs],
+                                [c for _, c in failures]))
+        )
+
+    groups: dict[int, list] = {}
+    for i, an in analyses:
+        groups.setdefault(an.channels, []).append((i, an))
+    for ch, items in groups.items():
+        idxs = [i for i, _ in items]
+        ans = [a for _, a in items]
+        B = len(ans)
+        steps = ans[0].steps_per_frame
+        F = _bucket(max(a.n_frames for a in ans))
+        codes = np.zeros((B, F, ch, 32, steps), np.int32)
+        cls = np.zeros((B, F, ch, 32), np.int8)
+        sf_idx = np.full((B, F, ch, 32, 3), 63, np.int8)
+        for b, a in enumerate(ans):
+            codes[b, : a.n_frames] = a.codes
+            cls[b, : a.n_frames] = a.cls
+            sf_idx[b, : a.n_frames] = a.sf_idx
+        pcm = L12.l12_synthesize(
+            jnp.asarray(codes), jnp.asarray(cls), jnp.asarray(sf_idx),
+            channels=ch, steps=steps,
+        )
+        batch = AudioBatch(
+            pcm=pcm,
+            sample_rate=jnp.asarray([a.sample_rate for a in ans], jnp.int32),
+            num_channels=jnp.asarray([a.channels for a in ans], jnp.int32),
+            bits_per_sample=jnp.full((B,), 16, jnp.int32),
+            valid_frames=jnp.asarray(
+                [a.n_frames * steps * 32 for a in ans], jnp.int32
+            ),
+            err=jnp.zeros((B,), jnp.int32),
+            names=tuple(assets[i].name for i in idxs),
+            formats=((f"mp{layer}",) * B),
+        )
+        pieces.append((idxs, batch))
+    return pieces
+
+
+def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
+    """Decode a group of MPEG-audio assets → (local_indices, AudioBatch).
+
+    Routes by the layer of the first valid frame: Layer III takes the
+    fused on-device-Huffman path; Layers I/II take the fixed-width
+    subband path.  The host-Huffman Layer III paths remain available for
+    reference and tests."""
+    by_layer: dict[int, list[int]] = {}
+    for i, a in enumerate(assets):
+        by_layer.setdefault(frontend.probe_layer(a.data), []).append(i)
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    for layer, idxs in by_layer.items():
+        sub = [assets[i] for i in idxs]
+        if layer in (1, 2):
+            sub_pieces = _decode_group_layer12(sub, layer)
+        else:  # Layer III or undetected (fused path reports errors)
+            sub_pieces = _decode_group_fused(sub)
+        for local, batch in sub_pieces:
+            pieces.append(([idxs[j] for j in local], batch))
+    return pieces
 
 
 def decode_group_hosthuff(

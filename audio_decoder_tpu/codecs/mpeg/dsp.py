@@ -249,12 +249,20 @@ def _hybrid_synthesis(x, win_idx, aa_bound):
 
     # Time-major [B, C, T, 32], T = G*18 filterbank steps.
     TS = ts.transpose(0, 2, 1, 4, 3).reshape(B, C, G * 18, 32)
+    return polyphase_synthesis(TS)
 
-    # Matrixing: one big MXU matmul over every time step at once.
+
+def polyphase_synthesis(TS: jax.Array) -> jax.Array:
+    """Polyphase synthesis filterbank, fully parallel over time steps.
+
+    TS: f32 ``[B, C, T, 32]`` subband samples (one 32-vector per output
+    block) → PCM ``[B, T*32, C]``.  Shared by all three MPEG layers —
+    matrixing as one MXU matmul, the ISO shift register unrolled into a
+    16-tap FIR over block history."""
+    B, C, Tsteps, _ = TS.shape
+    prec = jax.lax.Precision.HIGHEST
+    f = jnp.float32
     V = jnp.einsum("bctk,nk->bctn", TS, jnp.asarray(T.SYNTH_N, f), precision=prec)
-
-    # Windowed 16-tap FIR over block history (unrolled shift register).
-    Tsteps = G * 18
     Vp = jnp.pad(V, ((0, 0), (0, 0), (15, 0), (0, 0)))
     g2 = jnp.asarray(_G2, f)
     out = jnp.zeros((B, C, Tsteps, 32), f)
@@ -262,8 +270,7 @@ def _hybrid_synthesis(x, win_idx, aa_bound):
         seg = jax.lax.dynamic_slice_in_dim(Vp, 15 - k, Tsteps, axis=2)
         half = seg[..., :32] if k % 2 == 0 else seg[..., 32:]
         out = out + g2[k] * half
-
-    return out.reshape(B, C, G * 576).transpose(0, 2, 1)
+    return out.reshape(B, C, Tsteps * 32).transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,20 @@ def skip_id3v2(blob: bytes, i: int = 0) -> int:
     return i
 
 
+def probe_layer(blob: bytes) -> int:
+    """Layer of the first valid frame: 1 (header code 3), 2, or 3 — or 0
+    when no frame is found.  Routes Layer I/II streams to layer12.py."""
+    i = skip_id3v2(blob)
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
+            if h is not None and i + h["frame_len"] <= n:
+                return {1: 3, 2: 2, 3: 1}[h["layer"]]
+        i += 1
+    return 0
+
+
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk with resync-on-junk (robust form of the
     reference's statistical scan, mpeg.rs:17-121)."""

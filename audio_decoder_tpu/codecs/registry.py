@@ -34,6 +34,8 @@ _FAMILY_BY_EXT = {
     "aif": "aiff",
     "aiff": "aiff",
     "mp3": "mp3",
+    "mp2": "mp3",  # Layer II routes through the MPEG family decoder
+    "mp1": "mp3",  # Layer I likewise
 }
 
 _PARSERS = {

@@ -22,7 +22,7 @@ from ..core.errors import InvalidDataError
 
 #: Extensions the dispatcher recognises (≙ main.rs:43-77; "mp3" was a TODO
 #: in the reference — completed here).
-KNOWN_EXTENSIONS = ("wav", "aif", "aiff", "mp3")
+KNOWN_EXTENSIONS = ("wav", "aif", "aiff", "mp3", "mp2", "mp1")
 
 
 @dataclasses.dataclass

@@ -145,3 +145,54 @@ def mpg123_decode(blob: bytes) -> tuple[np.ndarray, int]:
     nch = max(ch.value, 1)
     pcm = pcm[: len(pcm) // nch * nch].reshape(-1, nch)
     return pcm, int(rate.value)
+
+
+_twolame = None
+
+
+def have_twolame() -> bool:
+    global _twolame
+    if _twolame is None:
+        try:
+            _twolame = C.CDLL("libtwolame.so.0")
+        except OSError:
+            _twolame = False
+    return bool(_twolame)
+
+
+def twolame_encode(
+    pcm: np.ndarray, sample_rate: int = 44100, bitrate: int = 192,
+    mode: int | None = None,
+) -> bytes:
+    """Encode [frames, channels] int16 PCM → MPEG Layer II bytes.
+
+    mode: twolame modes — 0 auto, 1 stereo, 2 dual, 3 joint, 4 mono."""
+    assert have_twolame()
+    L = _twolame
+    L.twolame_init.restype = C.c_void_p
+    opts = C.c_void_p(L.twolame_init())
+    frames, ch = pcm.shape
+    L.twolame_set_num_channels(opts, ch)
+    L.twolame_set_in_samplerate(opts, sample_rate)
+    L.twolame_set_out_samplerate(opts, sample_rate)
+    L.twolame_set_bitrate(opts, bitrate)
+    if mode is not None:
+        L.twolame_set_mode(opts, mode)
+    rc = L.twolame_init_params(opts)
+    assert rc == 0, f"twolame_init_params failed: {rc}"
+    pcm16 = np.ascontiguousarray(pcm.astype(np.int16))
+    out = np.zeros(frames * 4 + 16384, np.uint8)
+    if ch == 2:
+        n = L.twolame_encode_buffer_interleaved(
+            opts, pcm16.ctypes.data_as(C.POINTER(C.c_short)), frames,
+            out.ctypes.data_as(C.POINTER(C.c_ubyte)), len(out))
+    else:
+        n = L.twolame_encode_buffer(
+            opts, pcm16.ctypes.data_as(C.POINTER(C.c_short)), None, frames,
+            out.ctypes.data_as(C.POINTER(C.c_ubyte)), len(out))
+    assert n >= 0, f"twolame_encode_buffer failed: {n}"
+    n2 = L.twolame_encode_flush(
+        opts, out[n:].ctypes.data_as(C.POINTER(C.c_ubyte)), len(out) - n)
+    assert n2 >= 0
+    L.twolame_close(C.byref(C.c_void_p(opts.value)))
+    return bytes(out[: n + n2])

@@ -450,9 +450,11 @@ class _Synth:
         self.v = np.zeros(1024)
 
     def run(self, ts: np.ndarray) -> np.ndarray:
-        """ts [32, 18] → PCM [576]."""
-        out = np.zeros((18, 32))
-        for t in range(18):
+        """ts [32, nt] → PCM [nt*32] (nt = 18 for Layer III granules;
+        Layer I/II feed arbitrary step counts)."""
+        nt = ts.shape[1]
+        out = np.zeros((nt, 32))
+        for t in range(nt):
             self.v = np.concatenate([T.SYNTH_N @ ts[:, t], self.v[:960]])
             u = np.zeros(512)
             for i in range(8):
