@@ -404,6 +404,13 @@ def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
     Mirrors the oracle's `_stereo` (ISO 2.4.3.4.9): MS over the full
     spectrum (or below the intensity bound), intensity ratio bands above
     the right channel's zero region; inputs are in final line order.
+
+    Known limitation: intensity stereo (mode_ext bit 0) follows a plain
+    ISO reading — the spec's "zero part" bound is ambiguous and real
+    decoders (mpg123, FFmpeg, libmad) measurably disagree with each other
+    on it.  No mainstream MPEG-1 encoder emits intensity (LAME/FhG use
+    MS), so only the MS/LR paths are pinned to mpg123 in tests; LSF
+    intensity (different is_pos coding + 2^-x ratios) is not implemented.
     """
     modes = np.zeros(576, np.int8)
     if header["mode"] != 1:
