@@ -45,18 +45,18 @@ def _build_engine(asset_dir: str, resample: bool, realtime: bool,
         if err[i] != 0:
             print(f"  skipped {n!r} (decode error {int(err[i])})")
 
-    ok_idx = [names[n] for n in kept]
-    sel = jnp.asarray(ok_idx, jnp.int32)
-    tracks, lens, chs = ES.tracks_from_batch(
-        type(batch)(
-            pcm=batch.pcm[sel], sample_rate=batch.sample_rate[sel],
-            num_channels=batch.num_channels[sel],
-            bits_per_sample=batch.bits_per_sample[sel],
-            valid_frames=batch.valid_frames[sel], err=batch.err[sel],
-            names=tuple(kept), formats=(),
-        ),
-        channels,
+    import dataclasses
+
+    sel = jnp.asarray([names[n] for n in kept], jnp.int32)
+    kept_batch = dataclasses.replace(
+        batch,
+        pcm=batch.pcm[sel], sample_rate=batch.sample_rate[sel],
+        num_channels=batch.num_channels[sel],
+        bits_per_sample=batch.bits_per_sample[sel],
+        valid_frames=batch.valid_frames[sel], err=batch.err[sel],
+        names=tuple(kept), formats=(),
     )
+    tracks, lens, chs = ES.tracks_from_batch(kept_batch, channels)
     st = ES.empty_state(tracks, lens, chs, out_channels=channels)
     reg = ES.HostRegistry(kept)
     sink = Sink(device, rate, channels, realtime=realtime)

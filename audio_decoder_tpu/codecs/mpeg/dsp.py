@@ -156,7 +156,8 @@ def mp3_dsp_tail(
       st_mode: int8 ``[B, G*576]`` per-line stereo mode byte (see
         frontend.ST_*), or None when C == 1 / never joint stereo.
       blockcfg: int8 ``[B, G*C]`` block_type | mixed<<2.
-      rate_idx: int8/int32 ``[B]`` sample-rate index (0=44.1k 1=48k 2=32k).
+      rate_idx: int8/int32 ``[B]`` sample-rate index (tables.RATE_ORDER:
+        44.1k/48k/32k then the MPEG-2 and MPEG-2.5 families).
       channels: static channel count C.
 
     Returns:

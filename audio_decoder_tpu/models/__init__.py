@@ -9,9 +9,13 @@ Families:
   wav  — RIFF/WAVE: vectorized chunk parse + fused PCM unpack (8/16/24/32
          bit + IEEE float), little-endian (codecs/wav.py).
   aiff — FORM/AIFF: big-endian PCM + IEEE-80 rates (codecs/aiff.py).
-  mp3  — MPEG-1 Layer III: host frame/side-info walk (C++ mp3fe or pure
-         Python) + full on-device entropy decode and synthesis
+  mp3  — MPEG-1/2/2.5 Layer III: host frame/side-info walk (C++ mp3fe or
+         pure Python) + full on-device entropy decode and synthesis
          (codecs/mpeg/) — the reference's decode TODO, completed.
+  mp2/mp1 — MPEG Layers II and I: host fixed-width subband parse +
+         jitted requantize feeding the same polyphase synthesis
+         (codecs/mpeg/layer12.py); layer-routed automatically, so a
+         .mp3-named Layer II stream still decodes.
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ MODELS = {
         bit_exact=True,
     ),
     "mp3": CodecModel(
-        name="mp3", extensions=("mp3",),
+        name="mp3", extensions=("mp3", "mp2", "mp1"),
         decode_group=_mpeg.decode_group,
         bit_exact=False,  # ISO spec tolerance (validated vs mpg123)
     ),

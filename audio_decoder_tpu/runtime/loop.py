@@ -147,7 +147,7 @@ def _read_line_raw(term: RawTerminal, history: list[str], prompt_state) -> str |
             cur += 1
 
 
-def _render_prompt(loop: EngineLoop, prompt_state, stop: threading.Event):
+def _render_prompt(prompt_state, stop: threading.Event):
     """Marker + line redraw thread (≙ runtime.rs:56-117: spinner every
     100 ms, line repaint at 15 ms)."""
     import time
@@ -186,7 +186,7 @@ def repl(loop: EngineLoop, infile=None, outfile=None):
             prompt_state: dict = {"line": "", "cursor": 0}
             stop_prompt = threading.Event()
             painter = threading.Thread(
-                target=_render_prompt, args=(loop, prompt_state, stop_prompt),
+                target=_render_prompt, args=(prompt_state, stop_prompt),
                 daemon=True,
             )
             with RawTerminal() as term:
