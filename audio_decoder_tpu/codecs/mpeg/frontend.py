@@ -133,9 +133,26 @@ def probe_layer(blob: bytes) -> int:
     return 0
 
 
+def _is_info_frame(blob: bytes, pos: int, h: dict) -> bool:
+    """Xing/Info/VBRI metadata frame detection (first frame of VBR/LAME
+    files): a decoder must skip it — it carries no audio."""
+    if h["layer"] != 1:  # tags live in Layer III streams
+        return False
+    off = pos + 4 + (2 if h["crc"] else 0)
+    if h["version"] == 3:
+        side = 17 if h["channels"] == 1 else 32
+    else:
+        side = 9 if h["channels"] == 1 else 17
+    tag = blob[off + side : off + side + 4]
+    if tag in (b"Xing", b"Info"):
+        return True
+    return blob[pos + 36 : pos + 40] == b"VBRI"
+
+
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk with resync-on-junk (robust form of the
-    reference's statistical scan, mpeg.rs:17-121)."""
+    reference's statistical scan, mpeg.rs:17-121).  A leading Xing/Info/
+    VBRI metadata frame is dropped."""
     frames = []
     i = skip_id3v2(blob)
     n = len(blob)
@@ -143,7 +160,8 @@ def find_frames(blob: bytes) -> list[tuple[int, dict]]:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
             h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
             if h is not None and i + h["frame_len"] <= n:
-                frames.append((i, h))
+                if frames or not _is_info_frame(blob, i, h):
+                    frames.append((i, h))
                 i += h["frame_len"]
                 continue
         i += 1

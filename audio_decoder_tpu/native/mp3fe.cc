@@ -238,8 +238,29 @@ struct Frame {
   Header h;
 };
 
+// Xing/Info/VBRI metadata frame (first frame of VBR/LAME files): no audio.
+static bool is_info_frame(const uint8_t* blob, int64_t n, int64_t pos,
+                          const Header& h) {
+  if (h.layer != 1) return false;  // Layer III streams only
+  int64_t off = pos + 4 + (h.crc ? 2 : 0);
+  int side = h.version == 3 ? (h.channels == 1 ? 17 : 32)
+                            : (h.channels == 1 ? 9 : 17);
+  if (off + side + 4 <= n) {
+    const uint8_t* t = blob + off + side;
+    if ((t[0] == 'X' && t[1] == 'i' && t[2] == 'n' && t[3] == 'g') ||
+        (t[0] == 'I' && t[1] == 'n' && t[2] == 'f' && t[3] == 'o'))
+      return true;
+  }
+  if (pos + 40 <= n) {
+    const uint8_t* v = blob + pos + 36;
+    if (v[0] == 'V' && v[1] == 'B' && v[2] == 'R' && v[3] == 'I') return true;
+  }
+  return false;
+}
+
 // Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
-// A leading ID3v2 tag (synchsafe size) is skipped to avoid false syncs.
+// A leading ID3v2 tag (synchsafe size) and a leading Xing/Info/VBRI
+// metadata frame are skipped.
 static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
   int64_t i = 0;
   if (n >= 10 && blob[0] == 'I' && blob[1] == 'D' && blob[2] == '3') {
@@ -254,7 +275,9 @@ static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out)
                       ((uint32_t)blob[i + 2] << 8) | blob[i + 3];
       Header h;
       if (parse_header(word, &h) && i + h.frame_len <= n) {
-        out->push_back({i, h});
+        if (!out->empty() || !is_info_frame(blob, n, i, h)) {
+          out->push_back({i, h});
+        }
         i += h.frame_len;
         continue;
       }

@@ -95,8 +95,10 @@ def parse_header(word: int) -> dict | None:
 
 
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
-    """Sequential sync walk (the robust form of mpeg.rs:17-50's scan)."""
-    from audio_decoder_tpu.codecs.mpeg.frontend import skip_id3v2
+    """Sequential sync walk (the robust form of mpeg.rs:17-50's scan),
+    with ID3v2 and Xing/Info/VBRI tag handling shared with the package."""
+    from audio_decoder_tpu.codecs.mpeg.frontend import (
+        _is_info_frame, skip_id3v2)
 
     frames = []
     i = skip_id3v2(blob)
@@ -105,7 +107,8 @@ def find_frames(blob: bytes) -> list[tuple[int, dict]]:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
             h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
             if h is not None and i + h["frame_len"] <= n:
-                frames.append((i, h))
+                if frames or not _is_info_frame(blob, i, h):
+                    frames.append((i, h))
                 i += h["frame_len"]
                 continue
         i += 1

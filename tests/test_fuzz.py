@@ -119,3 +119,50 @@ def test_id3v2_tag_skipped():
     n = min(len(ref), f.pcm.shape[0])
     rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean()))
     assert rms < 5e-7
+
+
+def test_vbr_stream_with_xing_tag():
+    """VBR streams (per-frame bitrates) decode; a leading Xing tag frame
+    carries no audio and must be dropped, like mpg123 does."""
+    import ctypes as Ct
+    if not (CR.have_lame() and CR.have_mpg123()):
+        pytest.skip("lame unavailable")
+    L = Ct.CDLL("libmp3lame.so.0")
+    L.lame_init.restype = Ct.c_void_p
+    gfp = Ct.c_void_p(L.lame_init())
+    rng = np.random.default_rng(3)
+    s = 0.3 * rng.standard_normal(44100)
+    pcm = np.clip(np.stack([s, np.roll(s, 7) * 0.8], 1) * 30000,
+                  -32768, 32767).astype(np.int16)
+    L.lame_set_num_channels(gfp, 2)
+    L.lame_set_in_samplerate(gfp, 44100)
+    L.lame_set_VBR(gfp, 4)
+    L.lame_set_VBR_q(gfp, 4)
+    L.lame_set_bWriteVbrTag(gfp, 0)
+    L.lame_init_params(gfp)
+    out = np.zeros(44100 * 4 + 16384, np.uint8)
+    n = L.lame_encode_buffer_interleaved(
+        gfp, pcm.ctypes.data_as(Ct.POINTER(Ct.c_short)), 44100,
+        out.ctypes.data_as(Ct.POINTER(Ct.c_ubyte)), len(out))
+    n2 = L.lame_encode_flush(
+        gfp, out[n:].ctypes.data_as(Ct.POINTER(Ct.c_ubyte)), len(out) - n)
+    blob = bytes(out[: n + n2])
+    from . import mp3_oracle as MO
+    bitrates = {h["bitrate"] for _, h in MO.find_frames(blob)}
+    assert len(bitrates) > 1  # genuinely VBR
+
+    # synthesize a leading Xing frame (valid stereo 128k header + marker)
+    import struct
+    hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                      | (9 << 12) | (0 << 10) | (1 << 6))
+    frame_len = 144 * 128000 // 44100
+    xing = bytearray(hdr) + bytearray(frame_len - 4)
+    xing[4 + 32 : 4 + 36] = b"Xing"
+    tagged = bytes(xing) + blob
+
+    ref, _ = CR.mpg123_decode(tagged)
+    f = _decode_one("vbr", "mp3", tagged)
+    assert f.err == 0
+    n = min(len(ref), f.pcm.shape[0])
+    rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean()))
+    assert rms < 5e-7, f"rms {rms}"
