@@ -670,93 +670,141 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
     )
 
 
-def analyze(blob: bytes) -> Mp3Analysis:
-    """Walk an MPEG-1 Layer III stream → dense per-granule tensors.
-
-    Undecodable frames (reservoir underflow at stream start, corrupt
-    entropy data) become silent granules rather than failing the file,
-    matching the reference's per-file catch-and-skip (main.rs:55-77)."""
-    frames = find_frames(blob)
-    frames = [(p, h) for p, h in frames if h["layer"] == 1]
-    if not frames:
-        raise E.InvalidDataError("no Layer III frames")
-    h0 = frames[0][1]
-    sr, ch, ver = h0["sr"], h0["channels"], h0["version"]
-    lsf = ver != 3
-    ngr = 1 if lsf else 2
-    frames = [
-        (p, h) for p, h in frames
-        if h["sr"] == sr and h["channels"] == ch and h["version"] == ver
-    ]
-    joint = any(h["mode"] == 1 for _, h in frames)
-
-    G = ngr * len(frames)
-    is_q = np.zeros((G, ch, 576), np.int16)
-    exp_b = np.zeros((G, ch, 61), np.int16)
-    st_mode = np.zeros((G, 576), np.int8) if (ch == 2 and joint) else None
-    blockcfg = np.zeros((G, ch), np.int8)
-
-    reservoir = b""
-    fi = 0
-    for pos, h in frames:
-        gbase = ngr * fi
-        fi += 1
-        if lsf:
-            side_len = 9 if ch == 1 else 17
+def _huffman_from_lane(
+    bits: _Bits, start: int, end: int, big: int, r1: int, r2: int,
+    tsel, c1sel: int,
+) -> np.ndarray:
+    """Host Huffman decode of one lane window (the same contract the
+    device decoder runs): bit range [start, end) of the concatenated
+    main_data stream → 576 pre-reorder lines."""
+    is_ = np.zeros(576, np.int32)
+    bits.pos = start
+    idx = 0
+    get1 = bits.get1
+    while idx < 2 * big:
+        region = 0 if idx < r1 else (1 if idx < r2 else 2)
+        tid, linbits = HT.TABLE_INFO[int(tsel[region])]
+        if tid < 0:
+            raise E.InvalidDataError("reserved huffman table")
+        if tid == 0:
+            x = y = 0
         else:
-            side_len = 17 if ch == 1 else 32
-        off = pos + 4 + (2 if h["crc"] else 0)
-        main = bytes(blob[off + side_len : pos + h["frame_len"]])
+            dec = _DEC_BIG[tid]
+            maxlen = _MAXLEN_BIG[tid]
+            code, length, hit = 0, 0, None
+            while length <= maxlen:
+                code = (code << 1) | get1()
+                length += 1
+                hit = dec.get((length, code))
+                if hit is not None:
+                    break
+            if hit is None:
+                raise E.InvalidDataError("invalid huffman code")
+            x, y = hit
+            if x == 15 and linbits:
+                x += bits.get(linbits)
+            if x and get1():
+                x = -x
+            if y == 15 and linbits:
+                y += bits.get(linbits)
+            if y and get1():
+                y = -y
+        if idx < 576:
+            is_[idx] = x
+        if idx + 1 < 576:
+            is_[idx + 1] = y
+        idx += 2
+    dec = _DEC_C1[c1sel]
+    while bits.pos < end and idx < 576:
+        code, length, v = 0, 0, None
+        while length <= 6:
+            code = (code << 1) | get1()
+            length += 1
+            v = dec.get((length, code))
+            if v is not None:
+                break
+        if v is None:
+            raise E.InvalidDataError("invalid count1 code")
+        for q in ((v >> 3) & 1, (v >> 2) & 1, (v >> 1) & 1, v & 1):
+            if idx >= 576:
+                break
+            if q:
+                q = -q if get1() else q
+            is_[idx] = q
+            idx += 1
+    if bits.pos > end:
+        is_[max(idx - 4, 0) : idx] = 0
+    return is_
+
+
+def analyze(blob: bytes) -> Mp3Analysis:
+    """Walk a Layer III stream → dense per-granule tensors (host-Huffman
+    variant of the decode pipeline).
+
+    Built on ``analyze_lanes`` — one shared frame/side-info/scalefactor
+    walk — plus host entropy decode of each lane window (the exact
+    contract the on-device decoder runs, so the two stay bit-identical).
+    Undecodable granules become silence, matching the reference's
+    per-file catch-and-skip (main.rs:55-77)."""
+    ln = analyze_lanes(blob)
+    G, ch = ln.n_granules, ln.channels
+    ngr = 1 if ln.rate_idx >= 3 else 2
+    sr = ln.sample_rate
+
+    is_q = np.zeros((G, ch, 576), np.int16)
+    st_mode = (
+        np.zeros((G, 576), np.int8)
+        if (ch == 2 and ln.joint_stereo) else None
+    )
+    data = ln.main_data.tobytes()
+    bits = _Bits(data)
+    for gbase in range(0, G, ngr):
         try:
-            side = _read_side_info(_Bits(blob[off : off + side_len]), ch, ver)
-        except (IndexError, E.DecodeError):
-            reservoir = (reservoir + main)[-4096:]
-            continue
-        start = len(reservoir) - side["main_data_begin"]
-        if start < 0:
-            reservoir = (reservoir + main)[-4096:]
-            continue  # silent frame: granules stay zero
-        data = reservoir[start:] + main
-        bits = _Bits(data)
-        prev_sf: list = [None] * ch
-        try:
+            frame_is = np.zeros((ngr, ch, 576), np.int32)
             for gr in range(ngr):
-                line_is = [None] * ch
-                sfx = [None] * ch
-                for c in range(ch):
-                    g = side["gr"][gr][c]
-                    part2_start = bits.pos
-                    if lsf:
-                        sf = _read_scalefacs_lsf(bits, g)
-                    else:
-                        sf = _read_scalefacs(
-                            bits, g, gr, side["scfsi"][c], prev_sf[c]
-                        )
-                    prev_sf[c] = sf
-                    sfx[c] = sf
-                    is_pre = _huffman_spectrum(bits, g, sr, part2_start)
-                    if g["window_switching"] and g["block_type"] == 2:
-                        is_pre = is_pre[_reorder_perm(sr, g["mixed"])]
-                    line_is[c] = is_pre
                 gi = gbase + gr
                 for c in range(ch):
-                    g = side["gr"][gr][c]
-                    is_q[gi, c] = line_is[c].astype(np.int16)
-                    exp_b[gi, c] = _exp_bands(g, sfx[c])
-                    blockcfg[gi, c] = _blockcfg(g)
-                if st_mode is not None:
+                    if not ln.valid[gi, c]:
+                        continue
+                    pre = _huffman_from_lane(
+                        bits, int(ln.start_bit[gi, c]), int(ln.end_bit[gi, c]),
+                        int(ln.big_values[gi, c]), int(ln.region1[gi, c]),
+                        int(ln.region2[gi, c]), ln.tsel[gi, c],
+                        int(ln.c1sel[gi, c]),
+                    )
+                    cfgb = int(ln.blockcfg[gi, c])
+                    if (cfgb & 3) == 2:  # short: reorder to line order
+                        pre = pre[_reorder_perm(sr, (cfgb >> 2) & 1)]
+                    frame_is[gr, c] = pre
+            for gr in range(ngr):
+                gi = gbase + gr
+                is_q[gi] = frame_is[gr].astype(np.int16)
+                if st_mode is not None and ln.valid[gi].all():
+                    flags = int(ln.st_flags[gi])
+                    header = dict(
+                        mode=1 if flags & 1 else 0,
+                        mode_ext=((flags >> 1) & 1) * 2 + ((flags >> 2) & 1),
+                    )
+                    sf_r = dict(
+                        l=ln.sfr_bands[gi, :22].astype(np.int32),
+                        s=ln.sfr_bands[gi, 22:].reshape(13, 3).astype(np.int32),
+                    )
+                    cfgb = int(ln.blockcfg[gi, 1])
+                    g_r = dict(
+                        window_switching=1 if (cfgb & 3) else 0,
+                        block_type=cfgb & 3,
+                        mixed=(cfgb >> 2) & 1,
+                    )
                     st_mode[gi] = _stereo_modes(
-                        line_is[0], line_is[1], side["gr"][gr][1], sfx[1], h, sr
+                        frame_is[gr, 0], frame_is[gr, 1], g_r, sf_r, header, sr
                     )
         except (IndexError, E.DecodeError):
             is_q[gbase : gbase + ngr] = 0
-            exp_b[gbase : gbase + ngr] = 0
-            blockcfg[gbase : gbase + ngr] = 0
             if st_mode is not None:
                 st_mode[gbase : gbase + ngr] = 0
-        reservoir = (reservoir + main)[-4096:]
 
     return Mp3Analysis(
-        sample_rate=sr, channels=ch, n_granules=G, joint_stereo=joint,
-        is_q=is_q, exp_b=exp_b, st_mode=st_mode, blockcfg=blockcfg,
+        sample_rate=sr, channels=ch, n_granules=G,
+        joint_stereo=ln.joint_stereo, is_q=is_q, exp_b=ln.exp_b,
+        st_mode=st_mode, blockcfg=ln.blockcfg,
     )
