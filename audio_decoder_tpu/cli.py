@@ -98,6 +98,68 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Interactive byte/sync navigator (≙ the reference's `skiparound`
+    debugging aid, mpeg.rs:305-364): n/b hunt sync words, f steps a whole
+    frame via the parsed header, +N/-N move bytes, q quits."""
+    from .codecs.mpeg.frontend import parse_header
+
+    with open(args.file, "rb") as fh:
+        blob = fh.read()
+    cur = 0
+
+    def show():
+        lo = max(cur - 8, 0)
+        hi = min(cur + 24, len(blob))
+        hexes = " ".join(
+            f"[{blob[k]:02x}]" if k == cur else f"{blob[k]:02x}"
+            for k in range(lo, hi)
+        )
+        line = f"@{cur}: {hexes}"
+        h = None
+        if cur + 4 <= len(blob) and blob[cur] == 0xFF and (blob[cur + 1] & 0xE0) == 0xE0:
+            h = parse_header(int.from_bytes(blob[cur : cur + 4], "big"))
+        if h:
+            line += (f"  <sync: v{h['version']} L{4 - h['layer']} "
+                     f"{h['bitrate'] // 1000}kbps {h['sr']}Hz "
+                     f"len={h['frame_len']}>")
+        print(line)
+
+    def find_sync(start: int, step: int) -> int:
+        k = start
+        while 0 <= k < len(blob) - 1:
+            if blob[k] == 0xFF and (blob[k + 1] & 0xE0) == 0xE0:
+                return k
+            k += step
+        return cur
+
+    show()
+    for raw in sys.stdin:
+        cmd = raw.strip()
+        if not cmd:
+            continue
+        if cmd in ("q", "quit"):
+            break
+        if cmd == "n":
+            cur = find_sync(cur + 1, 1)
+        elif cmd == "b":
+            cur = find_sync(cur - 1, -1)
+        elif cmd == "f":
+            h = None
+            if cur + 4 <= len(blob):
+                h = parse_header(int.from_bytes(blob[cur : cur + 4], "big"))
+            cur = min(cur + (h["frame_len"] if h else 1), len(blob) - 1)
+        elif cmd == "f-":
+            cur = find_sync(cur - 1, -1)
+        elif cmd and (cmd[0] in "+-" and cmd[1:].isdigit()):
+            cur = min(max(cur + int(cmd), 0), len(blob) - 1)
+        else:
+            print("commands: n b f f- +N -N q")
+            continue
+        show()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="audio_decoder_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -117,6 +179,10 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("inspect", help="byte/sync navigator (≙ skiparound)")
+    pi.add_argument("file")
+    pi.set_defaults(fn=cmd_inspect)
 
     p.add_argument("--platform", default=None,
                    help="JAX platform override (cpu/tpu); real-time REPL "

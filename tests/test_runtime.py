@@ -179,3 +179,24 @@ def test_stream_decode_prefetch():
         assert f.err == 0
         np.testing.assert_array_equal(
             np.round(f.pcm * 32768.0).astype(np.int16), pcm)
+
+
+def test_cli_inspect_navigator(monkeypatch, capsys):
+    """The skiparound-style byte navigator parses syncs and moves."""
+    import io
+    from audio_decoder_tpu import cli
+    from . import codec_refs as CR
+
+    if not CR.have_lame():
+        pytest.skip("lame unavailable")
+    rng = np.random.default_rng(5)
+    s = 0.3 * rng.standard_normal(4410)
+    pcm = np.clip(np.stack([s, s], 1) * 30000, -32768, 32767).astype(np.int16)
+    path = tempfile.mktemp(suffix=".mp3")
+    with open(path, "wb") as f:
+        f.write(CR.lame_encode(pcm, 44100, 128, mode=1))
+    monkeypatch.setattr("sys.stdin", io.StringIO("f\nn\n+5\n-2\nq\n"))
+    rc = cli.main(["inspect", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "<sync:" in out and "128kbps" in out
