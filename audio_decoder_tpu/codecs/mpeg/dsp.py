@@ -257,21 +257,43 @@ def polyphase_synthesis(TS: jax.Array) -> jax.Array:
     """Polyphase synthesis filterbank, fully parallel over time steps.
 
     TS: f32 ``[B, C, T, 32]`` subband samples (one 32-vector per output
-    block) → PCM ``[B, T*32, C]``.  Shared by all three MPEG layers —
-    matrixing as one MXU matmul, the ISO shift register unrolled into a
-    16-tap FIR over block history."""
+    block) → PCM ``[B, T*32, C]``.  Shared by all three MPEG layers.  On
+    TPU the matrixing + FIR run as one fused Pallas kernel (VMEM-resident
+    block history, single HBM read/write — ops/pallas_synth.py); the XLA
+    fallback materializes V and reads 16 shifted views."""
     B, C, Tsteps, _ = TS.shape
-    prec = jax.lax.Precision.HIGHEST
     f = jnp.float32
-    V = jnp.einsum("bctk,nk->bctn", TS, jnp.asarray(T.SYNTH_N, f), precision=prec)
-    Vp = jnp.pad(V, ((0, 0), (0, 0), (15, 0), (0, 0)))
-    g2 = jnp.asarray(_G2, f)
-    out = jnp.zeros((B, C, Tsteps, 32), f)
-    for k in range(16):
-        seg = jax.lax.dynamic_slice_in_dim(Vp, 15 - k, Tsteps, axis=2)
-        half = seg[..., :32] if k % 2 == 0 else seg[..., 32:]
-        out = out + g2[k] * half
+    if _use_pallas():
+        from ...ops.pallas_synth import TILE_T, polyphase_synthesis_pallas
+
+        pad = (-Tsteps) % TILE_T
+        flat = TS.reshape(B * C, Tsteps, 32)
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+        out = polyphase_synthesis_pallas(
+            flat, jnp.asarray(T.SYNTH_N, f), jnp.asarray(_G2, f)
+        )[:, :Tsteps]
+        out = out.reshape(B, C, Tsteps, 32)
+    else:
+        prec = jax.lax.Precision.HIGHEST
+        V = jnp.einsum(
+            "bctk,nk->bctn", TS, jnp.asarray(T.SYNTH_N, f), precision=prec
+        )
+        Vp = jnp.pad(V, ((0, 0), (0, 0), (15, 0), (0, 0)))
+        g2 = jnp.asarray(_G2, f)
+        out = jnp.zeros((B, C, Tsteps, 32), f)
+        for k in range(16):
+            seg = jax.lax.dynamic_slice_in_dim(Vp, 15 - k, Tsteps, axis=2)
+            half = seg[..., :32] if k % 2 == 0 else seg[..., 32:]
+            out = out + g2[k] * half
     return out.reshape(B, C, Tsteps * 32).transpose(0, 2, 1)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 # ---------------------------------------------------------------------------
