@@ -234,8 +234,13 @@ class CmdProcessor:
 
     def _parse_seq(self, args: list[str]) -> Command:
         if not args:
-            raise CmdErr("seq: missing voice name")
-        voice = self._find_voice(args[0])
+            raise CmdErr("seq: missing voice or group name")
+        group = -1
+        voice = -1
+        if args[0] in self.reg.groups:
+            group = self.reg.groups[args[0]]  # group-level sequencer
+        else:
+            voice = self._find_voice(args[0])
         period = 0
         steps: list[int] = []
         chance_spec = "_"
@@ -268,8 +273,9 @@ class CmdProcessor:
             raise CmdErr("seq: steps must lie in [0, period)")
         chance = self._parse_chance(chance_spec, steps, period)
         return Command(
-            verb="seq", voice=voice, period=period, steps=tuple(steps),
-            chance=tuple(chance), jitter=jitter, tempo=tempo,
+            verb="seq", voice=voice, group=group, period=period,
+            steps=tuple(steps), chance=tuple(chance), jitter=jitter,
+            tempo=tempo,
         )
 
     @staticmethod
@@ -374,15 +380,39 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
             mask[s] = True
         for s, p in enumerate(cmd.chance):
             ch[s] = p
-        st = dataclasses.replace(
-            st,
-            s_on=st.s_on.at[v].set(True),
-            s_period=st.s_period.at[v].set(cmd.period),
-            s_stepmask=st.s_stepmask.at[v].set(jnp.asarray(mask)),
-            s_chance=st.s_chance.at[v].set(jnp.asarray(ch)),
-        )
-        if cmd.tempo is not None:
-            st = _bind_tempo_voice(st, reg, v, cmd.tempo)
+        if cmd.group >= 0:
+            # group-level sequencer: every member voice follows the group
+            # tempo lane and shares its chance roll (lane-keyed RNG)
+            targets = [
+                int(i) for i in np.nonzero(np.asarray(st.v_group) == cmd.group)[0]
+            ]
+            lane = reg.group_lane(cmd.group)
+            if cmd.tempo is not None and cmd.tempo.kind == "own":
+                st = dataclasses.replace(
+                    st,
+                    t_interval=st.t_interval.at[lane].set(
+                        cmd.tempo.interval_samples
+                    ),
+                    g_tempo=st.g_tempo.at[cmd.group].set(lane),
+                )
+            if int(st.g_tempo[cmd.group]) < 0:
+                raise CmdErr("seq on a group requires a group tempo (-t)")
+        else:
+            targets = [v]
+        for t in targets:
+            st = dataclasses.replace(
+                st,
+                s_on=st.s_on.at[t].set(True),
+                s_period=st.s_period.at[t].set(cmd.period),
+                s_stepmask=st.s_stepmask.at[t].set(jnp.asarray(mask)),
+                s_chance=st.s_chance.at[t].set(jnp.asarray(ch)),
+            )
+            if cmd.group >= 0:
+                st = dataclasses.replace(
+                    st, v_tempo=st.v_tempo.at[t].set(reg.group_lane(cmd.group))
+                )
+            elif cmd.tempo is not None:
+                st = _bind_tempo_voice(st, reg, t, cmd.tempo)
         return st
     if cmd.verb == "quit":
         return st

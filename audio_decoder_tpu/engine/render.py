@@ -59,9 +59,15 @@ def render_block(
     k = jnp.minimum(k, MAX_STEPS - 1)
     in_step = jnp.take_along_axis(st.s_stepmask, k, axis=1)
     chance = jnp.take_along_axis(st.s_chance, k, axis=1)
-    u = jax.random.uniform(
-        jax.random.fold_in(st.rng_key, st.clock), (V, F), dtype=f32
+    # Chance rolls are keyed by TEMPO LANE, not voice: voices driven by one
+    # group sequencer share a roll (the reference's group-level Seq rolls
+    # once per trigger, processes.rs:77-89), while independent voices get
+    # independent streams.
+    n_lanes = st.t_interval.shape[0]
+    u_lane = jax.random.uniform(
+        jax.random.fold_in(st.rng_key, st.clock), (n_lanes, F), dtype=f32
     )
+    u = u_lane[lane]
     grp = st.v_group
     g_ok = jnp.where(grp >= 0, st.g_active[jnp.maximum(grp, 0)], True)
     sounding = st.v_used & st.v_active & g_ok

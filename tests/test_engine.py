@@ -183,3 +183,37 @@ def test_tempo_units():
     assert EC.convert_interval("b", 120, 44100) == 22050
     with pytest.raises(EC.CmdErr):
         EC.convert_interval("x", 1, 44100)
+
+
+def test_group_sequencer_retriggers_members_together():
+    """A group-level seq (≙ Group's Process chain, engine.rs:451-543)
+    drives all member voices on the group tempo with a SHARED chance roll."""
+    click_a = np.zeros((1000, 1), np.float32)
+    click_a[0] = 0.5
+    click_b = np.zeros((1000, 1), np.float32)
+    click_b[0] = 0.25
+    st, reg, proc = _engine({"a": click_a, "b": click_b})
+    st = _run(st, reg, proc, [
+        "load a", "load b",
+        "group duo -v a,b",
+        "seq duo -t s:100 -p 2 -s 0,1 -c a:0.5",  # coin-flip per step
+        "start -g duo",
+    ])
+    audio, st = render_seconds(st, 2.0, RATE, 1, block=128)
+    # triggers land only on the 100-sample grid, and when they land BOTH
+    # voices fire together (shared roll): amplitude is 0.75, never 0.5/0.25
+    hits = np.nonzero(audio[:, 0] > 0.1)[0]
+    assert len(hits) > 2
+    assert all(h % 100 == 0 for h in hits)
+    vals = {round(float(audio[h, 0]), 3) for h in hits}
+    assert vals == {0.75}, vals
+    # chance 0.5 actually skips some steps
+    assert len(hits) < 2.0 * RATE / 100
+
+
+def test_group_seq_requires_group_tempo():
+    a = np.zeros((64, 1), np.float32)
+    st, reg, proc = _engine({"a": a})
+    st = _run(st, reg, proc, ["load a", "group g1 -v a"])
+    with pytest.raises(EC.CmdErr):
+        EC.apply(st, reg, proc.parse("seq g1 -p 2 -s 0"))
