@@ -15,10 +15,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import struct
+import sys
 import time
 
-import numpy as np
+# The working interpreter lives in /opt/venv; re-exec if invoked with a
+# bare system python that lacks the scientific stack.
+try:
+    import numpy as np
+except ImportError:  # pragma: no cover
+    venv_py = "/opt/venv/bin/python"
+    if os.path.exists(venv_py) and os.path.realpath(sys.executable) != venv_py:
+        os.execv(venv_py, [venv_py] + sys.argv)
+    raise
 
 
 def _wav_blob(rng, seconds: float, rate: int = 44100, channels: int = 2) -> bytes:
