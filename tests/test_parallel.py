@@ -1,0 +1,101 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh.
+
+The reference is a single-process, 4-thread program with no distributed
+machinery (SURVEY §2); the TPU build scales by data-parallel sharding of
+the file batch over a ('data','model') mesh with consensus as the only
+collective.  conftest forces an 8-device CPU platform so these run
+anywhere.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_decoder_tpu.parallel.decode import (
+    sharded_decode_fn,
+    sharded_mp3_decode_fn,
+)
+from audio_decoder_tpu.parallel.mesh import make_mesh
+
+from . import codec_refs as CR
+from .synth import make_wav
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, model_parallel=2)
+
+
+def test_sharded_wav_decode_matches_single(mesh8, rng):
+    n_files = 8
+    frames = 512
+    blobs, refs = [], []
+    for _ in range(n_files):
+        pcm = np.clip(rng.standard_normal((frames, 2)) * 8000,
+                      -32768, 32767).astype(np.int16)
+        blobs.append(make_wav(pcm, 44100))
+        refs.append(pcm)
+    from audio_decoder_tpu.io.assets import pack_bytes
+
+    bufs, lens = pack_bytes(blobs)
+    fn = sharded_decode_fn(mesh8, bits=16, channels=2, max_frames=frames,
+                           family="wav")
+    with mesh8:
+        pcm, meta, rate, ch = fn(jnp.asarray(bufs), jnp.asarray(lens))
+        jax.block_until_ready(pcm)
+    assert int(np.asarray(meta["err"]).sum()) == 0
+    assert int(rate) == 44100 and int(ch) == 2
+    for i, ref in enumerate(refs):
+        got = np.round(np.asarray(pcm[i]) * 32768.0).astype(np.int16)
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not (CR.have_lame() and CR.have_mpg123()),
+                    reason="lame/mpg123 unavailable")
+def test_sharded_mp3_decode_matches_single(mesh8, rng):
+    from audio_decoder_tpu.codecs.mpeg import frontend as FE
+    from audio_decoder_tpu.codecs.mpeg.decoder import _pack_python_lanes
+    from . import mp3_oracle as MO
+
+    s = 0.3 * rng.standard_normal(5000)
+    pcm16 = np.clip(np.stack([s, np.roll(s, 9) * 0.8], 1) * 30000,
+                    -32768, 32767).astype(np.int16)
+    blob = CR.lame_encode(pcm16, 44100, 128, mode=1)
+    ln = FE.analyze_lanes(blob)
+    B = 8
+    g_cap, m_cap = 16, 16384
+    r = _pack_python_lanes([ln] * B, g_cap, m_cap, ln.channels)
+    L = g_cap * ln.channels
+    fn = sharded_mp3_decode_fn(
+        mesh8, channels=ln.channels, joint_stereo=ln.joint_stereo,
+        n_big=320, n_c1=144,
+    )
+    with mesh8:
+        pcm = fn(
+            jnp.asarray(r["main"]),
+            jnp.asarray(r["start"].reshape(B, L)),
+            jnp.asarray(r["end"].reshape(B, L)),
+            jnp.asarray(r["limit"].reshape(B, L)),
+            jnp.asarray(r["big"].reshape(B, L)),
+            jnp.asarray(r["r1"].reshape(B, L)),
+            jnp.asarray(r["r2"].reshape(B, L)),
+            jnp.asarray(r["tsel"].reshape(B, L * 3)),
+            jnp.asarray(r["c1sel"].reshape(B, L)),
+            jnp.asarray(r["valid"].reshape(B, L)),
+            jnp.asarray(r["exp_b"].reshape(B, L * 61)),
+            jnp.asarray(r["cfg"].reshape(B, L)),
+            jnp.asarray(r["stflags"].reshape(B, g_cap)),
+            jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
+            jnp.asarray(np.zeros(B, np.int32)),
+        )
+        jax.block_until_ready(pcm)
+    ref, _ = MO.decode(blob)
+    n = min(len(ref), ln.n_granules * 576)
+    for i in range(B):  # every data shard decodes identically + correctly
+        got = np.asarray(pcm[i])[:n, : ln.channels]
+        rms = float(np.sqrt(((ref[:n] - got) ** 2).mean()))
+        assert rms < 5e-7, f"shard {i}: rms {rms}"
