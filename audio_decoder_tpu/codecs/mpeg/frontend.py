@@ -87,16 +87,24 @@ def parse_header(word: int) -> dict | None:
     padding = (word >> 9) & 1
     mode = (word >> 6) & 3
     mode_ext = (word >> 4) & 3
-    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+    if version == 1 or layer == 0 or br_idx == 15 or sr_idx == 3:
         return None
-    bitrate = int(T.BITRATE_KBPS[br_idx - 1][T.bitrate_column(version, layer)]) * 1000
     sr = T.SAMPLE_RATES[version][sr_idx]
-    if layer == 1:  # Layer III
-        slots = (144 if version == 3 else 72) * bitrate // sr + padding
-    elif layer == 2:  # Layer II
-        slots = 144 * bitrate // sr + padding
-    else:  # Layer I
-        slots = (12 * bitrate // sr + padding) * 4
+    if br_idx == 0:
+        # free format: constant (nonstandard) bitrate; the frame length is
+        # measured from sync spacing by the scanner (frame_len = 0 here)
+        bitrate, slots = 0, 0
+    else:
+        bitrate = (
+            int(T.BITRATE_KBPS[br_idx - 1][T.bitrate_column(version, layer)])
+            * 1000
+        )
+        if layer == 1:  # Layer III
+            slots = (144 if version == 3 else 72) * bitrate // sr + padding
+        elif layer == 2:  # Layer II
+            slots = 144 * bitrate // sr + padding
+        else:  # Layer I
+            slots = (12 * bitrate // sr + padding) * 4
     return dict(
         version=version, layer=layer, crc=crc, bitrate=bitrate, sr=sr,
         padding=padding, mode=mode, mode_ext=mode_ext, frame_len=int(slots),
@@ -149,17 +157,47 @@ def _is_info_frame(blob: bytes, pos: int, h: dict) -> bool:
     return blob[pos + 36 : pos + 40] == b"VBRI"
 
 
+def _free_format_base(blob: bytes, i: int, h: dict) -> int:
+    """Measure a free-format stream's base frame size: distance from the
+    frame at ``i`` to the next sync with matching header fields, minus
+    this frame's padding slot."""
+    n = len(blob)
+    step = 1 if h["layer"] != 3 else 4  # Layer I slots are 4 bytes
+    j = i + 16
+    while j + 4 <= n and j - i < 8192:
+        if blob[j] == 0xFF and (blob[j + 1] & 0xE0) == 0xE0:
+            h2 = parse_header(int.from_bytes(blob[j : j + 4], "big"))
+            if (
+                h2 is not None
+                and h2["bitrate"] == 0
+                and h2["version"] == h["version"]
+                and h2["layer"] == h["layer"]
+                and h2["sr"] == h["sr"]
+            ):
+                return (j - i) - h["padding"] * step
+        j += 1
+    return 0
+
+
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk with resync-on-junk (robust form of the
     reference's statistical scan, mpeg.rs:17-121).  A leading Xing/Info/
-    VBRI metadata frame is dropped."""
+    VBRI metadata frame is dropped; free-format (bitrate_index 0) frame
+    lengths are measured from sync spacing."""
     frames = []
     i = skip_id3v2(blob)
     n = len(blob)
+    free_base = 0
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
             h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
-            if h is not None and i + h["frame_len"] <= n:
+            if h is not None and h["bitrate"] == 0:
+                if not free_base:
+                    free_base = _free_format_base(blob, i, h)
+                if free_base:
+                    step = 1 if h["layer"] != 3 else 4
+                    h["frame_len"] = free_base + h["padding"] * step
+            if h is not None and h["frame_len"] > 0 and i + h["frame_len"] <= n:
                 if frames or not _is_info_frame(blob, i, h):
                     frames.append((i, h))
                 i += h["frame_len"]

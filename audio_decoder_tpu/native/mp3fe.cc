@@ -203,23 +203,30 @@ static bool parse_header(uint32_t word, Header* h) {
   int crc = !((word >> 16) & 1);
   int br_idx = (word >> 12) & 0xF;
   int sr_idx = (word >> 10) & 3;
-  if (version == 1 || layer == 0 || br_idx == 0 || br_idx == 15 || sr_idx == 3)
+  if (version == 1 || layer == 0 || br_idx == 15 || sr_idx == 3)
     return false;
-  int col;
-  if (version == 3)
-    col = (layer == 3) ? 0 : (layer == 2 ? 1 : 2);
-  else
-    col = (layer == 3) ? 3 : 4;
-  int bitrate = kBitrate[br_idx - 1][col] * 1000;
   int sr = kSampleRates[version][sr_idx];
   int padding = (word >> 9) & 1;
+  int bitrate;
   long slots;
-  if (layer == 1)  // Layer III
-    slots = (long)(version == 3 ? 144 : 72) * bitrate / sr + padding;
-  else if (layer == 2)  // Layer II
-    slots = 144L * bitrate / sr + padding;
-  else  // Layer I
-    slots = (12L * bitrate / sr + padding) * 4;
+  if (br_idx == 0) {
+    // free format: the scanner measures frame length from sync spacing
+    bitrate = 0;
+    slots = 0;
+  } else {
+    int col;
+    if (version == 3)
+      col = (layer == 3) ? 0 : (layer == 2 ? 1 : 2);
+    else
+      col = (layer == 3) ? 3 : 4;
+    bitrate = kBitrate[br_idx - 1][col] * 1000;
+    if (layer == 1)  // Layer III
+      slots = (long)(version == 3 ? 144 : 72) * bitrate / sr + padding;
+    else if (layer == 2)  // Layer II
+      slots = 144L * bitrate / sr + padding;
+    else  // Layer I
+      slots = (12L * bitrate / sr + padding) * 4;
+  }
   h->version = version;
   h->layer = layer;
   h->crc = crc;
@@ -258,9 +265,26 @@ static bool is_info_frame(const uint8_t* blob, int64_t n, int64_t pos,
   return false;
 }
 
+// Free format: measure base frame size from the next matching sync.
+static int free_format_base(const uint8_t* blob, int64_t n, int64_t i,
+                            const Header& h) {
+  int step = h.layer != 3 ? 1 : 4;  // Layer I slots are 4 bytes
+  for (int64_t j = i + 16; j + 4 <= n && j - i < 8192; j++) {
+    if (blob[j] != 0xFF || (blob[j + 1] & 0xE0) != 0xE0) continue;
+    uint32_t word = ((uint32_t)blob[j] << 24) | ((uint32_t)blob[j + 1] << 16) |
+                    ((uint32_t)blob[j + 2] << 8) | blob[j + 3];
+    Header h2;
+    if (parse_header(word, &h2) && h2.bitrate == 0 &&
+        h2.version == h.version && h2.layer == h.layer && h2.sr == h.sr) {
+      return (int)(j - i) - h.padding * step;
+    }
+  }
+  return 0;
+}
+
 // Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
 // A leading ID3v2 tag (synchsafe size) and a leading Xing/Info/VBRI
-// metadata frame are skipped.
+// metadata frame are skipped; free-format frame lengths are measured.
 static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
   int64_t i = 0;
   if (n >= 10 && blob[0] == 'I' && blob[1] == 'D' && blob[2] == '3') {
@@ -269,17 +293,25 @@ static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out)
                    ((int64_t)(blob[8] & 0x7F) << 7) | (blob[9] & 0x7F);
     i = 10 + size;
   }
+  int free_base = 0;
   while (i + 4 <= n) {
     if (blob[i] == 0xFF && (blob[i + 1] & 0xE0) == 0xE0) {
       uint32_t word = ((uint32_t)blob[i] << 24) | ((uint32_t)blob[i + 1] << 16) |
                       ((uint32_t)blob[i + 2] << 8) | blob[i + 3];
       Header h;
-      if (parse_header(word, &h) && i + h.frame_len <= n) {
-        if (!out->empty() || !is_info_frame(blob, n, i, h)) {
-          out->push_back({i, h});
+      if (parse_header(word, &h)) {
+        if (h.bitrate == 0) {
+          if (!free_base) free_base = free_format_base(blob, n, i, h);
+          if (free_base)
+            h.frame_len = free_base + h.padding * (h.layer != 3 ? 1 : 4);
         }
-        i += h.frame_len;
-        continue;
+        if (h.frame_len > 0 && i + h.frame_len <= n) {
+          if (!out->empty() || !is_info_frame(blob, n, i, h)) {
+            out->push_back({i, h});
+          }
+          i += h.frame_len;
+          continue;
+        }
       }
     }
     i++;

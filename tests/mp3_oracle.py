@@ -95,24 +95,11 @@ def parse_header(word: int) -> dict | None:
 
 
 def find_frames(blob: bytes) -> list[tuple[int, dict]]:
-    """Sequential sync walk (the robust form of mpeg.rs:17-50's scan),
-    with ID3v2 and Xing/Info/VBRI tag handling shared with the package."""
-    from audio_decoder_tpu.codecs.mpeg.frontend import (
-        _is_info_frame, skip_id3v2)
+    """Frame scan shared with the package front-end (ID3v2 + Xing/Info/
+    VBRI tag handling, free-format length measurement)."""
+    from audio_decoder_tpu.codecs.mpeg import frontend as FE
 
-    frames = []
-    i = skip_id3v2(blob)
-    n = len(blob)
-    while i + 4 <= n:
-        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
-            h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
-            if h is not None and i + h["frame_len"] <= n:
-                if frames or not _is_info_frame(blob, i, h):
-                    frames.append((i, h))
-                i += h["frame_len"]
-                continue
-        i += 1
-    return frames
+    return FE.find_frames(blob)
 
 
 def _read_side_info(bits: Bits, channels: int, version: int = 3) -> dict:

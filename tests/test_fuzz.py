@@ -166,3 +166,37 @@ def test_vbr_stream_with_xing_tag():
     n = min(len(ref), f.pcm.shape[0])
     rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean()))
     assert rms < 5e-7, f"rms {rms}"
+
+
+def test_free_format_bitrate():
+    """Free-format streams (bitrate_index 0, nonstandard constant rate):
+    frame length measured from sync spacing, padding tracked per frame."""
+    import ctypes as Ct
+    if not (CR.have_lame() and CR.have_mpg123()):
+        pytest.skip("lame unavailable")
+    L = Ct.CDLL("libmp3lame.so.0")
+    L.lame_init.restype = Ct.c_void_p
+    gfp = Ct.c_void_p(L.lame_init())
+    rng = np.random.default_rng(3)
+    s = 0.3 * rng.standard_normal(22050)
+    pcm = np.clip(np.stack([s, np.roll(s, 7) * 0.8], 1) * 30000,
+                  -32768, 32767).astype(np.int16)
+    L.lame_set_num_channels(gfp, 2)
+    L.lame_set_in_samplerate(gfp, 44100)
+    L.lame_set_brate(gfp, 150)  # nonstandard → free format
+    L.lame_set_free_format(gfp, 1)
+    L.lame_set_bWriteVbrTag(gfp, 0)
+    assert L.lame_init_params(gfp) >= 0
+    out = np.zeros(800000, np.uint8)
+    n = L.lame_encode_buffer_interleaved(
+        gfp, pcm.ctypes.data_as(Ct.POINTER(Ct.c_short)), len(pcm),
+        out.ctypes.data_as(Ct.POINTER(Ct.c_ubyte)), len(out))
+    n2 = L.lame_encode_flush(
+        gfp, out[n:].ctypes.data_as(Ct.POINTER(Ct.c_ubyte)), len(out) - n)
+    blob = bytes(out[: n + n2])
+    ref, _ = CR.mpg123_decode(blob)
+    f = _decode_one("ff", "mp3", blob)
+    assert f.err == 0
+    m = min(len(ref), f.pcm.shape[0])
+    rms = float(np.sqrt(((ref[:m] - f.pcm[:m]) ** 2).mean()))
+    assert rms < 5e-7, f"rms {rms}"
