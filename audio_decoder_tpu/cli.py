@@ -98,6 +98,44 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """Offline-render a command script against an asset folder → WAV.
+
+    Each script line is either an engine command or ``@<seconds>`` to
+    advance time; rendering runs the same jitted block renderer as the
+    live loop, just without pacing."""
+    import struct
+
+    loop, rate, ch = _build_engine(
+        args.assets, args.resample, realtime=False, device="default"
+    )
+    loop.sink.capture = []
+    from .runtime.loop import PERIOD
+
+    with open(args.script) as f:
+        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+    for line in lines:
+        if line.startswith("@"):
+            blocks = max(int(float(line[1:]) * rate) // PERIOD, 1)
+            loop.run_blocks(blocks)
+        else:
+            if not loop.submit(line) and loop.errors:
+                print(f"error: {loop.errors[-1]}", file=sys.stderr)
+    if args.seconds:
+        loop.run_blocks(max(int(args.seconds * rate) // PERIOD, 1))
+    pcm = np.concatenate(loop.sink.capture) if loop.sink.capture else (
+        np.zeros((0, ch), np.int16))
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    with open(args.out, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    print(f"rendered {pcm.shape[0] / rate:.2f}s ({pcm.shape[0]} frames) "
+          f"→ {args.out}")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Interactive byte/sync navigator (≙ the reference's `skiparound`
     debugging aid, mpeg.rs:305-364): n/b hunt sync words, f steps a whole
@@ -183,6 +221,16 @@ def main(argv=None) -> int:
     pi = sub.add_parser("inspect", help="byte/sync navigator (≙ skiparound)")
     pi.add_argument("file")
     pi.set_defaults(fn=cmd_inspect)
+
+    pv = sub.add_parser("render", help="offline-render a command script to WAV")
+    pv.add_argument("--assets", required=True)
+    pv.add_argument("--script", required=True,
+                    help="engine commands; '@<sec>' lines advance time")
+    pv.add_argument("--seconds", type=float, default=0.0,
+                    help="extra tail to render after the script")
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--resample", action="store_true")
+    pv.set_defaults(fn=cmd_render)
 
     p.add_argument("--platform", default=None,
                    help="JAX platform override (cpu/tpu); real-time REPL "

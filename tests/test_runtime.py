@@ -200,3 +200,30 @@ def test_cli_inspect_navigator(monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "<sync:" in out and "128kbps" in out
+
+
+def test_cli_render_script_to_wav():
+    """Offline render: command script + assets → WAV, round-tripped
+    through our own decoder."""
+    from audio_decoder_tpu import cli
+    from audio_decoder_tpu.codecs.registry import decode_paths
+    from .synth import make_wav
+
+    d = tempfile.mkdtemp(prefix="render_")
+    rng = np.random.default_rng(5)
+    pcm = np.clip(rng.standard_normal((4096, 2)) * 8000,
+                  -32768, 32767).astype(np.int16)
+    with open(os.path.join(d, "kick.wav"), "wb") as f:
+        f.write(make_wav(pcm, 44100))
+    script = os.path.join(d, "s.txt")
+    with open(script, "w") as f:
+        f.write("load kick\nstart -v kick\n@0.05\nstop -v kick\n")
+    out = os.path.join(d, "out.wav")
+    rc = cli.main(["render", "--assets", d, "--script", script,
+                   "--seconds", "0.01", "--out", out])
+    assert rc == 0
+    got = decode_paths([out]).file(0)
+    assert got.err == 0 and got.sample_rate == 44100
+    n = min(got.pcm.shape[0], 2048)
+    ref = pcm[:n].astype(np.float32) / 32768.0
+    np.testing.assert_allclose(got.pcm[:n], ref, atol=2e-4)
