@@ -1,0 +1,84 @@
+"""Core containers, error taxonomy, and aux utilities."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audio_decoder_tpu.core import errors as E
+from audio_decoder_tpu.core.batch import AudioBatch, concat_batches
+from audio_decoder_tpu.utils.trace import Tracer
+
+
+def _batch(n, frames, ch, rate=44100, err=None):
+    rng = np.random.default_rng(n * 7 + frames)
+    return AudioBatch(
+        pcm=jnp.asarray(rng.standard_normal((n, frames, ch)), jnp.float32) * 0.1,
+        sample_rate=jnp.full((n,), rate, jnp.int32),
+        num_channels=jnp.full((n,), ch, jnp.int32),
+        bits_per_sample=jnp.full((n,), 16, jnp.int32),
+        valid_frames=jnp.full((n,), frames, jnp.int32),
+        err=jnp.asarray(err if err is not None else [0] * n, jnp.int32),
+        names=tuple(f"t{i}" for i in range(n)),
+        formats=("wav",) * n,
+    )
+
+
+def test_audio_batch_views_and_seconds():
+    b = _batch(3, 441, 2)
+    f = b.file(1)
+    assert f.file_name == "t1" and f.sample_rate == 44100
+    assert f.pcm.shape == (441, 2)
+    inter = f.interleaved_i16
+    assert inter.shape == (441 * 2,) and inter.dtype == np.int16
+    secs = float(b.audio_seconds())
+    assert secs == pytest.approx(3 * 441 / 44100, abs=1e-6)
+
+
+def test_audio_seconds_masks_errors():
+    b = _batch(2, 441, 1, err=[0, E.ERR_INVALID])
+    assert float(b.audio_seconds()) == pytest.approx(441 / 44100, abs=1e-6)
+
+
+def test_concat_batches_pads_shapes():
+    a = _batch(1, 100, 1)
+    b = _batch(2, 300, 2)
+    m = concat_batches([a, b])
+    assert m.pcm.shape == (3, 300, 2)
+    assert m.names == ("t0", "t0", "t1")
+    np.testing.assert_array_equal(
+        np.asarray(m.pcm[0, :100, :1]), np.asarray(a.pcm[0])
+    )
+    assert np.all(np.asarray(m.pcm[0, 100:, :]) == 0)
+
+
+def test_batch_is_a_pytree():
+    import jax
+
+    b = _batch(2, 64, 1)
+    leaves = jax.tree_util.tree_leaves(b)
+    assert len(leaves) == 6  # six array fields; names/formats are static
+    b2 = jax.tree_util.tree_map(lambda x: x, b)
+    assert b2.names == b.names
+
+
+def test_error_taxonomy_roundtrip():
+    assert E.code_name(E.ERR_EOF) == "UnexpectedEof"
+    with pytest.raises(E.UnexpectedEofError):
+        E.raise_for_code(E.ERR_EOF, "boom")
+    with pytest.raises(E.UnsupportedFormatError):
+        E.raise_for_code(E.ERR_UNSUPPORTED)
+    E.raise_for_code(E.ERR_OK)  # no-op
+    assert E.UnsupportedFormatError("x").code == E.ERR_UNSUPPORTED
+
+
+def test_tracer_counts_and_reports():
+    t = Tracer()
+    with t.stage("decode", items=10.0):
+        pass
+    with t.stage("decode", items=5.0):
+        pass
+    t.add("decode", 1.0)
+    s = t.stats["decode"]
+    assert s.calls == 2 and s.items == 16.0 and s.rate > 0
+    assert "decode" in t.report()
