@@ -314,23 +314,23 @@ def _line2sfb_long() -> np.ndarray:
 #: coordinates the ISO intensity bound logic runs in), [9 rates, 576];
 #: plus each segment's start position a(sfb, w), [9, 39].
 def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
+    """Reordered-line → (short sfb, window) maps: line j of band sfb
+    (lines [lo*3, hi*3)) belongs to window (j - lo*3) % 3."""
     rates = T.RATE_ORDER
-    seg = np.zeros((len(rates), 576), np.int32)
-    apos = np.zeros((len(rates), 39), np.int32)
+    sfb_map = np.zeros((len(rates), 576), np.int32)
+    win_map = np.zeros((len(rates), 576), np.int32)
     for r, sr in enumerate(rates):
         sb = T.SFB_SHORT[sr]
         for sfb in range(13):
-            lo, hi = int(sb[sfb]), int(sb[sfb + 1])
-            w_ = hi - lo
-            for w in range(3):
-                a = lo * 3 + w * w_
-                seg[r, a : a + w_] = sfb * 3 + w
-                apos[r, sfb * 3 + w] = a
-    return seg, apos
+            lo3, hi3 = int(sb[sfb]) * 3, int(sb[sfb + 1]) * 3
+            for j in range(lo3, hi3):
+                sfb_map[r, j] = sfb
+                win_map[r, j] = (j - lo3) % 3
+    return sfb_map, win_map
 
 
 _LINE2SFB_LONG = _line2sfb_long()
-_SEG_MAP, _A_POS = _seg_maps()
+_SEG_SFB, _SEG_WIN = _seg_maps()
 _LB = np.stack([T.SFB_LONG[sr] for sr in T.RATE_ORDER])  # [9, 23]
 
 
@@ -390,27 +390,34 @@ def derive_stereo_modes(
         base_mode,
     )
 
-    # ---- short-block intensity (per window segment, top-down trigger) ----
-    seg = jnp.asarray(_SEG_MAP)[r]  # [B, 576]
-    seg_oh = jax.nn.one_hot(seg, 39, dtype=jnp.float32)  # [B, 576, 39]
-    seg_nz = jnp.einsum("bgj,bjs->bgs", nz.astype(jnp.float32), seg_oh)  # [B,G,39]
-    seg_nz = seg_nz.reshape(B, G, 13, 3)
-    # triggered iff every sfb' >= sfb (same window) has an all-zero segment
-    suffix = jnp.cumsum(seg_nz[:, :, ::-1], axis=2)[:, :, ::-1]
-    trig = (suffix == 0).reshape(B, G, 39)
-    apos = jnp.asarray(_A_POS)[r][:, None, :]  # [B,1,39]
-    bound_line = jnp.min(jnp.where(trig, apos, 576), axis=-1)  # [B,G]
+    # ---- short-block intensity: per-window bound past the window's last
+    # nonzero band; segments strided in reordered line space (pinned to
+    # mpg123 via crafted streams, tests/test_intensity.py) ----
+    sfb_l = jnp.asarray(_SEG_SFB)[r][:, None, :]  # [B,1,576]
+    win_l = jnp.asarray(_SEG_WIN)[r][:, None, :]  # [B,1,576]
+    seg_id = sfb_l * 3 + win_l  # [B,1,576] in 0..38
+    seg_oh = jax.nn.one_hot(seg_id[:, 0], 39, dtype=jnp.float32)  # [B,576,39]
+    seg_nz = jnp.einsum(
+        "bgj,bjs->bgs", nz.astype(jnp.float32), seg_oh
+    ).reshape(B, G, 13, 3)
+    # bound per window = 1 + last band with any nonzero (0 when empty)
+    sfb_iota = jnp.arange(13)[None, None, :, None]
+    bound_w = jnp.max(
+        jnp.where(seg_nz > 0, sfb_iota + 1, 0), axis=2
+    )  # [B, G, 3]
+    bound_line_w = jnp.take_along_axis(
+        bound_w, jnp.broadcast_to(win_l, (B, G, 576)), axis=-1
+    )  # [B,G,576] — each line's window bound
     is_pos_s = jnp.take_along_axis(
         sfr_bands.astype(i32),
-        22 + jnp.minimum(seg[:, None, :] // 3, 11) * 3 + seg[:, None, :] % 3,
+        22 + jnp.minimum(sfb_l, 11) * 3 + win_l,
         axis=-1,
     )  # [B,G,576]
-    trig_line = jnp.take_along_axis(trig, seg[:, None, :], axis=-1)
-    below = jnp.arange(576) < bound_line[..., None]
+    in_zone = sfb_l >= bound_line_w
     mode_short = jnp.where(
-        trig_line,
+        in_zone,
         jnp.where(is_pos_s == 7, base_mode, 2 + is_pos_s),
-        jnp.where(below, base_mode, 0),
+        base_mode,
     )
 
     mode = jnp.where(short_r[..., None], mode_short, mode_long)

@@ -461,12 +461,13 @@ def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
     spectrum (or below the intensity bound), intensity ratio bands above
     the right channel's zero region; inputs are in final line order.
 
-    Known limitation: intensity stereo (mode_ext bit 0) follows a plain
-    ISO reading — the spec's "zero part" bound is ambiguous and real
-    decoders (mpg123, FFmpeg, libmad) measurably disagree with each other
-    on it.  No mainstream MPEG-1 encoder emits intensity (LAME/FhG use
-    MS), so only the MS/LR paths are pinned to mpg123 in tests; LSF
-    intensity (different is_pos coding + 2^-x ratios) is not implemented.
+    MPEG-1 intensity semantics are pinned to mpg123 via hand-crafted
+    probe streams (tests/mp3_writer.py + tests/test_intensity.py): bound
+    at the band past the right channel's last nonzero line (per window
+    for short blocks), tan(is_pos·π/12) ratio pairs applied to the left
+    spectrum, is_pos 7 → MS when enabled else untouched.  Known
+    limitation: LSF intensity (i_slen2 coding + 2^-x ratios) is not
+    implemented — no encoder emits it.
     """
     modes = np.zeros(576, np.int8)
     if header["mode"] != 1:
@@ -504,16 +505,23 @@ def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
             set_is(slice(lo, hi), int(sf_r["l"][min(sfb, 20)]) if sfb < 21 else 7)
         bound_line = int(long_bands[bound_sfb])
     else:
-        bound_line = 576
+        # short blocks: per-window bound at the band past the window's last
+        # nonzero; segments are STRIDED in reordered line space (validated
+        # against mpg123 via crafted streams, tests/test_intensity.py)
         for w in range(3):
-            for sfb in range(12, -1, -1):
-                lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
-                w_ = hi - lo
-                a = lo * 3 + w * w_
-                if np.any(is_r[a : a + w_]):
-                    break
-                set_is(slice(a, a + w_), int(sf_r["s"][min(sfb, 11), w]))
-                bound_line = min(bound_line, a)
+            bound_w = 0
+            for sfb in range(13):
+                lo3, hi3 = int(short_bands[sfb]) * 3, int(short_bands[sfb + 1]) * 3
+                if np.any(is_r[lo3 + w : hi3 : 3]):
+                    bound_w = sfb + 1
+            for sfb in range(13):
+                lo3, hi3 = int(short_bands[sfb]) * 3, int(short_bands[sfb + 1]) * 3
+                seg = np.arange(lo3 + w, hi3, 3)
+                if sfb >= bound_w:
+                    set_is(seg, int(sf_r["s"][min(sfb, 11), w]))
+                elif ms:
+                    set_ms(seg)
+        return modes
     if ms:
         set_ms(slice(0, bound_line))
     return modes

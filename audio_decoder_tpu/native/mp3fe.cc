@@ -597,19 +597,31 @@ static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
     }
     bound_line = lb[bound_sfb];
   } else {
-    bound_line = 576;
+    // short blocks: per-window bound past the window's last nonzero;
+    // segments are strided in reordered line space (pinned to mpg123
+    // via crafted streams, tests/test_intensity.py)
     for (int w = 0; w < 3; w++) {
-      for (int sfb = 12; sfb >= 0; sfb--) {
-        int lo = sb[sfb], hi = sb[sfb + 1], w_ = hi - lo;
-        int a = lo * 3 + w * w_;
-        bool nz = false;
-        for (int i = a; i < a + w_; i++)
-          if (is_r[i]) { nz = true; break; }
-        if (nz) break;
-        set_is(a, a + w_, sf_r->s[sfb < 11 ? sfb : 11][w]);
-        if (a < bound_line) bound_line = a;
+      int bound_w = 0;
+      for (int sfb = 0; sfb < 13; sfb++) {
+        for (int j = sb[sfb] * 3 + w; j < sb[sfb + 1] * 3; j += 3)
+          if (is_r[j]) { bound_w = sfb + 1; break; }
+      }
+      for (int sfb = 0; sfb < 13; sfb++) {
+        int is_pos = sf_r->s[sfb < 11 ? sfb : 11][w];
+        for (int j = sb[sfb] * 3 + w; j < sb[sfb + 1] * 3; j += 3) {
+          if (sfb >= bound_w) {
+            if (is_pos == 7) {
+              if (ms) modes[j] = 1;
+            } else {
+              modes[j] = (int8_t)(2 + is_pos);
+            }
+          } else if (ms) {
+            modes[j] = 1;
+          }
+        }
       }
     }
+    return;
   }
   if (ms) set_ms(0, bound_line);
 }

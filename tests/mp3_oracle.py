@@ -344,15 +344,16 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr):
         short_bands = T.SFB_SHORT[sr]
 
         def do_band(lo, hi, is_pos):
+            sl = lo if hi is lo else slice(lo, hi)
             if is_pos == 7:
                 if ms:
-                    m, s = xr_l[lo:hi], xr_r[lo:hi]
-                    L[lo:hi] = (m + s) * isqrt2
-                    R[lo:hi] = (m - s) * isqrt2
+                    m, s = xr_l[sl], xr_r[sl]
+                    L[sl] = (m + s) * isqrt2
+                    R[sl] = (m - s) * isqrt2
             else:
                 ratio = T.IS_RATIO[is_pos]
-                L[lo:hi] = xr_l[lo:hi] * (ratio / (1 + ratio))
-                R[lo:hi] = xr_l[lo:hi] * (1 / (1 + ratio))
+                L[sl] = xr_l[sl] * (ratio / (1 + ratio))
+                R[sl] = xr_l[sl] * (1 / (1 + ratio))
 
         if not short:
             # bound = first band fully above the right channel's last nonzero
@@ -367,18 +368,26 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr):
                 do_band(lo, hi, int(sf_r["l"][min(sfb, 20)]) if sfb < 21 else 7)
             bound_line = int(long_bands[bound_sfb])
         else:
-            # per-window bounds; conservative: band-granular over all windows
-            bound_line = 576
+            # short blocks: per-window bound at the band past the window's
+            # last nonzero; segments are STRIDED in reordered line space
+            # (validated against mpg123 via crafted streams)
             for w in range(3):
-                for sfb in range(12, -1, -1):
+                bound_w = 0
+                for sfb in range(13):
                     lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
-                    w_ = hi - lo
-                    a = lo * 3 + w * w_
-                    b = a + w_
-                    if np.any(xr_r[a:b]):
-                        break
-                    do_band(a, b, int(sf_r["s"][min(sfb, 11), w]))
-                    bound_line = min(bound_line, a)
+                    seg = np.arange(lo * 3 + w, hi * 3, 3)
+                    if np.any(xr_r[seg]):
+                        bound_w = sfb + 1
+                for sfb in range(13):
+                    lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
+                    seg = np.arange(lo * 3 + w, hi * 3, 3)
+                    if sfb >= bound_w:
+                        do_band(seg, seg, int(sf_r["s"][min(sfb, 11), w]))
+                    elif ms:
+                        m, s = xr_l[seg], xr_r[seg]
+                        L[seg] = (m + s) * isqrt2
+                        R[seg] = (m - s) * isqrt2
+            return L, R
         if ms:
             m, s = xr_l[:bound_line], xr_r[:bound_line]
             L[:bound_line] = (m + s) * isqrt2
