@@ -23,8 +23,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
-from ..codecs import aiff as _aiff
-from ..codecs import wav as _wav
 from ..codecs.mpeg import decoder as _mpeg
 
 
