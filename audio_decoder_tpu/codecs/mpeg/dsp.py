@@ -106,15 +106,20 @@ _LINE2BAND = _line2band()
 
 
 #: stereo-mode byte → (aL, bL, aR, bR) mixing coefficients; rows:
-#: 0 identity LR, 1 mid/side, 2+k intensity with is_pos = k (frontend.ST_*)
+#: 0 identity LR, 1 mid/side, 2+k MPEG-1 intensity with is_pos = k,
+#: 9 + scale*32 + k LSF intensity (io^x one-channel scaling) — frontend.ST_*
 def _st_lut() -> np.ndarray:
-    lut = np.zeros((9, 4))
+    lut = np.zeros((9 + 64, 4))
     lut[0] = (1.0, 0.0, 0.0, 1.0)
     s = 1.0 / np.sqrt(2.0)
     lut[1] = (s, s, s, -s)
     for k in range(7):
         r = float(T.IS_RATIO[k])
         lut[2 + k] = (r / (1.0 + r), 0.0, 1.0 / (1.0 + r), 0.0)
+    for p in range(2):
+        fac = T.lsf_is_factors(p)
+        for k in range(32):
+            lut[9 + p * 32 + k] = (fac[k, 0], 0.0, fac[k, 1], 0.0)
     return lut
 
 
@@ -350,7 +355,8 @@ def derive_stereo_modes(
     Args:
       is_r: int ``[B, G, 576]`` right-channel quantized spectrum (line
         order; nonzero support equals the requantized spectrum's).
-      st_flags: int8 ``[B, G]`` bit0 joint, bit1 ms, bit2 intensity.
+      st_flags: int8 ``[B, G]`` bit0 joint, bit1 ms, bit2 intensity,
+        bit3 LSF intensity_scale.
       sfr_bands: int8 ``[B, G, 61]`` right-channel scalefactors (22 long,
         then sf_s[sfb, w] at 22 + sfb*3 + w).
       blockcfg_r: int8 ``[B, G]`` right channel block_type | mixed<<2.
@@ -370,6 +376,13 @@ def derive_stereo_modes(
     short_r = (blockcfg_r.astype(i32) & 3) == 2  # [B,G]
     nz = is_r != 0
     r = rate_idx.astype(i32)
+    # LSF streams (rate families 1/2) use io^x one-channel scaling rows;
+    # mode = 9 + intensity_scale*32 + is_pos (frontend.ST_LSF0)
+    lsf = (r >= 3)[:, None, None]  # [B,1,1]
+    is_base = jnp.where(lsf, 9 + ((flags >> 3) & 1)[..., None] * 32, 2)
+
+    def is_mode(is_pos):
+        return is_base + jnp.where(lsf, jnp.minimum(is_pos, 31), is_pos)
 
     # ---- long-block intensity ----
     j1 = jnp.arange(1, 577)
@@ -386,7 +399,7 @@ def derive_stereo_modes(
     zone_l = sfb_line >= bound_sfb[..., None]
     mode_long = jnp.where(
         zone_l,
-        jnp.where(is_pos_l == 7, base_mode, 2 + is_pos_l),
+        jnp.where(is_pos_l == 7, base_mode, is_mode(is_pos_l)),
         base_mode,
     )
 
@@ -416,7 +429,7 @@ def derive_stereo_modes(
     in_zone = sfb_l >= bound_line_w
     mode_short = jnp.where(
         in_zone,
-        jnp.where(is_pos_s == 7, base_mode, 2 + is_pos_s),
+        jnp.where(is_pos_s == 7, base_mode, is_mode(is_pos_s)),
         base_mode,
     )
 

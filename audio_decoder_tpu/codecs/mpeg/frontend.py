@@ -253,12 +253,21 @@ def _read_side_info(bits: _Bits, channels: int, version: int = 3) -> dict:
     return si
 
 
-def _read_scalefacs_lsf(bits: _Bits, g: dict) -> dict:
+def _read_scalefacs_lsf(bits: _Bits, g: dict, i_stereo: bool = False) -> dict:
     """LSF scalefactors (ISO 13818-3 2.4.3.2): four groups of nr_of_sfb
-    values at slen bits each; sets g['preflag'] from the category."""
+    values at slen bits each; sets g['preflag'] from the category.
+
+    For the intensity-coded channel (i_stereo) the layout key is
+    scalefac_compress >> 1 and the slot counts differ; the values double
+    as is_pos AND as normal requant gains below the intensity bound
+    (both pinned to mpg123, tests/test_intensity_lsf.py)."""
     short = g["window_switching"] and g["block_type"] == 2
     kind = (2 if g["mixed"] else 1) if short else 0
-    slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
+    if i_stereo:
+        slen, nr = T.lsf_scalefac_layout_istereo(g["scalefac_compress"], kind)
+        preflag = 0
+    else:
+        slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
     g["preflag"] = preflag
     sf_l = np.zeros(23, np.int32)
     sf_s = np.zeros((13, 3), np.int32)
@@ -451,23 +460,26 @@ def _exp_bands(g: dict, sf: dict) -> np.ndarray:
 #: through dsp.ST_LUT into (aL, bL, aR, bR) mixing coefficients.
 ST_LR = 0  # identity (independent L/R)
 ST_MS = 1  # mid/side butterfly
-ST_IS0 = 2  # intensity, is_pos k → mode 2+k (k = 0..6)
+ST_IS0 = 2  # intensity, is_pos k → mode 2+k (k = 0..6, MPEG-1 tan ratios)
+ST_LSF0 = 9  # LSF intensity: mode 9 + intensity_scale*32 + is_pos (0..31)
 
 
-def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
+def _stereo_modes(
+    is_l, is_r, g_r, sf_r, header, sr, lsf: bool = False, i_scale: int = 0
+) -> np.ndarray:
     """Per-line stereo mode byte, int8 [576].
 
     Mirrors the oracle's `_stereo` (ISO 2.4.3.4.9): MS over the full
     spectrum (or below the intensity bound), intensity ratio bands above
     the right channel's zero region; inputs are in final line order.
 
-    MPEG-1 intensity semantics are pinned to mpg123 via hand-crafted
-    probe streams (tests/mp3_writer.py + tests/test_intensity.py): bound
-    at the band past the right channel's last nonzero line (per window
-    for short blocks), tan(is_pos·π/12) ratio pairs applied to the left
-    spectrum, is_pos 7 → MS when enabled else untouched.  Known
-    limitation: LSF intensity (i_slen2 coding + 2^-x ratios) is not
-    implemented — no encoder emits it.
+    Intensity semantics are pinned to mpg123 via hand-crafted probe
+    streams (tests/mp3_writer.py + tests/test_intensity*.py): bound at
+    the band past the right channel's last nonzero line (per window for
+    short blocks); is_pos 7 → MS when enabled else untouched (both
+    families).  MPEG-1 applies tan(is_pos·π/12) ratio pairs to the left
+    spectrum; LSF scales one channel by io^k (io = 2^-(i_scale+1)/4,
+    odd is_pos → left, even → right, 0 → plain copy).
     """
     modes = np.zeros(576, np.int8)
     if header["mode"] != 1:
@@ -483,7 +495,10 @@ def _stereo_modes(is_l, is_r, g_r, sf_r, header, sr) -> np.ndarray:
             if ms:
                 set_ms(sl)
             return
-        modes[sl] = ST_IS0 + is_pos
+        if lsf:
+            modes[sl] = ST_LSF0 + i_scale * 32 + min(is_pos, 31)
+        else:
+            modes[sl] = ST_IS0 + is_pos
 
     if not intensity:
         if ms:
@@ -581,7 +596,8 @@ class Mp3Lanes:
     valid: np.ndarray  # int8 [G, C]
     exp_b: np.ndarray  # int16 [G, C, 61]
     blockcfg: np.ndarray  # int8 [G, C]
-    st_flags: np.ndarray  # int8 [G]: bit0 joint, bit1 ms, bit2 intensity
+    st_flags: np.ndarray  # int8 [G]: bit0 joint, bit1 ms, bit2 intensity,
+    #                       bit3 LSF intensity_scale
     sfr_bands: np.ndarray  # int8 [G, 61] right-channel scalefactors
 
     @property
@@ -661,9 +677,12 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
                 if end_rel > len(data) * 8:
                     ok = False
                     break
+                i_st = (
+                    c == 1 and h["mode"] == 1 and bool(h["mode_ext"] & 1)
+                )
                 try:
                     if lsf:
-                        sf = _read_scalefacs_lsf(bits, g)
+                        sf = _read_scalefacs_lsf(bits, g, i_stereo=i_st)
                     else:
                         sf = _read_scalefacs(
                             bits, g, gr, side["scfsi"][c], prev_sf[c]
@@ -696,6 +715,10 @@ def analyze_lanes(blob: bytes) -> Mp3Lanes:
                         (1 if h["mode"] == 1 else 0)
                         | ((h["mode_ext"] & 2) >> 1 << 1)
                         | ((h["mode_ext"] & 1) << 2)
+                        | (
+                            (g["scalefac_compress"] & 1) << 3
+                            if (lsf and i_st) else 0
+                        )
                     )
                     if ch == 2:
                         sfr_bands[gi, :22] = sf["l"][:22]
@@ -842,7 +865,8 @@ def analyze(blob: bytes) -> Mp3Analysis:
                         mixed=(cfgb >> 2) & 1,
                     )
                     st_mode[gi] = _stereo_modes(
-                        frame_is[gr, 0], frame_is[gr, 1], g_r, sf_r, header, sr
+                        frame_is[gr, 0], frame_is[gr, 1], g_r, sf_r, header,
+                        sr, lsf=(ngr == 1), i_scale=(flags >> 3) & 1,
                     )
         except (IndexError, E.DecodeError):
             is_q[gbase : gbase + ngr] = 0

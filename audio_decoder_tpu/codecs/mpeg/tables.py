@@ -167,6 +167,40 @@ LSF_NR_SFB = (
 )
 
 
+def lsf_scalefac_layout_istereo(scalefac_compress: int, block_kind: int):
+    """LSF scalefactor layout for the INTENSITY-coded channel (ISO
+    13818-3 2.4.3.2, the is_pos coding): the layout key is
+    scalefac_compress >> 1 (bit 0 is intensity_scale) and the slot counts
+    differ from the normal layout.  Returns (slen[4], nr_of_sfb[4]);
+    preflag is always 0 for the intensity channel.
+
+    Layout extracted empirically from mpg123 bit-position probes
+    (tests/test_intensity_lsf.py): the long rows (7,7,7) / (6,6,6,+3
+    zero-width) match single-bit → band maps at sc' 43/86/129 and 201.
+    """
+    sc = scalefac_compress >> 1
+    if sc < 180:
+        slen = (sc // 36, (sc % 36) // 6, sc % 6, 0)
+        cat = 0
+    elif sc < 244:
+        s = sc - 180
+        slen = ((s >> 4) & 3, (s >> 2) & 3, s & 3, 0)
+        cat = 1
+    else:
+        s = sc - 244
+        slen = (s // 3, s % 3, 0, 0)
+        cat = 2
+    return slen, LSF_I_NR_SFB[cat][block_kind]
+
+
+#: nr_of_sfb per slen group, intensity layout: [category][long/short/mixed]
+LSF_I_NR_SFB = (
+    ((7, 7, 7, 0), (12, 12, 12, 0), (6, 15, 12, 0)),
+    ((6, 6, 6, 3), (12, 9, 9, 6), (6, 12, 9, 6)),
+    ((8, 8, 5, 0), (15, 12, 9, 0), (6, 18, 9, 0)),
+)
+
+
 def ws_region1_lines(version: int, block_type: int, sr: int) -> int:
     """Implicit region1 boundary (in spectral lines) for window-switching
     granules (ISO: region0_count = 7 long / 8 short, in scalefactor-band
@@ -249,3 +283,20 @@ assert SYNTH_D.shape == (512,)
 
 #: intensity-stereo ratios: is_pos 0..6 → tan(is_pos * π/12) (ISO 2.4.3.4.9.3)
 IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
+
+
+def lsf_is_factors(intensity_scale: int, max_pos: int = 32) -> np.ndarray:
+    """LSF intensity channel factors (ISO 13818-3 2.4.3.4): rows is_pos →
+    (left factor, right factor) with io = 2^(-(intensity_scale+1)/4);
+    is_pos 0 copies, odd is_pos scales LEFT by io^((is_pos+1)/2), even
+    scales RIGHT by io^(is_pos/2).  Pinned to mpg123 via crafted streams
+    (tests/test_intensity_lsf.py); is_pos 7 (illegal) is handled by the
+    caller (band left untouched / MS)."""
+    io = 2.0 ** (-(intensity_scale + 1) / 4.0)
+    out = np.ones((max_pos, 2))
+    for k in range(1, max_pos):
+        if k & 1:
+            out[k, 0] = io ** ((k + 1) // 2)
+        else:
+            out[k, 1] = io ** (k // 2)
+    return out

@@ -86,6 +86,13 @@ static const int8_t kLsfNr[3][3][4] = {
     {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}},
     {{11, 10, 0, 0}, {18, 18, 0, 0}, {15, 18, 0, 0}}};
 
+// LSF nr_of_sfb, INTENSITY-channel (is_pos) layout — key scalefac_compress>>1
+// (extracted from mpg123 bit-position probes, tests/test_intensity_lsf.py)
+static const int8_t kLsfINr[3][3][4] = {
+    {{7, 7, 7, 0}, {12, 12, 12, 0}, {6, 15, 12, 0}},
+    {{6, 6, 6, 3}, {12, 9, 9, 6}, {6, 12, 9, 6}},
+    {{8, 8, 5, 0}, {15, 12, 9, 0}, {6, 18, 9, 0}}};
+
 // Implicit region1 boundary (lines) for window-switching granules:
 // 3*short[3] for short blocks, long[8] for start/stop blocks.
 static int ws_region1_lines(int block_type, int ridx) {
@@ -390,11 +397,57 @@ struct Scalefacs {
 };
 
 // LSF scalefactors (ISO 13818-3 2.4.3.2): four groups of nr_of_sfb values
-// at slen bits each; sets g->preflag from the category.
-static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf) {
+// at slen bits each; sets g->preflag from the category.  The intensity-
+// coded channel (i_stereo) uses the is_pos layout keyed by sc >> 1.
+static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf,
+                               bool i_stereo = false) {
   memset(sf, 0, sizeof(*sf));
   int sc = g->scalefac_compress;
   int slen[4], cat;
+  bool short_blk = g->window_switching && g->block_type == 2;
+  int kind = short_blk ? (g->mixed ? 2 : 1) : 0;
+  if (i_stereo) {
+    int isc = sc >> 1;
+    if (isc < 180) {
+      slen[0] = isc / 36;
+      slen[1] = (isc % 36) / 6;
+      slen[2] = isc % 6;
+      slen[3] = 0;
+      cat = 0;
+    } else if (isc < 244) {
+      int s = isc - 180;
+      slen[0] = (s >> 4) & 3;
+      slen[1] = (s >> 2) & 3;
+      slen[2] = s & 3;
+      slen[3] = 0;
+      cat = 1;
+    } else {
+      int s = isc - 244;
+      slen[0] = s / 3;
+      slen[1] = s % 3;
+      slen[2] = 0;
+      slen[3] = 0;
+      cat = 2;
+    }
+    g->preflag = 0;
+    int seq[40];
+    int n = 0;
+    for (int k = 0; k < 4; k++)
+      for (int j = 0; j < kLsfINr[cat][kind][k]; j++)
+        seq[n++] = slen[k] ? (int)b->get(slen[k]) : 0;
+    int i = 0;
+    if (kind == 0) {
+      for (int sfb = 0; sfb < 21; sfb++) sf->l[sfb] = seq[i++];
+    } else if (kind == 1) {
+      for (int sfb = 0; sfb < 12; sfb++)
+        for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+    } else {
+      for (int sfb = 0; sfb < 6; sfb++) sf->l[sfb] = seq[i++];
+      for (int sfb = 3; sfb < 12; sfb++)
+        for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+    }
+    return;
+  }
   if (sc < 400) {
     slen[0] = (sc >> 4) / 5;
     slen[1] = (sc >> 4) % 5;
@@ -419,8 +472,6 @@ static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf) {
     cat = 2;
     g->preflag = 1;
   }
-  bool short_blk = g->window_switching && g->block_type == 2;
-  int kind = short_blk ? (g->mixed ? 2 : 1) : 0;
   int seq[40];
   int n = 0;
   for (int k = 0; k < 4; k++)
@@ -557,24 +608,32 @@ static void compute_exp_bands(const Granule* g, const Scalefacs* sf,
   }
 }
 
-// Per-line stereo mode byte (0 LR, 1 MS, 2+k intensity is_pos k) — mirror
-// of frontend._stereo_modes; the device LUT expands to mixing planes.
+// Per-line stereo mode byte (0 LR, 1 MS, 2+k MPEG-1 intensity is_pos k,
+// 9 + scale*32 + k LSF intensity) — mirror of frontend._stereo_modes;
+// the device LUT expands to mixing planes.
 static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
                          const Granule* g_r, const Scalefacs* sf_r,
-                         const Header* h, int ridx, int8_t* modes /*[576]*/) {
+                         const Header* h, int ridx, bool lsf,
+                         int8_t* modes /*[576]*/) {
   memset(modes, 0, 576);
   if (h->mode != 1) return;
   bool ms = h->mode_ext & 2;
   bool intensity = h->mode_ext & 1;
+  int i_scale = g_r->scalefac_compress & 1;
   auto set_ms = [&](int lo, int hi) {
     for (int i = lo; i < hi; i++) modes[i] = 1;
+  };
+  auto mode_of = [&](int is_pos) {
+    if (lsf) return (int8_t)(9 + i_scale * 32 + (is_pos < 31 ? is_pos : 31));
+    return (int8_t)(2 + is_pos);
   };
   auto set_is = [&](int lo, int hi, int is_pos) {
     if (is_pos == 7) {
       if (ms) set_ms(lo, hi);
       return;
     }
-    for (int i = lo; i < hi; i++) modes[i] = (int8_t)(2 + is_pos);
+    int8_t m = mode_of(is_pos);
+    for (int i = lo; i < hi; i++) modes[i] = m;
   };
   if (!intensity) {
     if (ms) set_ms(0, 576);
@@ -613,7 +672,7 @@ static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
             if (is_pos == 7) {
               if (ms) modes[j] = 1;
             } else {
-              modes[j] = (int8_t)(2 + is_pos);
+              modes[j] = mode_of(is_pos);
             }
           } else if (ms) {
             modes[j] = 1;
@@ -741,10 +800,11 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
         const Granule* g = gmut;
         size_t part2_start = b.pos;
         Scalefacs* sf = &sf_store[gr][c];
+        bool i_st = c == 1 && f.h.mode == 1 && (f.h.mode_ext & 1);
         if (ver == 3)
           read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
         else
-          read_scalefacs_lsf(&b, gmut, sf);  // sets preflag
+          read_scalefacs_lsf(&b, gmut, sf, i_st);  // sets preflag
         prev[c] = sf;
         if (!huffman_spectrum(&b, g, ridx, part2_start, is_tmp[gr][c])) {
           ok = false;
@@ -773,7 +833,8 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
         }
         if (st_out && ch == 2) {
           stereo_modes(is_tmp[gr][0], is_tmp[gr][1], &si.gr[gr][1],
-                       &sf_store[gr][1], &f.h, ridx, st_out + gi * 576);
+                       &sf_store[gr][1], &f.h, ridx, ver != 3,
+                       st_out + gi * 576);
         }
       }
     }
@@ -862,10 +923,11 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
         size_t end_rel = part2_rel + g->part2_3_length;
         if (end_rel > data.size() * 8) { ok = false; break; }
         Scalefacs* sf = &sf_store[gr][c];
+        bool i_st = c == 1 && f.h.mode == 1 && (f.h.mode_ext & 1);
         if (ver == 3)
           read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
         else
-          read_scalefacs_lsf(&b, gmut, sf);  // sets preflag
+          read_scalefacs_lsf(&b, gmut, sf, i_st);  // sets preflag
         prev[c] = sf;
         int64_t gi = gbase + gr;
         int64_t li = gi * ch + c;
@@ -889,9 +951,10 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
         cfg_out[li] = (int8_t)(g->block_type | (g->mixed << 2));
         valid_out[li] = 1;
         if (c == ch - 1) {
-          stflags_out[gi] = (int8_t)((f.h.mode == 1 ? 1 : 0) |
-                                     (f.h.mode_ext & 2) |
-                                     ((f.h.mode_ext & 1) << 2));
+          stflags_out[gi] = (int8_t)(
+              (f.h.mode == 1 ? 1 : 0) | (f.h.mode_ext & 2) |
+              ((f.h.mode_ext & 1) << 2) |
+              ((ver != 3 && i_st) ? (g->scalefac_compress & 1) << 3 : 0));
           if (ch == 2) {
             for (int sfb = 0; sfb < 22; sfb++)
               sfr_out[gi * 61 + sfb] = (int8_t)sf->l[sfb];

@@ -148,13 +148,19 @@ def _read_side_info(bits: Bits, channels: int, version: int = 3) -> dict:
     return si
 
 
-def _read_scalefacs_lsf(bits: Bits, g: dict) -> dict:
+def _read_scalefacs_lsf(bits: Bits, g: dict, i_stereo: bool = False) -> dict:
     """LSF (MPEG-2/2.5) scalefactors (ISO 13818-3 2.4.3.2): four groups of
     nr_of_sfb values at slen bits each, layout chosen by scalefac_compress
-    category and block kind.  Sets g['preflag'] as a side effect."""
+    category and block kind.  Sets g['preflag'] as a side effect.  The
+    intensity-coded channel (i_stereo) uses the is_pos layout keyed by
+    scalefac_compress >> 1."""
     short = g["window_switching"] and g["block_type"] == 2
     kind = (2 if g["mixed"] else 1) if short else 0
-    slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
+    if i_stereo:
+        slen, nr = T.lsf_scalefac_layout_istereo(g["scalefac_compress"], kind)
+        preflag = 0
+    else:
+        slen, nr, preflag = T.lsf_scalefac_layout(g["scalefac_compress"], kind)
     g["preflag"] = preflag
     sf_l = np.zeros(23, np.int32)
     sf_s = np.zeros((13, 3), np.int32)
@@ -329,8 +335,8 @@ def _reorder(xr: np.ndarray, g: dict, sr: int) -> np.ndarray:
     return out
 
 
-def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr):
-    """MS + intensity stereo (ISO 2.4.3.4.9)."""
+def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr, lsf=False):
+    """MS + intensity stereo (ISO 2.4.3.4.9 / 13818-3 2.4.3.4)."""
     if header["mode"] != 1:  # not joint stereo
         return xr_l, xr_r
     ms = bool(header["mode_ext"] & 2)
@@ -342,6 +348,9 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr):
         short = g_r["window_switching"] and g_r["block_type"] == 2
         long_bands = T.SFB_LONG[sr]
         short_bands = T.SFB_SHORT[sr]
+        lsf_fac = (
+            T.lsf_is_factors(g_r["scalefac_compress"] & 1) if lsf else None
+        )
 
         def do_band(lo, hi, is_pos):
             sl = lo if hi is lo else slice(lo, hi)
@@ -350,6 +359,10 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr):
                     m, s = xr_l[sl], xr_r[sl]
                     L[sl] = (m + s) * isqrt2
                     R[sl] = (m - s) * isqrt2
+            elif lsf:
+                fl, fr = lsf_fac[min(is_pos, 31)]
+                L[sl] = xr_l[sl] * fl
+                R[sl] = xr_l[sl] * fr
             else:
                 ratio = T.IS_RATIO[is_pos]
                 L[sl] = xr_l[sl] * (ratio / (1 + ratio))
@@ -508,7 +521,10 @@ def decode(blob: bytes) -> tuple[np.ndarray, int]:
                     g["n_long_mixed"] = 6
                 part2_start = bits.pos
                 if lsf:
-                    sf = _read_scalefacs_lsf(bits, g)
+                    i_st = (
+                        c == 1 and h["mode"] == 1 and bool(h["mode_ext"] & 1)
+                    )
+                    sf = _read_scalefacs_lsf(bits, g, i_stereo=i_st)
                 else:
                     sf = _read_scalefacs(bits, g, gr, side["scfsi"][c], prev_sf[c])
                 prev_sf[c] = sf
@@ -521,7 +537,7 @@ def decode(blob: bytes) -> tuple[np.ndarray, int]:
             if ch == 2:
                 l, r = _stereo(
                     chans[0], chans[1], side["gr"][gr][0], side["gr"][gr][1],
-                    sfx[gr][1], h, sr,
+                    sfx[gr][1], h, sr, lsf=lsf,
                 )
                 chans = [l, r]
             for c in range(ch):

@@ -66,13 +66,22 @@ def make_l3_frame(
     block_type: tuple = (0, 0),
     global_gain: tuple = (210, 210),
     bitrate_idx: int = 12,
+    bv_override: tuple = (None, None),
+    table_select: tuple = (1, 1),
+    sf_pad_bits: tuple = (0, 0),
 ) -> bytes:
     """One self-contained frame (plus everything zero after big values).
 
     spectra[ch]: int array of even length, values in {-1, 0, 1} — becomes
     the leading spectral lines of every granule of that channel.
     scalefac[ch]: long-block scalefactor list (MPEG-1: 21 entries read at
-    slen from scalefac_compress; LSF: 21 entries).
+    slen from scalefac_compress; LSF: 21 entries; LSF intensity channel
+    uses the is_pos layout automatically when mode_ext & 1).
+    bv_override[ch]: force big_values without emitting bits (use with
+    table_select[ch] = 0, whose codewords are zero-length — e.g. bv=288 +
+    table 0 makes the count1 region empty so trailing slack bits are
+    inert).  sf_pad_bits[ch]: extra zero bits appended after the
+    scalefactors (inside part2_3_length).
     """
     version = 3 if sr in (44100, 48000, 32000) else (
         2 if sr in (22050, 24000, 16000) else 0)
@@ -89,7 +98,10 @@ def make_l3_frame(
         sc = scalefac_compress[c]
         short = block_type[c] == 2
         if lsf:
-            slen, nr, _pre = T.lsf_scalefac_layout(sc, 1 if short else 0)
+            if c == 1 and mode == 1 and (mode_ext & 1):
+                slen, nr = T.lsf_scalefac_layout_istereo(sc, 1 if short else 0)
+            else:
+                slen, nr, _pre = T.lsf_scalefac_layout(sc, 1 if short else 0)
             seq = (sfs + [0] * 40)[: sum(nr)]
             k = 0
             for g_i in range(4):
@@ -117,7 +129,13 @@ def make_l3_frame(
                 if slen2:
                     w.put(seq[sfb], slen2)
         vals = np.asarray(spectra[c] if c < len(spectra) else [], np.int32)
-        bv = _encode_big_pairs(w, vals)
+        if bv_override[c] is not None:
+            assert len(vals) == 0 and table_select[c] == 0
+            bv = bv_override[c]
+        else:
+            bv = _encode_big_pairs(w, vals)
+        for _ in range(sf_pad_bits[c]):  # slack after the Huffman data
+            w.put(0, 1)
         return w, bv, len(w.bits)
 
     payload = BitWriter()
@@ -145,19 +163,20 @@ def make_l3_frame(
             side.put(global_gain[c], 8)
             side.put(scalefac_compress[c], 9 if lsf else 4)
             bt = block_type[c]
+            ts = table_select[c]
             if bt == 0:
                 side.put(0, 1)  # no window switching
-                side.put(1, 5)  # table_select region 0 = table 1
-                side.put(1, 5)
-                side.put(1, 5)
+                side.put(ts, 5)  # table_select (all regions)
+                side.put(ts, 5)
+                side.put(ts, 5)
                 side.put(0, 4)  # region0_count
                 side.put(0, 3)  # region1_count
             else:
                 side.put(1, 1)
                 side.put(bt, 2)
                 side.put(0, 1)  # not mixed
-                side.put(1, 5)
-                side.put(1, 5)
+                side.put(ts, 5)
+                side.put(ts, 5)
                 for _ in range(3):
                     side.put(0, 3)  # subblock_gain
             if not lsf:
