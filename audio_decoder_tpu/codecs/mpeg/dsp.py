@@ -106,20 +106,20 @@ _LINE2BAND = _line2band()
 
 
 #: stereo-mode byte → (aL, bL, aR, bR) mixing coefficients; rows:
-#: 0 identity LR, 1 mid/side, 2+k MPEG-1 intensity with is_pos = k,
-#: 9 + scale*32 + k LSF intensity (io^x one-channel scaling) — frontend.ST_*
+#: 0 identity LR, 1 mid/side, 2+k MPEG-1 intensity with is_pos = k (0..15),
+#: 18 + scale*32 + k LSF intensity (io^x one-channel scaling) — frontend.ST_*
 def _st_lut() -> np.ndarray:
-    lut = np.zeros((9 + 64, 4))
+    lut = np.zeros((18 + 64, 4))
     lut[0] = (1.0, 0.0, 0.0, 1.0)
     s = 1.0 / np.sqrt(2.0)
     lut[1] = (s, s, s, -s)
-    for k in range(7):
+    for k in range(16):
         r = float(T.IS_RATIO[k])
         lut[2 + k] = (r / (1.0 + r), 0.0, 1.0 / (1.0 + r), 0.0)
     for p in range(2):
         fac = T.lsf_is_factors(p)
         for k in range(32):
-            lut[9 + p * 32 + k] = (fac[k, 0], 0.0, fac[k, 1], 0.0)
+            lut[18 + p * 32 + k] = (fac[k, 0], 0.0, fac[k, 1], 0.0)
     return lut
 
 
@@ -377,12 +377,12 @@ def derive_stereo_modes(
     nz = is_r != 0
     r = rate_idx.astype(i32)
     # LSF streams (rate families 1/2) use io^x one-channel scaling rows;
-    # mode = 9 + intensity_scale*32 + is_pos (frontend.ST_LSF0)
+    # mode = 18 + intensity_scale*32 + is_pos (frontend.ST_LSF0)
     lsf = (r >= 3)[:, None, None]  # [B,1,1]
-    is_base = jnp.where(lsf, 9 + ((flags >> 3) & 1)[..., None] * 32, 2)
+    is_base = jnp.where(lsf, 18 + ((flags >> 3) & 1)[..., None] * 32, 2)
 
     def is_mode(is_pos):
-        return is_base + jnp.where(lsf, jnp.minimum(is_pos, 31), is_pos)
+        return is_base + jnp.minimum(is_pos, jnp.where(lsf, 31, 15))
 
     # ---- long-block intensity ----
     j1 = jnp.arange(1, 577)

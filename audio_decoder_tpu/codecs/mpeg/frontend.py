@@ -460,8 +460,8 @@ def _exp_bands(g: dict, sf: dict) -> np.ndarray:
 #: through dsp.ST_LUT into (aL, bL, aR, bR) mixing coefficients.
 ST_LR = 0  # identity (independent L/R)
 ST_MS = 1  # mid/side butterfly
-ST_IS0 = 2  # intensity, is_pos k → mode 2+k (k = 0..6, MPEG-1 tan ratios)
-ST_LSF0 = 9  # LSF intensity: mode 9 + intensity_scale*32 + is_pos (0..31)
+ST_IS0 = 2  # intensity, is_pos k → mode 2+k (k = 0..15, MPEG-1 tan ratios)
+ST_LSF0 = 18  # LSF intensity: mode 18 + intensity_scale*32 + is_pos (0..31)
 
 
 def _stereo_modes(
@@ -498,7 +498,7 @@ def _stereo_modes(
         if lsf:
             modes[sl] = ST_LSF0 + i_scale * 32 + min(is_pos, 31)
         else:
-            modes[sl] = ST_IS0 + is_pos
+            modes[sl] = ST_IS0 + min(is_pos, 15)
 
     if not intensity:
         if ms:

@@ -281,8 +281,12 @@ _sign = np.where((np.arange(512) // 64) % 2 == 0, 1.0, -1.0)
 SYNTH_D = SYNTH_D * _sign
 assert SYNTH_D.shape == (512,)
 
-#: intensity-stereo ratios: is_pos 0..6 → tan(is_pos * π/12) (ISO 2.4.3.4.9.3)
-IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
+#: intensity-stereo ratios: is_pos → tan(is_pos * π/12) (ISO 2.4.3.4.9.3).
+#: The spec defines 0..6 (7 = illegal); mpg123 fills its table through 15
+#: with the same formula and real 4-bit scalefactor fields can reach that,
+#: so we match (verified by probe: is_pos 8/10/12/15 → the continued tan
+#: pairs; is_pos 9 → tan(3π/4) = −1 → NaN, faithfully ill-defined).
+IS_RATIO = np.tan(np.arange(16) * np.pi / 12.0)
 
 
 def lsf_is_factors(intensity_scale: int, max_pos: int = 32) -> np.ndarray:

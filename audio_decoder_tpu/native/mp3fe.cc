@@ -624,8 +624,8 @@ static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
     for (int i = lo; i < hi; i++) modes[i] = 1;
   };
   auto mode_of = [&](int is_pos) {
-    if (lsf) return (int8_t)(9 + i_scale * 32 + (is_pos < 31 ? is_pos : 31));
-    return (int8_t)(2 + is_pos);
+    if (lsf) return (int8_t)(18 + i_scale * 32 + (is_pos < 31 ? is_pos : 31));
+    return (int8_t)(2 + (is_pos < 15 ? is_pos : 15));
   };
   auto set_is = [&](int lo, int hi, int is_pos) {
     if (is_pos == 7) {

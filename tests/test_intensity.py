@@ -43,10 +43,16 @@ def _long_blob(mode_ext, is_pos, band=5, right_vals=(), right_sc=4):
     lo, hi = int(lb[band]), int(lb[band + 1])
     vals = np.zeros(hi + (hi % 2), np.int32)
     vals[lo:hi] = ([1, -1] * ((hi - lo + 1) // 2))[: hi - lo]
+    # bands 11+ read slen2-width fields (2 bits at sc 14), so clamp there;
+    # the probed content band (5) sits in the slen1 region either way
+    sfs = (
+        [is_pos] * 21 if is_pos < 8
+        else [is_pos] * 11 + [min(is_pos, 3)] * 10
+    )
     return make_l3_frame(
         sr=44100, mode=1, mode_ext=mode_ext,
         spectra=(vals, np.asarray(right_vals, np.int32)),
-        scalefac=((), [is_pos] * 21), scalefac_compress=(0, right_sc),
+        scalefac=((), sfs), scalefac_compress=(0, right_sc),
         global_gain=(240, 210),
     ) * 12
 
@@ -55,6 +61,17 @@ def _long_blob(mode_ext, is_pos, band=5, right_vals=(), right_sc=4):
 @pytest.mark.parametrize("is_pos", [0, 2, 4, 6, 7])
 def test_long_block_intensity(mode_ext, is_pos):
     rms_o, rms_p = _both_match_mpg123(_long_blob(mode_ext, is_pos))
+    assert rms_o < TOL, f"oracle rms {rms_o}"
+    assert rms_p < TOL, f"production rms {rms_p}"
+
+
+@pytest.mark.parametrize("is_pos", [8, 10, 12, 15])
+def test_long_block_intensity_extended_positions(is_pos):
+    # the spec defines is_pos 0..6, but 4-bit scalefactor fields reach 15
+    # and mpg123 continues the tan(is_pos*pi/12) formula — we match
+    # (is_pos 9 → tan = −1 → division by zero is ill-defined both ways;
+    # mpg123 emits NaN, we emit huge-but-finite)
+    rms_o, rms_p = _both_match_mpg123(_long_blob(1, is_pos, right_sc=14))
     assert rms_o < TOL, f"oracle rms {rms_o}"
     assert rms_p < TOL, f"production rms {rms_p}"
 
