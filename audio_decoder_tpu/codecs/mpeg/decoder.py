@@ -166,6 +166,41 @@ def _rate_idx_arr(sample_rate: np.ndarray) -> np.ndarray:
     return out
 
 
+def _split_lanes(big, valid, n_big: int):
+    """Pick a static two-bucket lane split for the device Huffman scan.
+
+    big_values is max-driven per batch but heavily skewed (sparse
+    granules put nearly everything in the count1 region), so running
+    every lane for the max lane's pair count wastes most scan steps.
+    Sort lanes by descending big_values and try a few short-scan caps;
+    the big-bucket size is rounded up to N/8 quanta so distinct compiled
+    shapes stay bounded.  Returns (perm, inv_perm, k_big, n_big_small):
+    k_big None → no split pays (< 25% saving), k_big 0 → every lane fits
+    the short scan (caller just lowers n_big)."""
+    bv = np.where(valid > 0, big.astype(np.int64), 0)
+    N = bv.size
+    order = np.argsort(-bv, kind="stable").astype(np.int32)
+    sorted_bv = bv[order]
+    quantum = max(32, -(-N // 8))
+    best = (N * n_big, None, 32)  # (cost, k_pad, cap)
+    for cap in (32, 96, 160):
+        if cap >= n_big:
+            continue
+        k = int(np.count_nonzero(sorted_bv > cap))
+        k_pad = min(N, -(-k // quantum) * quantum) if k else 0
+        cost = k_pad * n_big + (N - k_pad) * cap
+        if cost < best[0]:
+            best = (cost, k_pad, cap)
+    cost, k_pad, cap = best
+    if k_pad is None or cost > 0.75 * N * n_big:
+        return None, None, None, 32
+    if k_pad == 0:
+        return None, None, 0, cap
+    inv = np.empty(N, np.int32)
+    inv[order] = np.arange(N, dtype=np.int32)
+    return order, inv, int(k_pad), int(cap)
+
+
 def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
     """On-device-Huffman path: the host (C++ when available, else Python)
     emits raw main_data + lane metadata; the entire entropy decode + DSP
@@ -227,6 +262,11 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         n_big = 32 if bvs.size == 0 else min(512, int(-(-int(bvs.max()) // 32) * 32))
         quads = (576 - 2 * bvs.astype(np.int64)).clip(0) // 4 + 1
         n_c1 = 32 if bvs.size == 0 else min(144, int(-(-int(quads.max()) // 32) * 32))
+        perm, inv_perm, k_big, n_big_small = _split_lanes(
+            r["big"].reshape(-1), r["valid"].reshape(-1), n_big
+        )
+        if k_big == 0:  # every lane fits the short scan: one cheap call
+            n_big, k_big, perm, inv_perm = n_big_small, None, None, None
         pcm = mp3_decode_fused(
             jnp.asarray(r["main"]),
             jnp.asarray(r["start"].reshape(B, L)),
@@ -243,11 +283,15 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             jnp.asarray(r["stflags"].reshape(B, g_cap)),
             jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
             jnp.asarray(_rate_idx_arr(sample_rate)),
+            None if perm is None else jnp.asarray(perm),
+            None if inv_perm is None else jnp.asarray(inv_perm),
             channels=ch,
             joint_stereo=joint,
             n_big=max(n_big, 1),
             n_c1=max(n_c1, 1),
             granules_per_frame=gpf,
+            k_big=k_big,
+            n_big_small=n_big_small,
         )
         batch = AudioBatch(
             pcm=pcm,

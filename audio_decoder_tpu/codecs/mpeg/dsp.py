@@ -448,6 +448,7 @@ def derive_stereo_modes(
     jax.jit,
     static_argnames=(
         "channels", "joint_stereo", "n_big", "n_c1", "granules_per_frame",
+        "k_big", "n_big_small",
     ),
 )
 def mp3_decode_fused(
@@ -466,12 +467,16 @@ def mp3_decode_fused(
     st_flags: jax.Array,
     sfr_bands: jax.Array,
     rate_idx: jax.Array,
+    perm: jax.Array | None = None,
+    inv_perm: jax.Array | None = None,
     *,
     channels: int,
     joint_stereo: bool,
     n_big: int = 512,
     n_c1: int = 144,
     granules_per_frame: int = 2,
+    k_big: int | None = None,
+    n_big_small: int = 32,
 ) -> jax.Array:
     """Raw concatenated main_data + per-lane side metadata → PCM.
 
@@ -483,6 +488,15 @@ def mp3_decode_fused(
 
     Lane array shapes are flat ``[B, G*C]`` (tsel ``[B, G*C*3]``);
     exp_b is ``[B, G*C*61]``, st_flags ``[B, G]``, sfr ``[B, G*61]``.
+
+    Lane bucketing: big_values is max-driven per batch but extremely
+    skewed in practice (sparse granules encode almost everything in the
+    count1 region), so the host may pass ``perm``/``inv_perm`` (a lane
+    sort by descending big_values) plus static ``k_big``: the first
+    ``k_big`` permuted lanes run the full ``n_big``-pair scan, the rest a
+    short ``n_big_small`` scan, and one row gather restores lane order.
+    The scan is the gather-bound hot loop, so cutting its trip count for
+    the dense majority is a direct win (decoder._split_lanes).
     """
     from .huffman_device import decode_spectra
 
@@ -497,8 +511,7 @@ def mp3_decode_fused(
     file_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), G * C)
     rate_lane = jnp.repeat(rate_idx.astype(jnp.int32), G * C)
 
-    lines, fail = decode_spectra(
-        main_u8,
+    lane_args = [
         file_idx,
         start_bit.reshape(N).astype(jnp.int32),
         end_bit.reshape(N).astype(jnp.int32),
@@ -511,9 +524,26 @@ def mp3_decode_fused(
         valid.reshape(N).astype(jnp.int32),
         rate_lane,
         cfg.reshape(N),
-        n_big=n_big,
-        n_c1=n_c1,
-    )
+    ]
+    if k_big is None:
+        lines, fail = decode_spectra(
+            main_u8, *lane_args, n_big=n_big, n_c1=n_c1
+        )
+    else:
+        p = perm.astype(jnp.int32)
+        pa = [a[p] for a in lane_args]
+        lines_b, fail_b = decode_spectra(
+            main_u8, *[a[:k_big] for a in pa], n_big=n_big, n_c1=n_c1
+        )
+        lines_s, fail_s = decode_spectra(
+            main_u8, *[a[k_big:] for a in pa], n_big=n_big_small, n_c1=n_c1
+        )
+        # un-permute by SCATTER: int16 row gathers are pathologically slow
+        # on this TPU path (~13x the scatter cost at [24k, 576])
+        lines_p = jnp.concatenate([lines_b, lines_s], axis=0)
+        fail_p = jnp.concatenate([fail_b, fail_s], axis=0)
+        lines = jnp.zeros_like(lines_p).at[p].set(lines_p)
+        fail = jnp.zeros_like(fail_p).at[p].set(fail_p)
     # Host parity: an entropy failure silences the whole frame (2 granules
     # for MPEG-1, 1 for LSF); failed-but-invalid lanes are already zero.
     gpf = granules_per_frame
