@@ -143,3 +143,72 @@ def test_native_lanes_bitexact_vs_python(kind, ch, mode, bitrate, sr):
     np.testing.assert_array_equal(r["cfg"][0], ln.blockcfg)
     np.testing.assert_array_equal(r["stflags"][0], ln.st_flags)
     np.testing.assert_array_equal(r["sfr"][0], ln.sfr_bands)
+
+
+# ---------------------------------------------------------------------------
+# Lane bucketing (decoder._split_lanes + mp3_decode_fused k_big path)
+# ---------------------------------------------------------------------------
+
+
+def test_split_lanes_heuristic():
+    from audio_decoder_tpu.codecs.mpeg.decoder import _split_lanes
+
+    # skewed: 10% dense lanes, 90% near-empty → split with a short cap
+    bv = np.zeros(640, np.int16)
+    bv[:64] = 200
+    valid = np.ones(640, np.int8)
+    perm, inv, k, cap = _split_lanes(bv, valid, 224)
+    assert k is not None and 0 < k < 640 and cap < 224
+    # bucket invariant: every lane past k_big fits the short scan
+    assert (bv[perm][k:] <= cap).all()
+    # inv really inverts
+    assert (perm[inv] == np.arange(640)).all()
+
+    # uniformly dense → no split
+    assert _split_lanes(np.full(640, 220, np.int16), valid, 224)[2] is None
+    # uniformly sparse → "lower n_big" signal (k_big == 0)
+    _, _, k0, cap0 = _split_lanes(np.full(640, 3, np.int16), valid, 224)
+    assert k0 == 0 and cap0 == 32
+    # invalid lanes don't force the big bucket
+    bv2 = np.full(640, 500, np.int16)
+    ok = np.zeros(640, np.int8)
+    _, _, k2, _ = _split_lanes(bv2, ok, 512)
+    assert k2 == 0
+
+
+def test_fused_split_matches_unsplit():
+    # force the bucketed program and require bit-identical PCM vs the
+    # single-scan program on a real lame stream
+    blob = CR.lame_encode(_sig("transient", 11025, 2), 44100, 128, mode=1)
+    ln = FE.analyze_lanes(blob)
+    G, C = ln.n_granules, ln.channels
+    L = G * C
+    args = [
+        jnp.asarray(ln.main_data)[None],
+        jnp.asarray(ln.start_bit.reshape(1, L)),
+        jnp.asarray(ln.end_bit.reshape(1, L)),
+        jnp.asarray(ln.limit_bit.reshape(1, L)),
+        jnp.asarray(ln.big_values.reshape(1, L)),
+        jnp.asarray(ln.region1.reshape(1, L)),
+        jnp.asarray(ln.region2.reshape(1, L)),
+        jnp.asarray(ln.tsel.reshape(1, L * 3)),
+        jnp.asarray(ln.c1sel.reshape(1, L)),
+        jnp.asarray(ln.valid.reshape(1, L)),
+        jnp.asarray(ln.exp_b.reshape(1, L * 61)),
+        jnp.asarray(ln.blockcfg.reshape(1, L)),
+        jnp.asarray(ln.st_flags.reshape(1, G)),
+        jnp.asarray(ln.sfr_bands.reshape(1, G * 61)),
+        jnp.asarray([ln.rate_idx], jnp.int32),
+    ]
+    kw = dict(channels=C, joint_stereo=ln.joint_stereo, n_big=288)
+    base = np.asarray(mp3_decode_fused(*args, **kw))
+    bv = ln.big_values.reshape(-1).astype(np.int64)
+    order = np.argsort(-bv, kind="stable").astype(np.int32)
+    inv = np.empty(L, np.int32)
+    inv[order] = np.arange(L, dtype=np.int32)
+    k = max(32, int(np.count_nonzero(bv > 96)))
+    split = np.asarray(mp3_decode_fused(
+        *args, jnp.asarray(order), jnp.asarray(inv),
+        **kw, k_big=k, n_big_small=96,
+    ))
+    assert np.array_equal(base, split)
