@@ -200,3 +200,30 @@ def test_free_format_bitrate():
     m = min(len(ref), f.pcm.shape[0])
     rms = float(np.sqrt(((ref[:m] - f.pcm[:m]) ** 2).mean()))
     assert rms < 5e-7, f"rms {rms}"
+
+
+def test_lsf_intensity_random_streams_never_crash():
+    """Random LSF joint-stereo frames (arbitrary scalefac_compress, random
+    scalefactor values, random spectra) decode to finite PCM or a per-file
+    error — never a crash.  Exercises the is_pos layout reader across all
+    three category ranges."""
+    from .mp3_writer import make_l3_frame
+
+    rng = np.random.default_rng(7)
+    for trial in range(24):
+        sc = int(rng.integers(0, 512))
+        mode_ext = int(rng.integers(1, 4))
+        bt = int(rng.choice([0, 2]))
+        nsf = 36 if bt == 2 else 21
+        sfs = rng.integers(0, 8, nsf).tolist()
+        vals = rng.integers(-1, 2, 2 * int(rng.integers(0, 60))).astype(
+            np.int32
+        )
+        blob = make_l3_frame(
+            sr=22050, mode=1, mode_ext=mode_ext,
+            spectra=(vals, ()), scalefac=((), sfs),
+            scalefac_compress=(0, sc), global_gain=(240, 200),
+            block_type=(bt, bt),
+        ) * 4
+        f = _decode_one(f"lsf{trial}", "mp3", blob)
+        assert np.isfinite(np.asarray(f.pcm)).all() or f.err != 0
