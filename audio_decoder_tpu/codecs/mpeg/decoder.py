@@ -174,9 +174,9 @@ def _split_lanes(big, valid, n_big: int):
     every lane for the max lane's pair count wastes most scan steps.
     Sort lanes by descending big_values and try a few short-scan caps;
     the big-bucket size is rounded up to N/8 quanta so distinct compiled
-    shapes stay bounded.  Returns (perm, inv_perm, k_big, n_big_small):
-    k_big None → no split pays (< 25% saving), k_big 0 → every lane fits
-    the short scan (caller just lowers n_big)."""
+    shapes stay bounded.  Returns (perm, k_big, n_big_small): k_big None
+    → no split pays (< 25% saving), k_big 0 → every lane fits the short
+    scan (caller just lowers n_big)."""
     bv = np.where(valid > 0, big.astype(np.int64), 0)
     N = bv.size
     order = np.argsort(-bv, kind="stable").astype(np.int32)
@@ -193,12 +193,10 @@ def _split_lanes(big, valid, n_big: int):
             best = (cost, k_pad, cap)
     cost, k_pad, cap = best
     if k_pad is None or cost > 0.75 * N * n_big:
-        return None, None, None, 32
+        return None, None, 32
     if k_pad == 0:
-        return None, None, 0, cap
-    inv = np.empty(N, np.int32)
-    inv[order] = np.arange(N, dtype=np.int32)
-    return order, inv, int(k_pad), int(cap)
+        return None, 0, cap
+    return order, int(k_pad), int(cap)
 
 
 def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
@@ -262,11 +260,11 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         n_big = 32 if bvs.size == 0 else min(512, int(-(-int(bvs.max()) // 32) * 32))
         quads = (576 - 2 * bvs.astype(np.int64)).clip(0) // 4 + 1
         n_c1 = 32 if bvs.size == 0 else min(144, int(-(-int(quads.max()) // 32) * 32))
-        perm, inv_perm, k_big, n_big_small = _split_lanes(
+        perm, k_big, n_big_small = _split_lanes(
             r["big"].reshape(-1), r["valid"].reshape(-1), n_big
         )
         if k_big == 0:  # every lane fits the short scan: one cheap call
-            n_big, k_big, perm, inv_perm = n_big_small, None, None, None
+            n_big, k_big, perm = n_big_small, None, None
         pcm = mp3_decode_fused(
             jnp.asarray(r["main"]),
             jnp.asarray(r["start"].reshape(B, L)),
@@ -284,7 +282,6 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
             jnp.asarray(_rate_idx_arr(sample_rate)),
             None if perm is None else jnp.asarray(perm),
-            None if inv_perm is None else jnp.asarray(inv_perm),
             channels=ch,
             joint_stereo=joint,
             n_big=max(n_big, 1),

@@ -468,7 +468,6 @@ def mp3_decode_fused(
     sfr_bands: jax.Array,
     rate_idx: jax.Array,
     perm: jax.Array | None = None,
-    inv_perm: jax.Array | None = None,
     *,
     channels: int,
     joint_stereo: bool,
@@ -491,12 +490,12 @@ def mp3_decode_fused(
 
     Lane bucketing: big_values is max-driven per batch but extremely
     skewed in practice (sparse granules encode almost everything in the
-    count1 region), so the host may pass ``perm``/``inv_perm`` (a lane
-    sort by descending big_values) plus static ``k_big``: the first
-    ``k_big`` permuted lanes run the full ``n_big``-pair scan, the rest a
-    short ``n_big_small`` scan, and one row gather restores lane order.
-    The scan is the gather-bound hot loop, so cutting its trip count for
-    the dense majority is a direct win (decoder._split_lanes).
+    count1 region), so the host may pass ``perm`` (a lane sort by
+    descending big_values) plus static ``k_big``: the first ``k_big``
+    permuted lanes run the full ``n_big``-pair scan, the rest a short
+    ``n_big_small`` scan, and one row scatter restores lane order.  The
+    scan is the gather-bound hot loop, so cutting its trip count for the
+    sparse majority is a direct win (decoder._split_lanes).
     """
     from .huffman_device import decode_spectra
 

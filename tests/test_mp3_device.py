@@ -157,22 +157,22 @@ def test_split_lanes_heuristic():
     bv = np.zeros(640, np.int16)
     bv[:64] = 200
     valid = np.ones(640, np.int8)
-    perm, inv, k, cap = _split_lanes(bv, valid, 224)
+    perm, k, cap = _split_lanes(bv, valid, 224)
     assert k is not None and 0 < k < 640 and cap < 224
     # bucket invariant: every lane past k_big fits the short scan
     assert (bv[perm][k:] <= cap).all()
-    # inv really inverts
-    assert (perm[inv] == np.arange(640)).all()
+    # permutation is a bijection over all lanes
+    assert (np.sort(perm) == np.arange(640)).all()
 
     # uniformly dense → no split
-    assert _split_lanes(np.full(640, 220, np.int16), valid, 224)[2] is None
+    assert _split_lanes(np.full(640, 220, np.int16), valid, 224)[1] is None
     # uniformly sparse → "lower n_big" signal (k_big == 0)
-    _, _, k0, cap0 = _split_lanes(np.full(640, 3, np.int16), valid, 224)
+    _, k0, cap0 = _split_lanes(np.full(640, 3, np.int16), valid, 224)
     assert k0 == 0 and cap0 == 32
     # invalid lanes don't force the big bucket
     bv2 = np.full(640, 500, np.int16)
     ok = np.zeros(640, np.int8)
-    _, _, k2, _ = _split_lanes(bv2, ok, 512)
+    _, k2, _ = _split_lanes(bv2, ok, 512)
     assert k2 == 0
 
 
@@ -204,11 +204,8 @@ def test_fused_split_matches_unsplit():
     base = np.asarray(mp3_decode_fused(*args, **kw))
     bv = ln.big_values.reshape(-1).astype(np.int64)
     order = np.argsort(-bv, kind="stable").astype(np.int32)
-    inv = np.empty(L, np.int32)
-    inv[order] = np.arange(L, dtype=np.int32)
     k = max(32, int(np.count_nonzero(bv > 96)))
     split = np.asarray(mp3_decode_fused(
-        *args, jnp.asarray(order), jnp.asarray(inv),
-        **kw, k_big=k, n_big_small=96,
+        *args, jnp.asarray(order), **kw, k_big=k, n_big_small=96,
     ))
     assert np.array_equal(base, split)
