@@ -282,14 +282,17 @@ def decode_spectra(
         consumed = jnp.where(act & (width > 0), ln + o, 0)
         return x, y, consumed, act, bad
 
-    # 4 pairs per step: worst-case bit span 4*47 + (19+32 read overhang)
-    # = 192 bits, +31 alignment → 7 aligned windows (one 8-word gather).
-    PAIRS = 4
+    # 8 pairs per step: the last pair starts <= 7*47 = 329 bits in and its
+    # trailing 32-bit window read begins <= 329 + 19 = 348 bits in, so 12
+    # aligned windows (k < 352) from one 13-word gather cover it.  Wider
+    # steps halve the scan trip count AND gather fewer total words than
+    # 4-pair steps (the fixed per-step window overhead amortizes).
+    PAIRS = 8
     n_bigS = (n_big + PAIRS - 1) // PAIRS
 
     def big_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 7)
+        a = _aligned_windows(words, file_idx, pos, 12)
         off = jnp.zeros((N,), i32)
         cols = []
         for sub in range(PAIRS):
@@ -314,16 +317,17 @@ def decode_spectra(
     else:
         big_out = big_out[:, :288]
 
-    # ---- count1 region: 8 quads per step from ONE 6-word gather ----
-    # Worst case per quad: 6-bit code + 4 signs = 10 bits; 8 quads end
-    # <= 80 bits in, reads reach <= 102; +31 alignment fits in 133 <= 160.
+    # ---- count1 region: 16 quads per step from ONE 7-word gather ----
+    # Worst case per quad: 6-bit code + 4 signs = 10 bits; the last quad's
+    # 32-bit window read begins <= 15*10 = 150 bits in, so 6 aligned
+    # windows (k < 160) cover it.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
-    QUADS = 8
+    QUADS = 16
     n_c1S = (n_c1 + QUADS - 1) // QUADS
 
     def c1_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 5)
+        a = _aligned_windows(words, file_idx, pos, 6)
         off = jnp.zeros((N,), i32)
         vals16 = []
         for sub in range(QUADS):

@@ -56,6 +56,15 @@ def load_state(path: str) -> tuple[EngineArrays, HostRegistry]:
     z = np.load(path + ".npz")
     kwargs = {}
     for f_ in dataclasses.fields(EngineArrays):
+        if f_.name not in z.files:
+            # field added after the checkpoint was written: s_jitter
+            # defaults to zero (no jitter), matching prior behavior
+            if f_.name == "s_jitter":
+                kwargs[f_.name] = jnp.zeros_like(
+                    jnp.asarray(z["s_chance"], jnp.float32)
+                )
+                continue
+            raise ValueError(f"checkpoint missing field {f_.name}")
         a = z[f_.name]
         kwargs[f_.name] = (
             jax.random.wrap_key_data(jnp.asarray(a))

@@ -20,8 +20,10 @@ Grammar (mirroring the reference's flags):
 
 Chance mini-language (≙ commands.rs:1032-1168): `_` default-all 1.0,
 `a:<p>` all steps p, `<n>:<p>` step n, `<n1>-<n2>:<p>` range.  The
-jitter flag is parsed and stored but (like the reference,
-commands.rs:1125-1136) not yet applied.
+jitter flag uses the same mini-language (default-all 0.0): each value is
+the maximum trigger delay as a fraction of the tempo interval, applied
+per step in the renderer — the reference parses -j but leaves it as an
+empty stub (commands.rs:1125-1136); here it works.
 """
 
 from __future__ import annotations
@@ -272,31 +274,39 @@ class CmdProcessor:
         if any(s < 0 or s >= period for s in steps):
             raise CmdErr("seq: steps must lie in [0, period)")
         chance = self._parse_chance(chance_spec, steps, period)
+        jit_vals = self._parse_chance(
+            jitter[0] if jitter else "_", steps, period, default=0.0,
+            what="jitter",
+        )
         return Command(
             verb="seq", voice=voice, group=group, period=period,
-            steps=tuple(steps), chance=tuple(chance), jitter=jitter,
-            tempo=tempo,
+            steps=tuple(steps), chance=tuple(chance),
+            jitter=tuple(jit_vals), tempo=tempo,
         )
 
     @staticmethod
-    def _parse_chance(spec: str, steps: list[int], period: int) -> list[float]:
-        """`_` | `a:p` | `n:p` | `n1-n2:p` comma list → per-step chances
-        (≙ commands.rs:1032-1168)."""
-        chance = {s: 1.0 for s in steps}
+    def _parse_chance(
+        spec: str, steps: list[int], period: int,
+        default: float = 1.0, what: str = "chance",
+    ) -> list[float]:
+        """`_` | `a:p` | `n:p` | `n1-n2:p` comma list → per-step values
+        (≙ commands.rs:1032-1168); also reused for the jitter spec
+        (default 0.0 = no jitter)."""
+        chance = {s: default for s in steps}
         if spec == "_":
             return [chance.get(s, 0.0) for s in range(period)]
         for part in spec.split(","):
             if part == "_":
                 continue
             if ":" not in part:
-                raise CmdErr(f"chance: bad entry {part!r}")
+                raise CmdErr(f"{what}: bad entry {part!r}")
             sel, p = part.rsplit(":", 1)
             try:
                 pv = float(p)
             except ValueError as e:
-                raise CmdErr(f"chance: bad probability {p!r}") from e
+                raise CmdErr(f"{what}: bad value {p!r}") from e
             if not 0.0 <= pv <= 1.0:
-                raise CmdErr("chance: probability must be in [0,1]")
+                raise CmdErr(f"{what}: value must be in [0,1]")
             if sel == "a":
                 for s in chance:
                     chance[s] = pv
@@ -308,7 +318,7 @@ class CmdProcessor:
             else:
                 s = int(sel)
                 if s not in chance:
-                    raise CmdErr(f"chance: step {s} not in -s list")
+                    raise CmdErr(f"{what}: step {s} not in -s list")
                 chance[s] = pv
         return [chance.get(s, 0.0) for s in range(period)]
 
@@ -376,10 +386,13 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
     if cmd.verb == "seq":
         mask = np.zeros(MAX_STEPS, bool)
         ch = np.zeros(MAX_STEPS, np.float32)
+        jt = np.zeros(MAX_STEPS, np.float32)
         for s in cmd.steps:
             mask[s] = True
         for s, p in enumerate(cmd.chance):
             ch[s] = p
+        for s, p in enumerate(cmd.jitter):
+            jt[s] = p
         if cmd.group >= 0:
             # group-level sequencer: every member voice follows the group
             # tempo lane and shares its chance roll (lane-keyed RNG)
@@ -406,6 +419,7 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                 s_period=st.s_period.at[t].set(cmd.period),
                 s_stepmask=st.s_stepmask.at[t].set(jnp.asarray(mask)),
                 s_chance=st.s_chance.at[t].set(jnp.asarray(ch)),
+                s_jitter=st.s_jitter.at[t].set(jnp.asarray(jt)),
             )
             if cmd.group >= 0:
                 st = dataclasses.replace(

@@ -53,12 +53,33 @@ def render_block(
     interval = jnp.maximum(st.t_interval[lane], 1)  # [V]
     t_on = st.t_active[lane] & (st.v_tempo >= 0)
     rel = (st.clock + fidx[None, :]) - st.t_start[lane][:, None]  # [V, F]
-    boundary = (rel >= 0) & (rel % interval[:, None] == 0)
     step_num = jnp.maximum(rel, 0) // interval[:, None]
     k = step_num % jnp.maximum(st.s_period, 1)[:, None]  # [V, F]
     k = jnp.minimum(k, MAX_STEPS - 1)
     in_step = jnp.take_along_axis(st.s_stepmask, k, axis=1)
     chance = jnp.take_along_axis(st.s_chance, k, axis=1)
+    # Per-step trigger jitter (the reference's -j stub, made real): the
+    # step's boundary is delayed by floor(u * jitter * interval) frames,
+    # u a stable hash of (tempo lane, absolute step number) — identical
+    # across block boundaries and shared by group members, like the
+    # chance roll.  jitter == 0 reproduces the unjittered grid exactly.
+    jit_k = jnp.take_along_axis(st.s_jitter, k, axis=1)  # [V, F]
+    seed = jax.random.randint(
+        jax.random.fold_in(st.rng_key, 7), (), 0, 2**31 - 1
+    ).astype(jnp.uint32)
+    h = (
+        step_num.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        ^ (lane[:, None].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        ^ seed
+    )
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    u_j = h.astype(f32) * (1.0 / 4294967296.0)
+    delay = jnp.floor(u_j * jit_k * interval[:, None].astype(f32)).astype(i32)
+    boundary = (rel >= 0) & (rel % interval[:, None] == delay)
     # Chance rolls are keyed by TEMPO LANE, not voice: voices driven by one
     # group sequencer share a roll (the reference's group-level Seq rolls
     # once per trigger, processes.rs:77-89), while independent voices get
@@ -127,7 +148,7 @@ def render_block(
         t_interval=st.t_interval, t_start=st.t_start, t_active=st.t_active,
         v_tempo=st.v_tempo, g_tempo=st.g_tempo,
         s_on=st.s_on, s_period=st.s_period, s_stepmask=st.s_stepmask,
-        s_chance=st.s_chance,
+        s_chance=st.s_chance, s_jitter=st.s_jitter,
         g_used=st.g_used, g_active=st.g_active,
         clock=st.clock + F, rng_key=st.rng_key,
     )

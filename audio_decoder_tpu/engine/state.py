@@ -68,6 +68,9 @@ class EngineArrays:
     s_period: jax.Array  # i32 [V] steps per cycle
     s_stepmask: jax.Array  # bool [V, MAX_STEPS] trigger steps
     s_chance: jax.Array  # f32 [V, MAX_STEPS] per-step probability
+    s_jitter: jax.Array  # f32 [V, MAX_STEPS] trigger delay, fraction of
+    #                      the tempo interval (the reference parses -j but
+    #                      never applies it, commands.rs:1125-1136)
 
     # groups
     g_used: jax.Array  # bool [G]
@@ -103,6 +106,7 @@ def empty_state(
         s_period=jnp.ones(V, jnp.int32),
         s_stepmask=jnp.zeros((V, MAX_STEPS), bool),
         s_chance=jnp.zeros((V, MAX_STEPS), jnp.float32),
+        s_jitter=jnp.zeros((V, MAX_STEPS), jnp.float32),
         g_used=jnp.zeros(G, bool),
         g_active=jnp.zeros(G, bool),
         clock=jnp.zeros((), jnp.int32),

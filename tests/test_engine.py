@@ -217,3 +217,59 @@ def test_group_seq_requires_group_tempo():
     st = _run(st, reg, proc, ["load a", "group g1 -v a"])
     with pytest.raises(EC.CmdErr):
         EC.apply(st, reg, proc.parse("seq g1 -p 2 -s 0"))
+
+
+def test_seq_jitter_delays_triggers_within_step():
+    decay = np.zeros((1000, 1), np.float32)
+    decay[0] = 1.0  # click at trigger
+    st, reg, proc = _engine({"click": decay})
+    st = _run(st, reg, proc, [
+        "load click -t s:100",
+        "seq click -p 2 -s 0,1 -j a:1.0",   # full-interval jitter, all steps
+        "start -v click",
+    ])
+    audio, st = render_seconds(st, 1.0, RATE, 1, block=128)
+    clicks = np.nonzero(audio[:, 0] >= 0.99)[0]
+    # drop the plain `start` playback click at frame 0 (not a trigger)
+    trig = [int(c) for c in clicks if c > 0]
+    # at most one trigger per 100-sample step window, delayed inside it
+    assert len(trig) >= 8
+    windows = [c // 100 for c in trig]
+    assert len(set(windows)) == len(windows)
+    # and it actually jitters: not every trigger on the nominal boundary
+    assert any(c % 100 != 0 for c in trig)
+
+
+def test_seq_jitter_zero_matches_unjittered_grid():
+    decay = np.zeros((1000, 1), np.float32)
+    decay[0] = 1.0
+    st, reg, proc = _engine({"click": decay})
+    st = _run(st, reg, proc, [
+        "load click -t s:100",
+        "seq click -p 4 -s 0,2 -j a:0.0",
+        "start -v click",
+    ])
+    audio, st = render_seconds(st, 1.0, RATE, 1, block=128)
+    clicks = np.nonzero(audio[:, 0] >= 0.99)[0]
+    assert list(clicks[:4]) == [0, 200, 400, 600]
+
+
+def test_seq_jitter_stable_across_block_sizes():
+    # the jitter hash is keyed by absolute step number, so the rendered
+    # audio must be identical whether the stretch renders as 128- or
+    # 64-frame blocks (a delayed trigger may cross a block edge)
+    decay = np.zeros((1000, 1), np.float32)
+    decay[:4] = [[1.0], [0.7], [0.4], [0.2]]
+    cmds = [
+        "load click -t s:64",
+        "seq click -p 2 -s 0,1 -j a:0.9",
+        "start -v click",
+    ]
+    outs = []
+    for block in (128, 64):
+        st, reg, proc = _engine({"click": decay})
+        st = _run(st, reg, proc, cmds)
+        audio, st = render_seconds(st, 1.0, RATE, 1, block=block)
+        outs.append(audio)
+    n = min(len(outs[0]), len(outs[1]))  # whole blocks only: 896 vs 960
+    assert np.array_equal(outs[0][:n], outs[1][:n])
