@@ -40,6 +40,9 @@ class EngineLoop:
         self.term = threading.Event()
         self.errors: list[str] = []
         self._pending: "collections.deque" = collections.deque()
+        #: plain-Python snapshot for the prompt status line, refreshed by
+        #: the render thread (never read device arrays from the UI thread)
+        self.status: dict = {}
 
     def submit(self, line: str) -> bool:
         """Parse + enqueue (parse errors surface immediately on the caller's
@@ -78,8 +81,20 @@ class EngineLoop:
             block_np = np.asarray(block)
             self.sink.write(block_np)
             out.append(block_np)
+        self._snapshot_status()
         return (
             np.concatenate(out) if out else np.zeros((0, self.channels), np.float32)
+        )
+
+    def _snapshot_status(self):
+        st = self.state
+        used = np.asarray(st.v_used)
+        active = np.asarray(st.v_active) & used
+        self.status = dict(
+            voices=int(used.sum()),
+            playing=int(active.sum()),
+            groups=int(np.asarray(st.g_used).sum()),
+            clock_s=float(int(st.clock)) / max(self.rate, 1),
         )
 
     def install_sigterm(self):
@@ -100,10 +115,51 @@ class EngineLoop:
 
 _MARKERS = "^X v>X<Z".replace(" ", "")  # spinner glyphs (runtime.rs:56-63)
 
+_VERBS = (
+    "load", "start", "pause", "resume", "stop", "unload", "velocity",
+    "group", "tc", "seq", "quit",
+)
+_FLAGS = ("-v", "-g", "-t", "-p", "-s", "-c", "-j")
 
-def _read_line_raw(term: RawTerminal, history: list[str], prompt_state) -> str | None:
-    """Raw-mode line editor: backspace, ←/→ cursor, ↑/↓ history, Ctrl-C
-    (≙ the reference's key-reader thread, runtime.rs:137-243)."""
+
+def complete_line(reg, buf: list, cur: int) -> tuple[list, int]:
+    """Tab completion over the shadow registry: verbs in first position,
+    flags after '-', otherwise track/voice/group/context names.  Extends
+    the current token to the candidates' longest common prefix (a REPL
+    nicety beyond the reference's editor, runtime.rs:137-243)."""
+    import os
+
+    head = "".join(buf[:cur])
+    start = head.rfind(" ") + 1
+    token = head[start:]
+    if start == 0:
+        cands = [v for v in _VERBS if v.startswith(token)]
+    elif token.startswith("-"):
+        cands = [f for f in _FLAGS if f.startswith(token)]
+    else:
+        names = sorted(
+            set(reg.tracks) | set(reg.voices) | set(reg.groups)
+            | set(reg.contexts)
+        )
+        cands = [n for n in names if n.startswith(token)]
+    if not cands:
+        return buf, cur
+    common = os.path.commonprefix(cands)
+    if len(cands) == 1:
+        common += " "
+    add = common[len(token):]
+    if not add:
+        return buf, cur
+    new = buf[:cur] + list(add) + buf[cur:]
+    return new, cur + len(add)
+
+
+def _read_line_raw(
+    term: RawTerminal, history: list[str], prompt_state, reg=None
+) -> str | None:
+    """Raw-mode line editor: backspace, ←/→ cursor, ↑/↓ history, Tab
+    completion, Ctrl-C (≙ the reference's key-reader thread,
+    runtime.rs:137-243, plus completion it doesn't have)."""
     buf: list[str] = []
     cur = 0
     hist_idx = len(history)
@@ -120,6 +176,9 @@ def _read_line_raw(term: RawTerminal, history: list[str], prompt_state) -> str |
             if line:
                 history.append(line)
             return line
+        if c == 9 and reg is not None:  # Tab
+            buf, cur = complete_line(reg, buf, cur)
+            continue
         if c in (8, 127):  # backspace
             if cur > 0:
                 buf.pop(cur - 1)
@@ -147,9 +206,10 @@ def _read_line_raw(term: RawTerminal, history: list[str], prompt_state) -> str |
             cur += 1
 
 
-def _render_prompt(prompt_state, stop: threading.Event):
+def _render_prompt(prompt_state, stop: threading.Event, loop=None):
     """Marker + line redraw thread (≙ runtime.rs:56-117: spinner every
-    100 ms, line repaint at 15 ms)."""
+    100 ms, line repaint at 15 ms), with a dim right-side status segment
+    (voices playing / groups / clock) the reference doesn't have."""
     import time
 
     i = 0
@@ -162,6 +222,13 @@ def _render_prompt(prompt_state, stop: threading.Event):
         line = prompt_state.get("line", "")
         cur = prompt_state.get("cursor", len(line))
         sys.stdout.write(f"\r\x1b[2K{_MARKERS[i]} {line}")
+        s = loop.status if loop is not None else {}
+        if s:
+            col = max(len(line) + 6, 44)
+            sys.stdout.write(
+                f"\x1b[s\x1b[{col}G\x1b[2m| {s['playing']}/{s['voices']} "
+                f"voices  {s['groups']} grp  {s['clock_s']:.1f}s\x1b[0m\x1b[u"
+            )
         back = len(line) - cur
         if back > 0:
             sys.stdout.write(f"\x1b[{back}D")
@@ -186,13 +253,13 @@ def repl(loop: EngineLoop, infile=None, outfile=None):
             prompt_state: dict = {"line": "", "cursor": 0}
             stop_prompt = threading.Event()
             painter = threading.Thread(
-                target=_render_prompt, args=(prompt_state, stop_prompt),
+                target=_render_prompt, args=(prompt_state, stop_prompt, loop),
                 daemon=True,
             )
             with RawTerminal() as term:
                 painter.start()
                 while not loop.term.is_set():
-                    line = _read_line_raw(term, history, prompt_state)
+                    line = _read_line_raw(term, history, prompt_state, loop.reg)
                     if line is None:
                         break
                     if line:

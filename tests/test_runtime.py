@@ -227,3 +227,46 @@ def test_cli_render_script_to_wav():
     n = min(got.pcm.shape[0], 2048)
     ref = pcm[:n].astype(np.float32) / 32768.0
     np.testing.assert_allclose(got.pcm[:n], ref, atol=2e-4)
+
+
+def test_tab_completion():
+    from audio_decoder_tpu.engine.state import HostRegistry
+    from audio_decoder_tpu.runtime.loop import complete_line
+
+    reg = HostRegistry(["kick", "kick2", "snare"])
+    reg.voices = {"kick": 0}
+    reg.groups = {"drums": 0}
+
+    def comp(s, cur=None):
+        buf = list(s)
+        new, nc = complete_line(reg, buf, len(buf) if cur is None else cur)
+        return "".join(new)
+
+    assert comp("lo") == "load "           # unique verb → trailing space
+    assert comp("s") == "s"                # ambiguous: start/stop/seq/snare? (verbs only)
+    assert comp("st") == "st"              # start vs stop: common prefix kept
+    assert comp("sta") == "start "
+    assert comp("load ki") == "load kick"  # names: kick vs kick2
+    assert comp("load sn") == "load snare "
+    assert comp("start -") == "start -"    # flags ambiguous
+    assert comp("start -v dr") == "start -v drums "
+    assert comp("load zz") == "load zz"    # no candidates → unchanged
+
+
+def test_engine_loop_status_snapshot():
+    import numpy as np
+    from audio_decoder_tpu.engine import state as ES
+    from audio_decoder_tpu.runtime.loop import EngineLoop
+    from audio_decoder_tpu.runtime.native import Sink
+
+    tracks = np.zeros((1, 64, 1), np.float32)
+    st = ES.empty_state(tracks, [64], [1], out_channels=1)
+    reg = ES.HostRegistry(["t"])
+    loop = EngineLoop(
+        st, reg, 1000, 1, sink=Sink("default", 1000, 1, realtime=False)
+    )
+    loop.submit("load t")
+    loop.submit("start -v t")
+    loop.run_blocks(4)
+    assert loop.status["voices"] == 1
+    assert loop.status["clock_s"] > 0.4
