@@ -79,6 +79,7 @@ def cmd_repl(args) -> int:
 def cmd_decode(args) -> int:
     from .codecs.registry import decode_dir
     from .dsp.consensus import consensus_for
+    from .utils.trace import TRACE
 
     batch, names = decode_dir(args.assets)
     rate, ch = consensus_for(batch)
@@ -88,6 +89,9 @@ def cmd_decode(args) -> int:
         print(f"{name}: {status} {f.format} {f.sample_rate} Hz "
               f"{f.num_channels} ch {f.pcm.shape[0]} frames")
     print(f"consensus: {int(rate)} Hz, {int(ch)} ch")
+    if getattr(args, "stats", False):
+        print("-- stage stats (items = decoded audio-seconds) --")
+        print(TRACE.report())
     return 0
 
 
@@ -213,6 +217,8 @@ def main(argv=None) -> int:
 
     pd = sub.add_parser("decode", help="decode a folder and report")
     pd.add_argument("--assets", required=True)
+    pd.add_argument("--stats", action="store_true",
+                    help="print per-stage timers and audio-sec/sec rates")
     pd.set_defaults(fn=cmd_decode)
 
     pb = sub.add_parser("bench", help="throughput benchmark")

@@ -25,6 +25,7 @@ from ..core import errors as E
 from ..core.batch import AudioBatch, concat_batches
 from ..io.assets import Asset, load_assets, pack_bytes, scan_assets
 from ..ops.unpack import unpack_pcm
+from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import wav as wav_codec
 from .mpeg import decoder as mpeg_codec
@@ -160,12 +161,21 @@ def decode_assets(assets: Sequence[Asset]) -> AudioBatch:
 
     for fam, idxs in by_family.items():
         fam_assets = [assets[i] for i in idxs]
-        if fam in _PARSERS:
-            for local_idxs, batch in _decode_pcm_family(fam, fam_assets):
-                pieces.append(([idxs[j] for j in local_idxs], batch))
-        elif fam == "mp3":
-            for local_idxs, batch in mpeg_codec.decode_group(fam_assets):
-                pieces.append(([idxs[j] for j in local_idxs], batch))
+        fam_pieces: list[tuple[list[int], AudioBatch]] = []
+        with TRACE.stage(f"decode/{fam}"):
+            if fam in _PARSERS:
+                fam_pieces = list(_decode_pcm_family(fam, fam_assets))
+            elif fam == "mp3":
+                fam_pieces = list(mpeg_codec.decode_group(fam_assets))
+        for local_idxs, batch in fam_pieces:
+            # decoded audio-seconds counter (SURVEY §5: per-batch
+            # audio-sec/sec observability the reference lacks)
+            rate = np.maximum(np.asarray(batch.sample_rate), 1)
+            TRACE.add(
+                f"decode/{fam}",
+                float((np.asarray(batch.valid_frames) / rate).sum()),
+            )
+            pieces.append(([idxs[j] for j in local_idxs], batch))
 
     if not pieces:
         return _error_batch([], [], [])

@@ -59,6 +59,15 @@ class Tracer:
             )
         return "\n".join(lines)
 
+    def reset(self) -> None:
+        self.stats.clear()
+
+
+#: process-wide tracer the decode layer reports into (stage names
+#: "decode/<family>", items = decoded audio-seconds); the CLI's --stats
+#: flag and tests read it via report()/stats
+TRACE = Tracer()
+
 
 #: process-wide default tracer (CLI/bench attach here)
 TRACER = Tracer()

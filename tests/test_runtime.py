@@ -270,3 +270,20 @@ def test_engine_loop_status_snapshot():
     loop.run_blocks(4)
     assert loop.status["voices"] == 1
     assert loop.status["clock_s"] > 0.4
+
+
+def test_decode_trace_counters():
+    from audio_decoder_tpu.utils.trace import TRACE
+    from audio_decoder_tpu.codecs.registry import decode_assets
+    from audio_decoder_tpu.io.assets import Asset
+    from .synth import make_wav
+
+    TRACE.reset()
+    pcm = np.zeros((4410, 1), np.int16)
+    batch = decode_assets(
+        [Asset(path="a", name="a", ext="wav", data=make_wav(pcm, 44100))]
+    )
+    s = TRACE.stats["decode/wav"]
+    assert s.calls == 1 and s.seconds > 0
+    assert abs(s.items - 0.1) < 1e-6  # 4410 frames @ 44.1 kHz
+    assert "decode/wav" in TRACE.report()
