@@ -99,3 +99,41 @@ def test_sharded_mp3_decode_matches_single(mesh8, rng):
         got = np.asarray(pcm[i])[:n, : ln.channels]
         rms = float(np.sqrt(((ref[:n] - got) ** 2).mean()))
         assert rms < 5e-7, f"shard {i}: rms {rms}"
+
+
+def test_voice_sharded_render_matches_single(mesh8):
+    """Model-parallel engine: voice axis sharded over 'model', one psum
+    mixes the block; output must match the single-device renderer."""
+    from audio_decoder_tpu.engine import commands as EC
+    from audio_decoder_tpu.engine import state as ES
+    from audio_decoder_tpu.engine.render import render_block
+    from audio_decoder_tpu.parallel.render import (
+        shard_engine_state,
+        sharded_render_fn,
+    )
+
+    rng_ = np.random.default_rng(3)
+    tracks = rng_.standard_normal((2, 512, 2)).astype(np.float32) * 0.2
+    st = ES.empty_state(tracks, [512, 400], [2, 2], out_channels=2)
+    reg = ES.HostRegistry(["a", "b"])
+    proc = EC.CmdProcessor(reg, 1000)
+    for line in [
+        "load a -t s:100", "load b -t s:64",
+        "seq a -p 4 -s 0,2 -j a:0.5", "seq b -p 2 -s 0,1",
+        "start -v a", "start -v b",
+    ]:
+        st = EC.apply(st, reg, proc.parse(line))
+
+    ref_st = st
+    ref_blocks = []
+    for _ in range(3):
+        blk, ref_st = render_block(ref_st, frames=128, out_channels=2)
+        ref_blocks.append(np.asarray(blk))
+
+    fn = sharded_render_fn(mesh8, frames=128, out_channels=2)
+    sh_st = shard_engine_state(st, mesh8)
+    for i in range(3):
+        blk, sh_st = fn(sh_st)
+        np.testing.assert_allclose(
+            np.asarray(blk), ref_blocks[i], atol=2e-6
+        )
