@@ -391,6 +391,8 @@ def derive_stereo_modes(
     bound_sfb = 1 + jnp.sum(
         (lb[:, None, 1:22] < rzero[..., None]).astype(i32), axis=-1
     )  # [B,G]
+    # fully empty right channel: band 0 is intensity too (mpg123 parity)
+    bound_sfb = jnp.where(rzero == 0, 0, bound_sfb)
     sfb_line = jnp.asarray(_LINE2SFB_LONG)[r][:, None, :]  # [B,1,576]
     sfr_l = jnp.take_along_axis(
         sfr_bands.astype(i32), jnp.minimum(sfb_line, 20), axis=-1
@@ -433,7 +435,14 @@ def derive_stereo_modes(
         base_mode,
     )
 
-    mode = jnp.where(short_r[..., None], mode_short, mode_long)
+    # mixed blocks: lines < 36 are the LONG region — long-band rule with
+    # the GLOBAL bound (any short-region right content pushes it past the
+    # whole long part); lines >= 36 use the per-window short rule (pinned
+    # to mpg123, tests/test_intensity*.py mixed cases)
+    mixed_r = short_r & (((blockcfg_r.astype(i32) >> 2) & 1) > 0)  # [B,G]
+    line_iota = jnp.arange(576)[None, None, :]
+    use_long = (~short_r[..., None]) | (mixed_r[..., None] & (line_iota < 36))
+    mode = jnp.where(use_long, mode_long, mode_short)
     # no intensity: MS everywhere (if ms) / LR; mono-joint handled upstream
     mode = jnp.where(inten[..., None], mode, base_mode)
     return jnp.where(joint[..., None], mode, 0)

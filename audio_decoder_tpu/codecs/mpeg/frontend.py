@@ -506,37 +506,47 @@ def _stereo_modes(
         return modes
 
     short = g_r["window_switching"] and g_r["block_type"] == 2
+    mixed = short and g_r["mixed"]
     long_bands = T.SFB_LONG[sr]
     short_bands = T.SFB_SHORT[sr]
-    if not short:
+    bound_line = 0
+    if not short or mixed:
+        # bound from the GLOBAL last nonzero: in mixed blocks any
+        # short-region content pushes it past the whole long part
         nz = np.nonzero(is_r)[0]
         rzero = (int(nz[-1]) + 1) if len(nz) else 0
+        n_long = ((6 if lsf else 8) if mixed else 22)
         bound_sfb = 21
         while bound_sfb > 0 and int(long_bands[bound_sfb]) >= rzero:
             bound_sfb -= 1
         bound_sfb += 1
-        for sfb in range(bound_sfb, 22):
+        if rzero == 0:  # fully empty right: band 0 included
+            bound_sfb = 0
+        for sfb in range(min(bound_sfb, n_long), n_long):
             lo, hi = int(long_bands[sfb]), int(long_bands[sfb + 1])
             set_is(slice(lo, hi), int(sf_r["l"][min(sfb, 20)]) if sfb < 21 else 7)
-        bound_line = int(long_bands[bound_sfb])
-    else:
+        bound_line = int(long_bands[min(bound_sfb, n_long)])
+    if short:
         # short blocks: per-window bound at the band past the window's last
         # nonzero; segments are STRIDED in reordered line space (validated
-        # against mpg123 via crafted streams, tests/test_intensity.py)
+        # against mpg123 via crafted streams, tests/test_intensity*.py);
+        # mixed blocks only have short bands from sfb 3 (lines >= 36)
+        first_sfb = 3 if mixed else 0
         for w in range(3):
             bound_w = 0
             for sfb in range(13):
                 lo3, hi3 = int(short_bands[sfb]) * 3, int(short_bands[sfb + 1]) * 3
                 if np.any(is_r[lo3 + w : hi3 : 3]):
                     bound_w = sfb + 1
-            for sfb in range(13):
+            for sfb in range(first_sfb, 13):
                 lo3, hi3 = int(short_bands[sfb]) * 3, int(short_bands[sfb + 1]) * 3
                 seg = np.arange(lo3 + w, hi3, 3)
                 if sfb >= bound_w:
                     set_is(seg, int(sf_r["s"][min(sfb, 11), w]))
                 elif ms:
                     set_ms(seg)
-        return modes
+        if not mixed:
+            return modes
     if ms:
         set_ms(slice(0, bound_line))
     return modes

@@ -640,32 +640,41 @@ static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
     return;
   }
   bool short_blk = g_r->window_switching && g_r->block_type == 2;
+  bool mixed = short_blk && g_r->mixed;
   const int16_t* lb = kSfbLong[ridx];
   const int16_t* sb = kSfbShort[ridx];
-  int bound_line;
-  if (!short_blk) {
+  int bound_line = 0;
+  if (!short_blk || mixed) {
+    // bound from the GLOBAL last nonzero: in mixed blocks any
+    // short-region content pushes it past the whole long part
     int rzero = 0;
     for (int i = 575; i >= 0; i--)
       if (is_r[i]) { rzero = i + 1; break; }
+    int n_long = mixed ? (lsf ? 6 : 8) : 22;
     int bound_sfb = 21;
     while (bound_sfb > 0 && lb[bound_sfb] >= rzero) bound_sfb--;
     bound_sfb++;
-    for (int sfb = bound_sfb; sfb < 22; sfb++) {
+    if (rzero == 0) bound_sfb = 0;  // fully empty right: band 0 included
+    if (bound_sfb > n_long) bound_sfb = n_long;
+    for (int sfb = bound_sfb; sfb < n_long; sfb++) {
       int is_pos = sfb < 21 ? sf_r->l[sfb < 20 ? sfb : 20] : 7;
       set_is(lb[sfb], lb[sfb + 1], is_pos);
     }
     bound_line = lb[bound_sfb];
-  } else {
+  }
+  if (short_blk) {
     // short blocks: per-window bound past the window's last nonzero;
     // segments are strided in reordered line space (pinned to mpg123
-    // via crafted streams, tests/test_intensity.py)
+    // via crafted streams, tests/test_intensity*.py); mixed blocks only
+    // have short bands from sfb 3 (lines >= 36)
+    int first_sfb = mixed ? 3 : 0;
     for (int w = 0; w < 3; w++) {
       int bound_w = 0;
       for (int sfb = 0; sfb < 13; sfb++) {
         for (int j = sb[sfb] * 3 + w; j < sb[sfb + 1] * 3; j += 3)
           if (is_r[j]) { bound_w = sfb + 1; break; }
       }
-      for (int sfb = 0; sfb < 13; sfb++) {
+      for (int sfb = first_sfb; sfb < 13; sfb++) {
         int is_pos = sf_r->s[sfb < 11 ? sfb : 11][w];
         for (int j = sb[sfb] * 3 + w; j < sb[sfb + 1] * 3; j += 3) {
           if (sfb >= bound_w) {
@@ -680,7 +689,7 @@ static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
         }
       }
     }
-    return;
+    if (!mixed) return;
   }
   if (ms) set_ms(0, bound_line);
 }

@@ -368,22 +368,31 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr, lsf=False):
                 L[sl] = xr_l[sl] * (ratio / (1 + ratio))
                 R[sl] = xr_l[sl] * (1 / (1 + ratio))
 
-        if not short:
-            # bound = first band fully above the right channel's last nonzero
+        mixed = short and g_r["mixed"]
+        if not short or mixed:
+            # bound = first band fully above the right channel's last
+            # nonzero line (GLOBAL: for mixed blocks any short-region
+            # content pushes the bound past the whole long part —
+            # pinned to mpg123, tests/test_intensity*.py)
             nz = np.nonzero(xr_r)[0]
             rzero = (int(nz[-1]) + 1) if len(nz) else 0
+            n_long = (6 if lsf else 8) if mixed else 22
             bound_sfb = 21
             while bound_sfb > 0 and int(long_bands[bound_sfb]) >= rzero:
                 bound_sfb -= 1
             bound_sfb += 1
-            for sfb in range(bound_sfb, 22):
+            if rzero == 0:  # fully empty right: band 0 included
+                bound_sfb = 0
+            for sfb in range(min(bound_sfb, n_long), n_long):
                 lo, hi = int(long_bands[sfb]), int(long_bands[sfb + 1])
                 do_band(lo, hi, int(sf_r["l"][min(sfb, 20)]) if sfb < 21 else 7)
-            bound_line = int(long_bands[bound_sfb])
-        else:
+            bound_line = int(long_bands[min(bound_sfb, n_long)])
+        if short:
             # short blocks: per-window bound at the band past the window's
             # last nonzero; segments are STRIDED in reordered line space
-            # (validated against mpg123 via crafted streams)
+            # (validated against mpg123 via crafted streams); mixed blocks
+            # only have short bands from sfb 3 (lines >= 36)
+            first_sfb = 3 if mixed else 0
             for w in range(3):
                 bound_w = 0
                 for sfb in range(13):
@@ -391,7 +400,7 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr, lsf=False):
                     seg = np.arange(lo * 3 + w, hi * 3, 3)
                     if np.any(xr_r[seg]):
                         bound_w = sfb + 1
-                for sfb in range(13):
+                for sfb in range(first_sfb, 13):
                     lo, hi = int(short_bands[sfb]), int(short_bands[sfb + 1])
                     seg = np.arange(lo * 3 + w, hi * 3, 3)
                     if sfb >= bound_w:
@@ -400,7 +409,8 @@ def _stereo(xr_l, xr_r, g_l, g_r, sf_r, header, sr, lsf=False):
                         m, s = xr_l[seg], xr_r[seg]
                         L[seg] = (m + s) * isqrt2
                         R[seg] = (m - s) * isqrt2
-            return L, R
+            if not mixed:
+                return L, R
         if ms:
             m, s = xr_l[:bound_line], xr_r[:bound_line]
             L[:bound_line] = (m + s) * isqrt2

@@ -69,6 +69,7 @@ def make_l3_frame(
     bv_override: tuple = (None, None),
     table_select: tuple = (1, 1),
     sf_pad_bits: tuple = (0, 0),
+    mixed: tuple = (0, 0),
 ) -> bytes:
     """One self-contained frame (plus everything zero after big values).
 
@@ -98,10 +99,11 @@ def make_l3_frame(
         sc = scalefac_compress[c]
         short = block_type[c] == 2
         if lsf:
+            kind = (2 if mixed[c] else 1) if short else 0
             if c == 1 and mode == 1 and (mode_ext & 1):
-                slen, nr = T.lsf_scalefac_layout_istereo(sc, 1 if short else 0)
+                slen, nr = T.lsf_scalefac_layout_istereo(sc, kind)
             else:
-                slen, nr, _pre = T.lsf_scalefac_layout(sc, 1 if short else 0)
+                slen, nr, _pre = T.lsf_scalefac_layout(sc, kind)
             seq = (sfs + [0] * 40)[: sum(nr)]
             k = 0
             for g_i in range(4):
@@ -109,6 +111,16 @@ def make_l3_frame(
                     if slen[g_i]:
                         w.put(seq[k], slen[g_i])
                     k += 1
+        elif short and mixed[c]:
+            # 8 long at slen1, then sfb 3-5 windows at slen1, 6-11 at slen2
+            slen1, slen2 = int(T.SLEN1[sc]), int(T.SLEN2[sc])
+            seq = (sfs + [0] * 35)[:35]
+            for k in range(17):  # 8 long + 9 short(3..5)
+                if slen1:
+                    w.put(seq[k], slen1)
+            for k in range(17, 35):
+                if slen2:
+                    w.put(seq[k], slen2)
         elif short:
             # 36 values, sfb-major window-minor: sfb 0-5 at slen1, 6-11 slen2
             slen1, slen2 = int(T.SLEN1[sc]), int(T.SLEN2[sc])
@@ -174,7 +186,7 @@ def make_l3_frame(
             else:
                 side.put(1, 1)
                 side.put(bt, 2)
-                side.put(0, 1)  # not mixed
+                side.put(mixed[c], 1)
                 side.put(ts, 5)
                 side.put(ts, 5)
                 for _ in range(3):
