@@ -337,6 +337,11 @@ def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
 _LINE2SFB_LONG = _line2sfb_long()
 _SEG_SFB, _SEG_WIN = _seg_maps()
 _LB = np.stack([T.SFB_LONG[sr] for sr in T.RATE_ORDER])  # [9, 23]
+#: mixed-block long/short boundary line per rate (= 3*short_bands[3];
+#: 36 everywhere except 72 at 8 kHz)
+_MIXED_SPLIT = np.array(
+    [int(T.SFB_SHORT[sr][3]) * 3 for sr in T.RATE_ORDER], np.int32
+)
 
 
 def derive_stereo_modes(
@@ -435,13 +440,17 @@ def derive_stereo_modes(
         base_mode,
     )
 
-    # mixed blocks: lines < 36 are the LONG region — long-band rule with
-    # the GLOBAL bound (any short-region right content pushes it past the
-    # whole long part); lines >= 36 use the per-window short rule (pinned
-    # to mpg123, tests/test_intensity*.py mixed cases)
+    # mixed blocks: lines below 3*short_bands[3] (36, or 72 at 8 kHz) are
+    # the LONG region — long-band rule with the GLOBAL bound (any
+    # short-region right content pushes it past the whole long part);
+    # lines above use the per-window short rule (pinned to mpg123,
+    # tests/test_mixed_blocks.py)
     mixed_r = short_r & (((blockcfg_r.astype(i32) >> 2) & 1) > 0)  # [B,G]
     line_iota = jnp.arange(576)[None, None, :]
-    use_long = (~short_r[..., None]) | (mixed_r[..., None] & (line_iota < 36))
+    split = jnp.asarray(_MIXED_SPLIT)[r][:, None, None]  # [B,1,1]
+    use_long = (~short_r[..., None]) | (
+        mixed_r[..., None] & (line_iota < split)
+    )
     mode = jnp.where(use_long, mode_long, mode_short)
     # no intensity: MS everywhere (if ms) / LR; mono-joint handled upstream
     mode = jnp.where(inten[..., None], mode, base_mode)

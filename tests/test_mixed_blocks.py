@@ -165,3 +165,20 @@ def test_intensity_band0_with_empty_right():
         ) * 10
         rms_o, rms_p = _both_match_mpg123(blob)
         assert rms_o < TOL and rms_p < TOL, (sr, rms_o, rms_p)
+
+
+def test_mixed_intensity_8k_gap_region():
+    # at 8 kHz the mixed long/short boundary is line 72 (3*short[3]), not
+    # 36: content in lines 36..72 is LONG bands 3-5 and must use the
+    # long-band rule (the device path once hard-coded 36)
+    vals = np.zeros(72, np.int32)
+    vals[40:60] = [1, -1] * 10
+    for sc in (86, 87):
+        blob = make_l3_frame(
+            sr=8000, mode=1, mode_ext=1, spectra=(vals, ()),
+            scalefac=((), [1] * 33), scalefac_compress=(0, sc),
+            block_type=(2, 2), global_gain=(240, 210), mixed=(1, 1),
+            **_EMPTY_RIGHT,
+        ) * 10
+        rms_o, rms_p = _both_match_mpg123(blob)
+        assert rms_o < TOL and rms_p < TOL, (sc, rms_o, rms_p)
