@@ -144,7 +144,7 @@ def cmd_inspect(args) -> int:
     """Interactive byte/sync navigator (≙ the reference's `skiparound`
     debugging aid, mpeg.rs:305-364): n/b hunt sync words, f steps a whole
     frame via the parsed header, +N/-N move bytes, q quits."""
-    from .codecs.mpeg.frontend import parse_header
+    from .codecs.mpeg.frontend import crc_check, parse_header
 
     with open(args.file, "rb") as fh:
         blob = fh.read()
@@ -162,9 +162,11 @@ def cmd_inspect(args) -> int:
         if cur + 4 <= len(blob) and blob[cur] == 0xFF and (blob[cur + 1] & 0xE0) == 0xE0:
             h = parse_header(int.from_bytes(blob[cur : cur + 4], "big"))
         if h:
+            ok = crc_check(blob, cur, h)
+            crc = "" if ok is None else (" crc:ok" if ok else " crc:BAD")
             line += (f"  <sync: v{h['version']} L{4 - h['layer']} "
                      f"{h['bitrate'] // 1000}kbps {h['sr']}Hz "
-                     f"len={h['frame_len']}>")
+                     f"len={h['frame_len']}{crc}>")
         print(line)
 
     def find_sync(start: int, step: int) -> int:

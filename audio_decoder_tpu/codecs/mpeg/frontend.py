@@ -157,6 +157,40 @@ def _is_info_frame(blob: bytes, pos: int, h: dict) -> bool:
     return blob[pos + 36 : pos + 40] == b"VBRI"
 
 
+def crc16(data: bytes, crc: int = 0xFFFF) -> int:
+    """MPEG CRC-16: polynomial 0x8005, MSB-first, init 0xFFFF
+    (ISO 11172-3 2.4.3.1)."""
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) if crc & 0x8000 else (crc << 1)
+            ) & 0xFFFF
+    return crc
+
+
+def crc_check(blob: bytes, pos: int, h: dict) -> bool | None:
+    """Verify a protected frame's CRC-16; None when the frame is
+    unprotected or not Layer III.
+
+    The checksum covers the last two header bytes plus the side info and
+    sits in the two bytes after the header.  Decoders (the reference,
+    mpg123's default) skip it; this is the verification they omit —
+    surfaced by the inspect CLI and usable by callers that want strict
+    ingest."""
+    if not h["crc"] or h["layer"] != 1:
+        return None
+    if h["version"] == 3:
+        side = 17 if h["channels"] == 1 else 32
+    else:
+        side = 9 if h["channels"] == 1 else 17
+    end = pos + 6 + side
+    if end > len(blob):
+        return False
+    stored = int.from_bytes(blob[pos + 4 : pos + 6], "big")
+    return crc16(blob[pos + 2 : pos + 4] + blob[pos + 6 : end]) == stored
+
+
 def _free_format_base(blob: bytes, i: int, h: dict) -> int:
     """Measure a free-format stream's base frame size: distance from the
     frame at ``i`` to the next sync with matching header fields, minus

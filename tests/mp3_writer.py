@@ -70,6 +70,7 @@ def make_l3_frame(
     table_select: tuple = (1, 1),
     sf_pad_bits: tuple = (0, 0),
     mixed: tuple = (0, 0),
+    protect: bool = False,
 ) -> bytes:
     """One self-contained frame (plus everything zero after big values).
 
@@ -198,16 +199,21 @@ def make_l3_frame(
 
     # --- header + assembly ---
     layer_code = 1  # Layer III
-    hdr = ((0x7FF << 21) | (version << 19) | (layer_code << 17) | (1 << 16)
+    hdr = ((0x7FF << 21) | (version << 19) | (layer_code << 17)
+           | ((0 if protect else 1) << 16)
            | (bitrate_idx << 12) | (sr_idx << 10) | (0 << 9) | (0 << 8)
            | (mode << 6) | (mode_ext << 4))
-    from audio_decoder_tpu.codecs.mpeg.frontend import parse_header
+    from audio_decoder_tpu.codecs.mpeg.frontend import crc16, parse_header
 
     h = parse_header(hdr)
     assert h is not None and h["frame_len"] > 0
     side_b = side.bytes(17 if (not lsf and ch == 1) else (
         32 if not lsf else (9 if ch == 1 else 17)))
-    main_b = payload.bytes(h["frame_len"] - 4 - len(side_b))
-    out = int(hdr).to_bytes(4, "big") + side_b + main_b
+    hdr_b = int(hdr).to_bytes(4, "big")
+    crc_b = (
+        crc16(hdr_b[2:4] + side_b).to_bytes(2, "big") if protect else b""
+    )
+    main_b = payload.bytes(h["frame_len"] - 4 - len(crc_b) - len(side_b))
+    out = hdr_b + crc_b + side_b + main_b
     assert len(out) == h["frame_len"]
     return out

@@ -227,3 +227,34 @@ def test_lsf_intensity_random_streams_never_crash():
         ) * 4
         f = _decode_one(f"lsf{trial}", "mp3", blob)
         assert np.isfinite(np.asarray(f.pcm)).all() or f.err != 0
+
+
+def test_crc_protected_frames():
+    """Protected frames decode identically (the CRC bytes are skipped,
+    matching the reference and mpg123), and crc_check verifies them:
+    True on intact frames, False after side-info corruption."""
+    from audio_decoder_tpu.codecs.mpeg.frontend import crc_check, find_frames
+    from .mp3_writer import make_l3_frame
+
+    vals = np.asarray([1, -1] * 12, np.int32)
+    kw = dict(sr=44100, mode=3, mode_ext=0, spectra=(vals,),
+              scalefac=((),), scalefac_compress=(0,), global_gain=(240,))
+    plain = make_l3_frame(**kw) * 6
+    prot = make_l3_frame(protect=True, **kw) * 6
+    f_plain = _decode_one("p", "mp3", plain)
+    f_prot = _decode_one("q", "mp3", prot)
+    assert f_prot.err == 0
+    n = min(f_plain.pcm.shape[0], f_prot.pcm.shape[0])
+    np.testing.assert_array_equal(f_plain.pcm[:n], f_prot.pcm[:n])
+
+    frames = find_frames(prot)
+    assert frames and all(h["crc"] for _, h in frames)
+    assert all(crc_check(prot, pos, h) for pos, h in frames)
+    # corrupt one side-info byte → that frame's CRC fails
+    bad = bytearray(prot)
+    pos0, h0 = frames[0]
+    bad[pos0 + 8] ^= 0xFF
+    assert crc_check(bytes(bad), pos0, h0) is False
+    # unprotected frames report None
+    fp = find_frames(plain)
+    assert crc_check(plain, fp[0][0], fp[0][1]) is None
