@@ -9,6 +9,13 @@ a C++ host runtime (command queue, terminal REPL, audio sink).
 
 from .core import AudioBatch, AudioFileView, DecodeError
 from .codecs import decode_assets, decode_dir, decode_paths
+from .dsp import (
+    consensus_for,
+    resample_batch,
+    resample_to_consensus,
+    route_channels,
+)
+from .io.assets import scan_assets
 
 __version__ = "0.1.0"
 
@@ -19,5 +26,20 @@ __all__ = [
     "decode_assets",
     "decode_dir",
     "decode_paths",
+    "scan_assets",
+    "consensus_for",
+    "resample_batch",
+    "resample_to_consensus",
+    "route_channels",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # EngineLoop pulls in the runtime stack; keep the import lazy so
+    # plain decode users don't pay for it
+    if name in ("Engine", "EngineLoop"):
+        from .runtime.loop import EngineLoop
+
+        return EngineLoop
+    raise AttributeError(name)

@@ -79,3 +79,34 @@ def test_consensus_resample_batch():
     # file already at consensus is untouched
     yb = np.asarray(out.pcm[1, : xb.shape[0]])
     np.testing.assert_allclose(yb, xb, atol=0)
+
+
+def test_route_channels_matrix():
+    import numpy as np
+    from audio_decoder_tpu.dsp.route import route_channels, routing_matrix
+
+    rng = np.random.default_rng(11)
+    pcm = rng.uniform(-0.4, 0.4, (2, 64, 2)).astype(np.float32)
+    # stereo -> mono: equal-weight downmix
+    mono = np.asarray(route_channels(pcm, 1))
+    np.testing.assert_allclose(mono[..., 0], pcm.mean(-1), atol=1e-6)
+    # mono -> stereo: fan-out (engine.rs:419-427 semantics)
+    st = np.asarray(route_channels(pcm[..., :1], 2))
+    np.testing.assert_allclose(st[..., 0], st[..., 1])
+    np.testing.assert_allclose(st[..., 0], pcm[..., 0], atol=1e-6)
+    # identity
+    same = np.asarray(route_channels(pcm, 2))
+    np.testing.assert_allclose(same, pcm, atol=1e-6)
+    # matrix shapes + clipping
+    assert routing_matrix(4, 2).shape == (4, 2)
+    loud = np.full((1, 8, 1), 0.9, np.float32)
+    assert np.asarray(route_channels(loud, 2)).max() <= 1.0
+
+
+def test_top_level_api_surface():
+    import audio_decoder_tpu as adt
+
+    for name in ("decode_dir", "decode_paths", "scan_assets",
+                 "consensus_for", "resample_to_consensus",
+                 "route_channels", "Engine"):
+        assert callable(getattr(adt, name)), name
