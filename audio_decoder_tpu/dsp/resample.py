@@ -98,7 +98,7 @@ def resample_batch(
     return _resample_LM(jnp.asarray(pcm), L=L, M=M)
 
 
-def resample_to_consensus(batch, consensus_rate: int):
+def resample_to_consensus(batch, consensus_rate: int, length: str = "floor"):
     """Resample every file in an AudioBatch to the consensus rate.
 
     Files are grouped by source rate (one compiled matmul per distinct
@@ -106,7 +106,14 @@ def resample_to_consensus(batch, consensus_rate: int):
     valid_frames rescaled.  Mirrors the *intent* of the reference's
     consensus config (main.rs:91-120) — the reference picks a consensus
     rate but plays mismatched files unconverted.
+
+    length: per-file valid-length policy.  "floor" (default) keeps whole
+    polyphase frames — floor(valid/M)*L samples; "exact" reports
+    ceil(valid*L/M), the sample-exact duration, clamped to the rendered
+    frames (the final partial frame is zero-padded by the kernel).
     """
+    if length not in ("floor", "exact"):
+        raise ValueError(f"length policy {length!r} (want floor|exact)")
     from ..core.batch import AudioBatch
 
     rates = np.asarray(batch.sample_rate)
@@ -137,7 +144,12 @@ def resample_to_consensus(batch, consensus_rate: int):
         else:
             piece = _resample_LM(batch.pcm[sel], L=L, M=M)
         pcm_out = pcm_out.at[sel, :out_len, :].set(piece[:, :out_len, :])
-        new_valid[rows] = (valid[rows] // M) * L
+        if length == "exact" and r != int(consensus_rate):
+            new_valid[rows] = np.minimum(
+                -(-valid[rows] * L // M), out_len
+            )
+        else:
+            new_valid[rows] = (valid[rows] // M) * L
     return AudioBatch(
         pcm=pcm_out,
         sample_rate=jnp.where(jnp.asarray(err == 0), consensus_rate,

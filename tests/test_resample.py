@@ -110,3 +110,36 @@ def test_top_level_api_surface():
                  "consensus_for", "resample_to_consensus",
                  "route_channels", "Engine"):
         assert callable(getattr(adt, name)), name
+
+
+def test_resample_length_policy():
+    import numpy as np
+    import jax.numpy as jnp
+    from audio_decoder_tpu.core.batch import AudioBatch
+    from audio_decoder_tpu.dsp.resample import resample_to_consensus
+
+    B, S, C = 1, 1000, 1
+    pcm = jnp.asarray(np.random.default_rng(2).uniform(-0.5, 0.5, (B, S, C)),
+                      jnp.float32)
+    batch = AudioBatch(
+        pcm=pcm, sample_rate=jnp.asarray([22050]),
+        num_channels=jnp.asarray([1]), bits_per_sample=jnp.asarray([16]),
+        valid_frames=jnp.asarray([999]), err=jnp.asarray([0]),
+        names=("a",), formats=("wav",),
+    )
+    flo = resample_to_consensus(batch, 44100, length="floor")
+    exa = resample_to_consensus(batch, 44100, length="exact")
+    assert int(flo.valid_frames[0]) == 999 * 2  # (999//1)*2, M=1 L=2
+    assert int(exa.valid_frames[0]) == 1998
+    # a ratio with M>1: 48000->44100 is L=147 M=160
+    batch48 = AudioBatch(
+        pcm=pcm, sample_rate=jnp.asarray([48000]),
+        num_channels=jnp.asarray([1]), bits_per_sample=jnp.asarray([16]),
+        valid_frames=jnp.asarray([999]), err=jnp.asarray([0]),
+        names=("a",), formats=("wav",),
+    )
+    flo = resample_to_consensus(batch48, 44100, length="floor")
+    exa = resample_to_consensus(batch48, 44100, length="exact")
+    assert int(flo.valid_frames[0]) == (999 // 160) * 147
+    assert int(exa.valid_frames[0]) == min(-(-999 * 147 // 160),
+                                           (1000 // 160) * 147)
