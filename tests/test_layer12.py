@@ -69,9 +69,17 @@ def test_layer2_production_path(sr, br, mode, ch):
     assert rms < TOL, f"rms {rms}"
 
 
-def _l1_frames(rng, n_frames: int, ch: int, max_alloc: int = 3) -> bytes:
-    """Random spec-valid Layer I frames (448 kbps, 44.1 kHz)."""
+def _l1_frames(
+    rng, n_frames: int, ch: int, max_alloc: int = 3,
+    joint_ext: int | None = None,
+) -> bytes:
+    """Random spec-valid Layer I frames (448 kbps, 44.1 kHz).
+
+    joint_ext: intensity-stereo mode_ext — subbands >= bound =
+    4*(mode_ext+1) carry ONE shared allocation + sample set but
+    per-channel scalefactors (ISO 2.4.1.6 / 2.4.2.3)."""
     out = bytearray()
+    bound = 32 if joint_ext is None else (joint_ext + 1) * 4
     for _ in range(n_frames):
         bits: list[int] = []
 
@@ -79,13 +87,15 @@ def _l1_frames(rng, n_frames: int, ch: int, max_alloc: int = 3) -> bytes:
             for k in range(n - 1, -1, -1):
                 bits.append((v >> k) & 1)
 
-        mode = 0 if ch == 2 else 3
+        mode = 1 if joint_ext is not None else (0 if ch == 2 else 3)
         hdr = ((0x7FF << 21) | (3 << 19) | (3 << 17) | (1 << 16)
-               | (14 << 12) | (0 << 10) | (mode << 6))
+               | (14 << 12) | (0 << 10) | (mode << 6)
+               | ((joint_ext or 0) << 4))
         put(hdr, 32)
         alloc = rng.integers(0, max_alloc + 1, size=(ch, 32))
+        alloc[1:, bound:] = alloc[:1, bound:]  # shared above the bound
         for sb in range(32):
-            for c in range(ch):
+            for c in range(ch if sb < bound else 1):
                 put(int(alloc[c, sb]), 4)
         for sb in range(32):
             for c in range(ch):
@@ -93,7 +103,7 @@ def _l1_frames(rng, n_frames: int, ch: int, max_alloc: int = 3) -> bytes:
                     put(int(rng.integers(0, 63)), 6)
         for _t in range(12):
             for sb in range(32):
-                for c in range(ch):
+                for c in range(ch if sb < bound else 1):
                     a = int(alloc[c, sb])
                     if a:
                         nb = a + 1
@@ -151,3 +161,23 @@ def test_mixed_layers_one_batch():
         n = min(len(ref), f.pcm.shape[0])
         rms = float(np.sqrt(((ref[:n, : f.num_channels] - f.pcm[:n]) ** 2).mean()))
         assert rms < 1e-6
+
+
+@pytest.mark.parametrize("joint_ext", [0, 1, 3])
+def test_layer1_joint_stereo_matches_mpg123(joint_ext):
+    """Layer I intensity stereo: one shared allocation + sample set above
+    bound = 4*(mode_ext+1), per-channel scalefactors (ISO 2.4.2.3)."""
+    blob = _l1_frames(np.random.default_rng(40 + joint_ext), 16, 2,
+                      joint_ext=joint_ext)
+    ref, sr = CR.mpg123_decode(blob)
+    assert sr == 44100
+    mine, _ = M12.decode_l1(blob)
+    n = min(len(ref), len(mine))
+    rms = float(np.sqrt(((ref[:n] - mine[:n]) ** 2).mean()))
+    assert rms < 1e-6, f"oracle rms {rms}"
+    pieces = MD.decode_group([Asset(path="x", name="x", ext="mp1", data=blob)])
+    f = pieces[0][1].file(0)
+    assert f.err == 0
+    n = min(len(ref), f.pcm.shape[0])
+    rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean()))
+    assert rms < 1e-6, f"device rms {rms}"
