@@ -71,6 +71,7 @@ def make_l3_frame(
     sf_pad_bits: tuple = (0, 0),
     mixed: tuple = (0, 0),
     protect: bool = False,
+    scfsi: tuple = (0, 0),
 ) -> bytes:
     """One self-contained frame (plus everything zero after big values).
 
@@ -133,14 +134,18 @@ def make_l3_frame(
                 if slen2:
                     w.put(seq[k], slen2)
         else:
+            # scfsi groups (0-5, 6-10, 11-15, 16-20): granule 1 reuses
+            # granule 0's scalefactors for flagged groups (ISO 2.4.2.7)
             slen1, slen2 = int(T.SLEN1[sc]), int(T.SLEN2[sc])
             seq = (sfs + [0] * 21)[:21]
-            for sfb in range(11):
-                if slen1:
-                    w.put(seq[sfb], slen1)
-            for sfb in range(11, 21):
-                if slen2:
-                    w.put(seq[sfb], slen2)
+            groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                      (16, 21, slen2)]
+            for g_i, (lo, hi, sl) in enumerate(groups):
+                if gr == 1 and (scfsi[c] >> (3 - g_i)) & 1:
+                    continue
+                for sfb in range(lo, hi):
+                    if sl:
+                        w.put(seq[sfb], sl)
         vals = np.asarray(spectra[c] if c < len(spectra) else [], np.int32)
         if bv_override[c] is not None:
             assert len(vals) == 0 and table_select[c] == 0
@@ -165,7 +170,7 @@ def make_l3_frame(
     side.put(0, (1 if ch == 1 else 2) if lsf else (5 if ch == 1 else 3))
     if not lsf:
         for _c in range(ch):
-            side.put(0, 4)  # scfsi
+            side.put(scfsi[_c], 4)
     fi = 0
     for gr in range(ngr):
         for c in range(ch):

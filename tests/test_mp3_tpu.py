@@ -154,3 +154,30 @@ def test_registry_mixed_wav_mp3():
     n = min(len(ref), m.pcm.shape[0])
     rms = float(np.sqrt(((ref[:n] - m.pcm[:n]) ** 2).mean()))
     assert rms < TOL
+
+
+@pytest.mark.parametrize("scfsi", [0b1111, 0b1010, 0b0011])
+def test_scfsi_scalefactor_reuse(scfsi):
+    """scfsi: granule 1 reuses granule 0's scalefactors per 4 sfb groups
+    (ISO 2.4.2.7).  Crafted frames with nonzero scalefactors and scfsi
+    bits set catch both failure modes: re-reading (bit-cursor shift →
+    Huffman garbage) and not copying (granule-1 gains collapse to 0)."""
+    from .mp3_writer import make_l3_frame
+
+    vals = np.asarray([1, -1] * 24, np.int32)
+    sfs = [1, 2, 3, 0, 1] * 5
+    blob = make_l3_frame(
+        sr=44100, mode=0, mode_ext=0, spectra=(vals, vals),
+        scalefac=(sfs, sfs[::-1]), scalefac_compress=(5, 5),
+        global_gain=(240, 235), scfsi=(scfsi, (scfsi >> 1) | 0b1000),
+    ) * 8
+    ref, _ = CR.mpg123_decode(blob)
+    mine, _ = MO.decode(blob)
+    n = min(len(ref), len(mine))
+    scale = max(float(np.abs(ref).max()), 1e-9)
+    assert float(np.sqrt(((ref[:n] - mine[:n]) ** 2).mean())) / scale < 2e-5
+    pieces = MD.decode_group([Asset(path="x", name="x", ext="mp3", data=blob)])
+    f = pieces[0][1].file(0)
+    n = min(len(ref), f.pcm.shape[0])
+    rms = float(np.sqrt(((ref[:n] - f.pcm[:n]) ** 2).mean())) / scale
+    assert rms < 2e-5, rms
