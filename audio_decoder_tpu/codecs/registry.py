@@ -89,7 +89,8 @@ def _decode_pcm_family(
             continue
         row = {k: v[i] for k, v in meta_host.items()}
         cfg = unpack_args_fn(row)
-        key = (cfg["bits"], int(row["channels"]), cfg["is_float"], cfg["unsigned8"])
+        key = (cfg["bits"], int(row["channels"]), cfg["is_float"],
+               cfg["unsigned8"], cfg.get("companded"))
         groups.setdefault(key, []).append(i)
 
     pieces: list[tuple[list[int], AudioBatch]] = []
@@ -105,7 +106,7 @@ def _decode_pcm_family(
             )
         )
 
-    for (bits, channels, is_float, unsigned8), idxs in groups.items():
+    for (bits, channels, is_float, unsigned8, companded), idxs in groups.items():
         sel = np.asarray(idxs, np.int32)
         max_frames = _bucket_frames(int(meta_host["n_frames"][sel].max()))
         pcm = unpack_pcm(
@@ -117,6 +118,7 @@ def _decode_pcm_family(
             big_endian=big_endian,
             unsigned8=unsigned8,
             is_float=is_float,
+            companded=companded,
             max_frames=max_frames,
         )
         batch = AudioBatch(

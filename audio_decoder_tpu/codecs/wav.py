@@ -115,14 +115,20 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     fmt_code = jnp.where(is_ext, sub_code, fmt_code)
 
     supported = jnp.logical_or(
-        jnp.logical_and(
-            fmt_code == FORMAT_PCM,
-            jnp.logical_or(
-                jnp.logical_or(bits == 8, bits == 16),
-                jnp.logical_or(bits == 24, bits == 32),
+        jnp.logical_or(
+            jnp.logical_and(
+                fmt_code == FORMAT_PCM,
+                jnp.logical_or(
+                    jnp.logical_or(bits == 8, bits == 16),
+                    jnp.logical_or(bits == 24, bits == 32),
+                ),
             ),
+            jnp.logical_and(fmt_code == FORMAT_IEEE_FLOAT, bits == 32),
         ),
-        jnp.logical_and(fmt_code == FORMAT_IEEE_FLOAT, bits == 32),
+        jnp.logical_and(
+            jnp.logical_or(fmt_code == FORMAT_ALAW, fmt_code == FORMAT_MULAW),
+            bits == 8,
+        ),
     )
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
@@ -159,9 +165,14 @@ def unpack_args(meta_host: dict) -> dict:
     """Static unpack-kernel config for a single file's host-side meta row
     (used by the registry to group files into identically-typed batches)."""
     bits = int(meta_host["bits"])
+    code = int(meta_host["fmt_code"])
     return dict(
         bits=bits,
         big_endian=False,
         unsigned8=bits == 8,  # WAV convention: 8-bit PCM is unsigned
-        is_float=int(meta_host["fmt_code"]) == FORMAT_IEEE_FLOAT,
+        is_float=code == FORMAT_IEEE_FLOAT,
+        companded=(
+            "alaw" if code == FORMAT_ALAW
+            else ("ulaw" if code == FORMAT_MULAW else None)
+        ),
     )

@@ -20,8 +20,29 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+def _g711_tables():
+    """G.711 companding decode tables, byte → int16 (ITU-T G.711)."""
+    alaw = np.zeros(256, np.float32)
+    ulaw = np.zeros(256, np.float32)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0xF) << 4
+        seg = (a >> 4) & 7
+        t = ((t + 0x108) << (seg - 1)) if seg else (t + 8)
+        alaw[b] = t if (a & 0x80) else -t
+        u = ~b & 0xFF
+        m = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+        ulaw[b] = (0x84 - m) if (u & 0x80) else (m - 0x84)
+    return alaw / 32768.0, ulaw / 32768.0
+
+
+_ALAW_F32, _ULAW_F32 = _g711_tables()
 
 
 @functools.partial(
@@ -32,6 +53,7 @@ import jax.numpy as jnp
         "big_endian",
         "unsigned8",
         "is_float",
+        "companded",
         "max_frames",
     ),
 )
@@ -45,13 +67,16 @@ def unpack_pcm(
     big_endian: bool = False,
     unsigned8: bool = False,
     is_float: bool = False,
+    companded: str | None = None,
     max_frames: int,
 ) -> jax.Array:
     """Unpack interleaved PCM to planar f32 ``[B, max_frames, channels]``.
 
     Frames beyond ``n_frames[b]`` are zero.  All shape-affecting parameters
     are static; callers group files by (bits, channels, endianness) so each
-    group compiles once (see codecs.registry).
+    group compiles once (see codecs.registry).  companded: "alaw"/"ulaw"
+    8-bit G.711 expansion via a device LUT (the reference enumerates these
+    WAV format codes but never decodes them, wav.rs:9-28).
     """
     bps = bits // 8
     nvals = max_frames * channels
@@ -64,7 +89,12 @@ def unpack_pcm(
             jnp.uint32
         )
 
-    if is_float:
+    if companded is not None:
+        if bits != 8:
+            raise ValueError("companded PCM must be 8-bit")
+        lut = jnp.asarray(_ALAW_F32 if companded == "alaw" else _ULAW_F32)
+        val = lut[byte(0).astype(jnp.int32)]
+    elif is_float:
         if bits != 32:
             raise ValueError("float PCM must be 32-bit")
         o = (3, 2, 1, 0) if not big_endian else (0, 1, 2, 3)

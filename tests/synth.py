@@ -61,6 +61,7 @@ def make_wav(
     extensible: bool = False,
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
     data_override: bytes | None = None,
+    fmt_code_override: int | None = None,
 ) -> bytes:
     """Build a RIFF/WAVE blob from [frames, channels] integer PCM.
 
@@ -76,7 +77,7 @@ def make_wav(
     )
     block_align = channels * (bits // 8)
     byte_rate = sample_rate * block_align
-    fmt_code = 3 if float32 else 1
+    fmt_code = fmt_code_override or (3 if float32 else 1)
 
     if extensible:
         guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"

@@ -82,3 +82,30 @@ def test_tracer_counts_and_reports():
     s = t.stats["decode"]
     assert s.calls == 2 and s.items == 16.0 and s.rate > 0
     assert "decode" in t.report()
+
+
+def test_wav_g711_companded_decode():
+    """A-law / mu-law WAV (format codes 6/7): G.711 expansion matches the
+    stdlib audioop tables exactly.  The reference enumerates these codes
+    but never decodes them (wav.rs:9-28)."""
+    import audioop  # stdlib oracle (py3.12)
+
+    from audio_decoder_tpu.codecs.registry import decode_assets
+    from audio_decoder_tpu.io.assets import Asset
+    from .synth import make_wav
+
+    raw = bytes(range(256)) * 4  # every code point, stereo frames
+    assets = []
+    for code, name in ((6, "alaw"), (7, "ulaw")):
+        blob = make_wav(
+            np.zeros((len(raw) // 2, 2), np.int16), 8000, bits=8,
+            fmt_code_override=code, data_override=raw,
+        )
+        assets.append(Asset(path=name, name=name, ext="wav", data=blob))
+    batch = decode_assets(assets)
+    for i, conv in enumerate((audioop.alaw2lin, audioop.ulaw2lin)):
+        f = batch.file(i)
+        assert f.err == 0 and f.num_channels == 2
+        ref = np.frombuffer(conv(raw, 2), "<i2").astype(np.float32) / 32768.0
+        got = np.asarray(f.pcm[: len(raw) // 2]).reshape(-1)
+        np.testing.assert_allclose(got, ref, atol=1e-7)
