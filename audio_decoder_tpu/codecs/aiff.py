@@ -24,8 +24,11 @@ from ..ops.bytes import fourcc, read_ieee_extended, read_tag, read_u16be, read_u
 
 _FORM = fourcc("FORM")
 _AIFF = fourcc("AIFF")
+_AIFC = fourcc("AIFC")
 _COMM = fourcc("COMM")
 _SSND = fourcc("SSND")
+_NONE = fourcc("NONE")
+_SOWT = fourcc("sowt")
 
 _MAX_CHUNKS = 128
 
@@ -34,10 +37,13 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     flen = flen.astype(jnp.int32)
     i32 = jnp.int32
 
+    form_type = read_tag(buf, i32(8))
+    is_aifc = form_type == _AIFC
     ok_magic = jnp.logical_and(
         flen >= 12,
         jnp.logical_and(
-            read_tag(buf, i32(0)) == _FORM, read_tag(buf, i32(8)) == _AIFF
+            read_tag(buf, i32(0)) == _FORM,
+            jnp.logical_or(form_type == _AIFF, is_aifc),
         ),
     )
 
@@ -72,9 +78,14 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     )
 
     err = jnp.where(ok_magic, err, i32(E.ERR_UNSUPPORTED))
-    # "Comm size should be 18" (aiff.rs:122-126) — checked as soon as COMM is
-    # seen, before any missing-SSND EOF (a bad size misaligns the walk).
-    bad_comm = jnp.logical_and(comm_off >= 0, comm_size != 18)
+    # "Comm size should be 18" (aiff.rs:122-126) — checked as soon as COMM
+    # is seen, before any missing-SSND EOF (a bad size misaligns the
+    # walk).  AIFC COMMs carry a compression fourcc + pascal name (>= 22
+    # bytes, beyond the reference, which predates AIFC support).
+    bad_comm = jnp.logical_and(
+        comm_off >= 0,
+        jnp.where(is_aifc, comm_size < 22, comm_size != 18),
+    )
     err = jnp.where(jnp.logical_and(err == E.ERR_OK, bad_comm), i32(E.ERR_INVALID), err)
     missing = jnp.logical_or(comm_off < 0, ssnd_off < 0)
     err = jnp.where(jnp.logical_and(err == E.ERR_OK, missing), i32(E.ERR_EOF), err)
@@ -93,8 +104,16 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     data_off = q + 8 + offset
     data_size = jnp.maximum(ssnd_size - 8 - offset, 0)
 
-    supported = jnp.logical_or(
-        jnp.logical_or(bits == 8, bits == 16), jnp.logical_or(bits == 24, bits == 32)
+    # AIFC compression type: NONE (big-endian PCM) or sowt (little-endian
+    # PCM, the common Mac variant); anything else is unsupported
+    comp = jnp.where(is_aifc, read_tag(buf, p + 18), _NONE)
+    little = comp == _SOWT
+    supported = jnp.logical_and(
+        jnp.logical_or(
+            jnp.logical_or(bits == 8, bits == 16),
+            jnp.logical_or(bits == 24, bits == 32),
+        ),
+        jnp.logical_or(comp == _NONE, little),
     )
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
@@ -110,7 +129,7 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     n_frames = jnp.minimum(comm_frames, data_size // denom)
     return dict(
         err=err,
-        fmt_code=jnp.zeros_like(err),
+        fmt_code=little.astype(i32),  # 1 = sowt little-endian PCM
         channels=channels,
         sample_rate=sample_rate,
         bits=bits,
@@ -128,10 +147,11 @@ def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
 
 
 def unpack_args(meta_host: dict) -> dict:
-    """Static unpack config: AIFF is big-endian signed PCM at all depths."""
+    """Static unpack config: AIFF is big-endian signed PCM at all depths;
+    AIFC 'sowt' flips to little-endian (fmt_code 1)."""
     return dict(
         bits=int(meta_host["bits"]),
-        big_endian=True,
+        big_endian=int(meta_host["fmt_code"]) == 0,
         unsigned8=False,  # AIFF 8-bit is signed (unlike WAV)
         is_float=False,
     )

@@ -90,7 +90,8 @@ def _decode_pcm_family(
         row = {k: v[i] for k, v in meta_host.items()}
         cfg = unpack_args_fn(row)
         key = (cfg["bits"], int(row["channels"]), cfg["is_float"],
-               cfg["unsigned8"], cfg.get("companded"))
+               cfg["unsigned8"], cfg.get("companded"),
+               cfg.get("big_endian", big_endian))
         groups.setdefault(key, []).append(i)
 
     pieces: list[tuple[list[int], AudioBatch]] = []
@@ -106,7 +107,9 @@ def _decode_pcm_family(
             )
         )
 
-    for (bits, channels, is_float, unsigned8, companded), idxs in groups.items():
+    for (bits, channels, is_float, unsigned8, companded, be), idxs in (
+        groups.items()
+    ):
         sel = np.asarray(idxs, np.int32)
         max_frames = _bucket_frames(int(meta_host["n_frames"][sel].max()))
         pcm = unpack_pcm(
@@ -115,7 +118,7 @@ def _decode_pcm_family(
             jnp.asarray(meta_host["n_frames"][sel]),
             bits=bits,
             channels=channels,
-            big_endian=big_endian,
+            big_endian=be,
             unsigned8=unsigned8,
             is_float=is_float,
             companded=companded,

@@ -113,22 +113,32 @@ def make_aiff(
     ssnd_offset: int = 0,
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
     comm_size: int | None = None,
+    compression: bytes | None = None,
 ) -> bytes:
-    """Build a FORM/AIFF blob from [frames, channels] integer PCM."""
+    """Build a FORM/AIFF blob from [frames, channels] integer PCM.
+
+    compression: AIFC compression fourcc (b"NONE", b"sowt", ...) — emits
+    an AIFC form with FVER + extended COMM; b"sowt" stores the samples
+    little-endian."""
     frames, channels = pcm.shape
-    data = pcm_to_bytes(pcm, bits, big_endian=True)
+    little = compression == b"sowt"
+    data = pcm_to_bytes(pcm, bits, big_endian=not little)
     comm = (
         struct.pack(">hIh", channels, frames, bits)
         + _pack_ieee_extended(float(sample_rate))
     )
+    if compression is not None:
+        comm += compression + b"\x00\x00"  # empty pascal compression name
     ssnd = struct.pack(">II", ssnd_offset, 0) + b"\x00" * ssnd_offset + data
 
     chunks = [(b"COMM", comm, comm_size)]
+    if compression is not None:
+        chunks.insert(0, (b"FVER", struct.pack(">I", 0xA2805140), None))
     for cid, payload in extra_chunks or []:
         chunks.append((cid, payload, None))
     chunks.append((b"SSND", ssnd, None))
 
-    body = b"AIFF"
+    body = b"AIFF" if compression is None else b"AIFC"
     for cid, payload, size_override in chunks:
         size = len(payload) if size_override is None else size_override
         body += cid + struct.pack(">I", size) + payload

@@ -109,3 +109,34 @@ def test_wav_g711_companded_decode():
         ref = np.frombuffer(conv(raw, 2), "<i2").astype(np.float32) / 32768.0
         got = np.asarray(f.pcm[: len(raw) // 2]).reshape(-1)
         np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_aifc_none_and_sowt():
+    """AIFF-C: 'NONE' (big-endian) and 'sowt' (little-endian) PCM decode;
+    unknown compression types surface as unsupported.  The reference
+    predates AIFC entirely (aiff.rs:99-183)."""
+    from audio_decoder_tpu.codecs.registry import decode_assets
+    from audio_decoder_tpu.core import errors as E
+    from audio_decoder_tpu.io.assets import Asset
+    from .synth import make_aiff
+
+    rng = np.random.default_rng(31)
+    pcm = np.clip(rng.standard_normal((777, 2)) * 9000, -32768, 32767).astype(
+        np.int16
+    )
+    batch = decode_assets([
+        Asset(path="p", name="p", ext="aif", data=make_aiff(pcm, 44100)),
+        Asset(path="n", name="n", ext="aif",
+              data=make_aiff(pcm, 44100, compression=b"NONE")),
+        Asset(path="s", name="s", ext="aif",
+              data=make_aiff(pcm, 44100, compression=b"sowt")),
+        Asset(path="x", name="x", ext="aif",
+              data=make_aiff(pcm, 44100, compression=b"ima4")),
+    ])
+    errs = np.asarray(batch.err)
+    assert tuple(errs) == (0, 0, 0, E.ERR_UNSUPPORTED)
+    ref = np.asarray(batch.file(0).pcm)
+    for i in (1, 2):
+        f = batch.file(i)
+        assert f.sample_rate == 44100 and f.pcm.shape[0] == 777
+        np.testing.assert_array_equal(np.asarray(f.pcm), ref)
