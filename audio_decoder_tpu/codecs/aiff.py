@@ -29,6 +29,7 @@ _COMM = fourcc("COMM")
 _SSND = fourcc("SSND")
 _NONE = fourcc("NONE")
 _SOWT = fourcc("sowt")
+_TWOS = fourcc("twos")  # explicit big-endian PCM (synonym of NONE)
 
 _MAX_CHUNKS = 128
 
@@ -113,7 +114,9 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
             jnp.logical_or(bits == 8, bits == 16),
             jnp.logical_or(bits == 24, bits == 32),
         ),
-        jnp.logical_or(comp == _NONE, little),
+        jnp.logical_or(
+            jnp.logical_or(comp == _NONE, comp == _TWOS), little
+        ),
     )
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),

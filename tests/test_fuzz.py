@@ -258,3 +258,30 @@ def test_crc_protected_frames():
     # unprotected frames report None
     fp = find_frames(plain)
     assert crc_check(plain, fp[0][0], fp[0][1]) is None
+
+
+def test_id3v1_trailer_and_aifc_twos():
+    """An ID3v1 128-byte 'TAG' trailer after the last MP3 frame decodes
+    cleanly (the sync scan must not trip inside it); AIFC 'twos' is an
+    explicit big-endian PCM synonym of NONE."""
+    from .synth import make_aiff
+
+    if CR.have_lame():
+        rng = np.random.default_rng(17)
+        pcm = np.clip(rng.standard_normal((4410, 2)) * 8000,
+                      -32768, 32767).astype(np.int16)
+        mp3 = CR.lame_encode(pcm, 44100, 128, mode=1)
+        tag = b"TAG" + b"A" * 125
+        f_plain = _decode_one("p", "mp3", mp3)
+        f_tag = _decode_one("t", "mp3", mp3 + tag)
+        assert f_tag.err == 0
+        n = min(f_plain.pcm.shape[0], f_tag.pcm.shape[0])
+        np.testing.assert_array_equal(f_plain.pcm[:n], f_tag.pcm[:n])
+
+    rng = np.random.default_rng(18)
+    pcm = np.clip(rng.standard_normal((300, 1)) * 8000,
+                  -32768, 32767).astype(np.int16)
+    ref = _decode_one("a", "aiff", make_aiff(pcm, 44100))
+    two = _decode_one("b", "aiff", make_aiff(pcm, 44100, compression=b"twos"))
+    assert two.err == 0
+    np.testing.assert_array_equal(np.asarray(ref.pcm), np.asarray(two.pcm))
