@@ -265,6 +265,27 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         )
         if k_big == 0:  # every lane fits the short scan: one cheap call
             n_big, k_big, perm = n_big_small, None, None
+        # Per-bucket count1 bounds: lanes are sorted by descending
+        # big_values, so the dense bucket's count1 region (576 - 2*bv
+        # lines) is bounded by its LAST lane's big_values — dense lanes
+        # need only a few count1 steps while sparse lanes need them all.
+        n_c1_small = n_c1
+        if k_big is not None and perm is not None:
+            valid_flat = r["valid"].reshape(-1) > 0
+            # invalid lanes fail before decoding anything, so they place
+            # no quads regardless of their (zero) big_values
+            q_all = np.where(
+                valid_flat,
+                (576 - 2 * r["big"].reshape(-1).astype(np.int64)).clip(0) // 4 + 1,
+                0,
+            )[perm]
+
+            def _c1_cap(q_slice):
+                q = 1 if q_slice.size == 0 else int(q_slice.max())
+                return min(144, max(32, -(-q // 32) * 32))
+
+            n_c1 = _c1_cap(q_all[:k_big])
+            n_c1_small = _c1_cap(q_all[k_big:])
         pcm = mp3_decode_fused(
             jnp.asarray(r["main"]),
             jnp.asarray(r["start"].reshape(B, L)),
@@ -289,6 +310,7 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             granules_per_frame=gpf,
             k_big=k_big,
             n_big_small=n_big_small,
+            n_c1_small=max(n_c1_small, 1),
         )
         batch = AudioBatch(
             pcm=pcm,

@@ -466,7 +466,7 @@ def derive_stereo_modes(
     jax.jit,
     static_argnames=(
         "channels", "joint_stereo", "n_big", "n_c1", "granules_per_frame",
-        "k_big", "n_big_small",
+        "k_big", "n_big_small", "n_c1_small",
     ),
 )
 def mp3_decode_fused(
@@ -494,6 +494,7 @@ def mp3_decode_fused(
     granules_per_frame: int = 2,
     k_big: int | None = None,
     n_big_small: int = 32,
+    n_c1_small: int | None = None,
 ) -> jax.Array:
     """Raw concatenated main_data + per-lane side metadata → PCM.
 
@@ -553,7 +554,8 @@ def mp3_decode_fused(
             main_u8, *[a[:k_big] for a in pa], n_big=n_big, n_c1=n_c1
         )
         lines_s, fail_s = decode_spectra(
-            main_u8, *[a[k_big:] for a in pa], n_big=n_big_small, n_c1=n_c1
+            main_u8, *[a[k_big:] for a in pa], n_big=n_big_small,
+            n_c1=n_c1 if n_c1_small is None else n_c1_small,
         )
         # un-permute by SCATTER: int16 row gathers are pathologically slow
         # on this TPU path (~13x the scatter cost at [24k, 576])
