@@ -166,37 +166,74 @@ def _rate_idx_arr(sample_rate: np.ndarray) -> np.ndarray:
     return out
 
 
-def _split_lanes(big, valid, n_big: int):
-    """Pick a static two-bucket lane split for the device Huffman scan.
+def _plan_buckets(big, valid, n_big: int):
+    """Pick a static multi-bucket lane split for the device Huffman scan.
 
     big_values is max-driven per batch but heavily skewed (sparse
-    granules put nearly everything in the count1 region), so running
-    every lane for the max lane's pair count wastes most scan steps.
-    Sort lanes by descending big_values and try a few short-scan caps;
-    the big-bucket size is rounded up to N/8 quanta so distinct compiled
-    shapes stay bounded.  Returns (perm, k_big, n_big_small): k_big None
-    → no split pays (< 25% saving), k_big 0 → every lane fits the short
-    scan (caller just lowers n_big)."""
+    granules put nearly everything in the count1 region; MS side
+    channels are nearly empty), so running every lane for the max lane's
+    pair count wastes most scan steps.  Sort lanes by descending
+    big_values and partition into up to 3 buckets at pair caps chosen by
+    a cost model (pairs + half-weight count1 double-lookups); bucket
+    boundaries are rounded up to N/8 quanta so distinct compiled shapes
+    stay bounded.  Count1 bounds are per bucket: the sort order means a
+    dense bucket's count1 region is bounded by its LAST lane.
+
+    Returns (perm, buckets): perm None → no permutation needed (single
+    bucket); buckets = ((lane_count, n_big, n_c1), ...) in sorted-lane
+    order, counts summing to N, empty buckets dropped."""
     bv = np.where(valid > 0, big.astype(np.int64), 0)
     N = bv.size
     order = np.argsort(-bv, kind="stable").astype(np.int32)
-    sorted_bv = bv[order]
+    sbv = bv[order]
+    # quads actually placeable per lane (invalid lanes place none)
+    squads = np.where(
+        valid.reshape(-1)[order] > 0, (576 - 2 * sbv).clip(0) // 4 + 1, 0
+    ).clip(0, 144)
     quantum = max(32, -(-N // 8))
-    best = (N * n_big, None, 32)  # (cost, k_pad, cap)
-    for cap in (32, 96, 160):
-        if cap >= n_big:
-            continue
-        k = int(np.count_nonzero(sorted_bv > cap))
-        k_pad = min(N, -(-k // quantum) * quantum) if k else 0
-        cost = k_pad * n_big + (N - k_pad) * cap
-        if cost < best[0]:
-            best = (cost, k_pad, cap)
-    cost, k_pad, cap = best
-    if k_pad is None or cost > 0.75 * N * n_big:
-        return None, None, 32
-    if k_pad == 0:
-        return None, 0, cap
-    return order, int(k_pad), int(cap)
+
+    def r32(x, cap):
+        return int(min(cap, max(32, -(-int(x) // 32) * 32)))
+
+    def eval_plan(caps_desc):
+        """caps_desc: descending pair caps, first = n_big (dense)."""
+        ks = [int(np.count_nonzero(sbv > cap)) for cap in caps_desc[1:]]
+        bounds = []
+        prev = 0
+        for k in ks:
+            kq = min(N, -(-k // quantum) * quantum) if k else 0
+            kq = max(kq, prev)
+            bounds.append(kq)
+            prev = kq
+        bounds.append(N)
+        buckets = []
+        cost = 0.0
+        prev = 0
+        for cap, b in zip(caps_desc, bounds):
+            cnt = b - prev
+            if cnt > 0:
+                q = r32(squads[prev:b].max() if cnt else 1, 144)
+                buckets.append((cnt, int(cap), q))
+                cost += cnt * (cap + 0.5 * q)
+            prev = b
+        return cost, tuple(buckets)
+
+    single_cost, single = eval_plan([n_big])
+    best_cost, best = single_cost, single
+    caps = [c for c in (32, 96, 160, 224) if c < n_big]
+    import itertools
+
+    for r in (1, 2):
+        for combo in itertools.combinations(caps, r):
+            cost, plan = eval_plan([n_big] + sorted(combo, reverse=True))
+            if cost < best_cost:
+                best_cost, best = cost, plan
+
+    if best == single or best_cost > 0.85 * single_cost:
+        return None, single
+    if len(best) == 1:  # every lane fits one smaller cap: no perm needed
+        return None, best
+    return order, best
 
 
 def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
@@ -258,34 +295,9 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         # pairs beyond 288 still consume bits (count1 cursor), so n_big
         # follows the true max big_values (<= 511), not the 576-line cap
         n_big = 32 if bvs.size == 0 else min(512, int(-(-int(bvs.max()) // 32) * 32))
-        quads = (576 - 2 * bvs.astype(np.int64)).clip(0) // 4 + 1
-        n_c1 = 32 if bvs.size == 0 else min(144, int(-(-int(quads.max()) // 32) * 32))
-        perm, k_big, n_big_small = _split_lanes(
+        perm, buckets = _plan_buckets(
             r["big"].reshape(-1), r["valid"].reshape(-1), n_big
         )
-        if k_big == 0:  # every lane fits the short scan: one cheap call
-            n_big, k_big, perm = n_big_small, None, None
-        # Per-bucket count1 bounds: lanes are sorted by descending
-        # big_values, so the dense bucket's count1 region (576 - 2*bv
-        # lines) is bounded by its LAST lane's big_values — dense lanes
-        # need only a few count1 steps while sparse lanes need them all.
-        n_c1_small = n_c1
-        if k_big is not None and perm is not None:
-            valid_flat = r["valid"].reshape(-1) > 0
-            # invalid lanes fail before decoding anything, so they place
-            # no quads regardless of their (zero) big_values
-            q_all = np.where(
-                valid_flat,
-                (576 - 2 * r["big"].reshape(-1).astype(np.int64)).clip(0) // 4 + 1,
-                0,
-            )[perm]
-
-            def _c1_cap(q_slice):
-                q = 1 if q_slice.size == 0 else int(q_slice.max())
-                return min(144, max(32, -(-q // 32) * 32))
-
-            n_c1 = _c1_cap(q_all[:k_big])
-            n_c1_small = _c1_cap(q_all[k_big:])
         pcm = mp3_decode_fused(
             jnp.asarray(r["main"]),
             jnp.asarray(r["start"].reshape(B, L)),
@@ -305,12 +317,8 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             None if perm is None else jnp.asarray(perm),
             channels=ch,
             joint_stereo=joint,
-            n_big=max(n_big, 1),
-            n_c1=max(n_c1, 1),
             granules_per_frame=gpf,
-            k_big=k_big,
-            n_big_small=n_big_small,
-            n_c1_small=max(n_c1_small, 1),
+            buckets=buckets,
         )
         batch = AudioBatch(
             pcm=pcm,

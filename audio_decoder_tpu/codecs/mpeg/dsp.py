@@ -105,6 +105,31 @@ def _line2band() -> np.ndarray:
 _LINE2BAND = _line2band()
 
 
+def _l2b_variants() -> list:
+    """Distinct band→line maps as one-hot [61, 576] f32 matrices.
+
+    The (rate, cfg) → band-slot map has only 27 variants (and band tables
+    repeat across rates, so fewer distinct ones).  Expanding per-slot
+    values to per-line values is then a matmul against a CONSTANT one-hot
+    matrix plus a masked select over present variants — MXU work instead
+    of a per-line dynamic gather.  Each entry: (onehot, [flat variant ids
+    rate*3+cfg])."""
+    flat = _LINE2BAND.reshape(-1, 576)
+    seen: dict[bytes, list[int]] = {}
+    for v in range(flat.shape[0]):
+        seen.setdefault(flat[v].tobytes(), []).append(v)
+    out = []
+    for kb, vs in seen.items():
+        l2b = np.frombuffer(kb, dtype=flat.dtype)
+        onehot = np.zeros((61, 576), np.float32)
+        onehot[l2b, np.arange(576)] = 1.0
+        out.append((onehot, vs))
+    return out
+
+
+_L2B_VARIANTS = _l2b_variants()
+
+
 #: stereo-mode byte → (aL, bL, aR, bR) mixing coefficients; rows:
 #: 0 identity LR, 1 mid/side, 2+k MPEG-1 intensity with is_pos = k (0..15),
 #: 18 + scale*32 + k LSF intensity (io^x one-channel scaling) — frontend.ST_*
@@ -200,15 +225,46 @@ def _expand_blockcfg(blockcfg: jax.Array):
     return cfg, win_idx, aa_bound
 
 
-def _requantize(is_q, exp_b, cfg, rate_idx):
-    """sign(is) * |is|^(4/3) * 2^(exp4/4), exponents gathered per band."""
+def _band_to_lines(slot_vals, cfg, rate_idx):
+    """Expand per-band-slot values [..., 61] to per-line values [..., 576].
+
+    The band→line map is static per (rate, cfg) — only 27 variants — so
+    the expansion is a matmul against a constant one-hot [61, 576] matrix
+    (MXU) plus a masked select over the variants actually present, instead
+    of a per-line dynamic gather (the slowest op class on TPU: ~100 M
+    elem/s vs effectively free on the MXU).  Selection by one-hot f32
+    matmul is exact (each output line sums exactly one slot value)."""
     f = jnp.float32
-    l2b = jnp.asarray(_LINE2BAND)[rate_idx.astype(jnp.int32)[:, None, None], cfg]
-    exp4 = jnp.take_along_axis(exp_b.astype(jnp.int32), l2b, axis=-1)
+    prec = jax.lax.Precision.HIGHEST
+    key = rate_idx.astype(jnp.int32)[:, None, None] * 3 + cfg  # [B,G,C]
+    out = jnp.zeros(slot_vals.shape[:-1] + (576,), f)
+    sv = slot_vals.astype(f)
+    for onehot, vs in _L2B_VARIANTS:
+        expanded = jnp.einsum(
+            "...s,sj->...j", sv, jnp.asarray(onehot), precision=prec
+        )
+        m = jnp.zeros_like(key, dtype=bool)
+        for v in vs:
+            m = m | (key == v)
+        out = jnp.where(m[..., None], expanded, out)
+    return out
+
+
+def _requantize(is_q, exp_b, cfg, rate_idx):
+    """sign(is) * |is|^(4/3) * 2^(exp4/4), exponents expanded per band.
+
+    The per-band 2^(e/4) gain is computed on the 61 band slots first
+    (fewer transcendentals) and expanded to lines by the static band→line
+    matmul; the expansion is an exact selection, so the result is
+    bit-identical to gathering e per line and exponentiating there."""
+    f = jnp.float32
+    # clamp so no (unused, never-selected) slot can produce inf — the
+    # one-hot matmul multiplies unselected slots by 0.0 and 0*inf = NaN;
+    # legitimate quarter-exponents are far inside ±500 (2^±125 finite)
+    gain_b = jnp.exp2(jnp.clip(exp_b.astype(f), -500.0, 500.0) * 0.25)
+    gain = _band_to_lines(gain_b, cfg, rate_idx)  # [B,G,C,576]
     mag = jnp.abs(is_q).astype(f)
-    return jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * jnp.exp2(
-        exp4.astype(f) * 0.25
-    )
+    return jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * gain
 
 
 def _stereo_mix(x, st_mode):
@@ -305,16 +361,6 @@ def _use_pallas() -> bool:
 # On-device stereo-mode derivation (for the fused full-device decode)
 # ---------------------------------------------------------------------------
 
-#: line → long sfb index, [9 rates, 576]
-def _line2sfb_long() -> np.ndarray:
-    m = np.zeros((len(T.RATE_ORDER), 576), np.int32)
-    for r, sr in enumerate(T.RATE_ORDER):
-        lb = T.SFB_LONG[sr]
-        for sfb in range(22):
-            m[r, lb[sfb] : lb[sfb + 1]] = sfb
-    return m
-
-
 #: line → short segment id sfb*3+w (pre-reorder window-segment layout, the
 #: coordinates the ISO intensity bound logic runs in), [9 rates, 576];
 #: plus each segment's start position a(sfb, w), [9, 39].
@@ -334,7 +380,6 @@ def _seg_maps() -> tuple[np.ndarray, np.ndarray]:
     return sfb_map, win_map
 
 
-_LINE2SFB_LONG = _line2sfb_long()
 _SEG_SFB, _SEG_WIN = _seg_maps()
 _LB = np.stack([T.SFB_LONG[sr] for sr in T.RATE_ORDER])  # [9, 23]
 #: mixed-block long/short boundary line per rate (= 3*short_bands[3];
@@ -344,33 +389,47 @@ _MIXED_SPLIT = np.array(
 )
 
 
-def derive_stereo_modes(
+def derive_stereo_coeffs(
     is_r: jax.Array,
     st_flags: jax.Array,
     sfr_bands: jax.Array,
     blockcfg_r: jax.Array,
     rate_idx: jax.Array,
 ) -> jax.Array:
-    """Per-line stereo mode bytes, computed on device (ISO 2.4.3.4.9).
+    """Per-line (aL, bL, aR, bR) stereo coefficients, derived on device
+    (ISO 2.4.3.4.9) — in BAND-SLOT space, then expanded to lines.
 
-    Mirrors frontend._stereo_modes exactly: MS over the full spectrum (or
-    below the intensity bound), intensity ratio bands above the right
-    channel's zero region, detected per window segment for short blocks.
+    Semantics mirror frontend._stereo_modes exactly: MS over the full
+    spectrum (or below the intensity bound), intensity ratio bands above
+    the right channel's zero region, detected per window segment for
+    short blocks (pinned to mpg123 via crafted streams,
+    tests/test_intensity.py, tests/test_mixed_blocks.py).
+
+    Stereo modes are piecewise-constant over scalefactor bands, so the
+    whole derivation runs on the 61 band slots (the same slot layout as
+    ``exp_b``: 22 long sfb, then 22 + sfb*3 + w short) — long slots get
+    the long-block rule, short slots the per-window rule, and the static
+    per-(rate, cfg) band→line map picks the right family per region
+    (which also subsumes the mixed-block long/short split).  The only
+    per-line work left is the nonzero-support reduction; everything else
+    is slot-sized arithmetic plus two one-hot matmuls — no per-line
+    dynamic gathers (the slowest op class on TPU).
 
     Args:
       is_r: int ``[B, G, 576]`` right-channel quantized spectrum (line
         order; nonzero support equals the requantized spectrum's).
       st_flags: int8 ``[B, G]`` bit0 joint, bit1 ms, bit2 intensity,
         bit3 LSF intensity_scale.
-      sfr_bands: int8 ``[B, G, 61]`` right-channel scalefactors (22 long,
-        then sf_s[sfb, w] at 22 + sfb*3 + w).
+      sfr_bands: int8 ``[B, G, 61]`` right-channel scalefactors.
       blockcfg_r: int8 ``[B, G]`` right channel block_type | mixed<<2.
       rate_idx: int32 ``[B]``.
 
     Returns:
-      int32 ``[B, G, 576]`` mode bytes (0 LR, 1 MS, 2+k intensity pos k).
+      f32 ``[B, G, 576, 4]`` mixing coefficients (the _ST_LUT rows).
     """
     i32 = jnp.int32
+    f = jnp.float32
+    prec = jax.lax.Precision.HIGHEST
     B, G, _ = is_r.shape
     flags = st_flags.astype(i32)
     joint = (flags & 1) > 0
@@ -378,7 +437,6 @@ def derive_stereo_modes(
     inten = (flags & 4) > 0
     base_mode = jnp.where(joint & ms, 1, 0)[..., None]  # [B,G,1]
 
-    short_r = (blockcfg_r.astype(i32) & 3) == 2  # [B,G]
     nz = is_r != 0
     r = rate_idx.astype(i32)
     # LSF streams (rate families 1/2) use io^x one-channel scaling rows;
@@ -389,7 +447,8 @@ def derive_stereo_modes(
     def is_mode(is_pos):
         return is_base + jnp.minimum(is_pos, jnp.where(lsf, 31, 15))
 
-    # ---- long-block intensity ----
+    # ---- long slots 0..21: bound past the right channel's last nonzero
+    # line; slot 21 has no scalefactor → is_pos 7 (MS/passthrough) ----
     j1 = jnp.arange(1, 577)
     rzero = jnp.max(jnp.where(nz, j1, 0), axis=-1)  # [B,G]
     lb = jnp.asarray(_LB)[r]  # [B, 23]
@@ -398,63 +457,70 @@ def derive_stereo_modes(
     )  # [B,G]
     # fully empty right channel: band 0 is intensity too (mpg123 parity)
     bound_sfb = jnp.where(rzero == 0, 0, bound_sfb)
-    sfb_line = jnp.asarray(_LINE2SFB_LONG)[r][:, None, :]  # [B,1,576]
-    sfr_l = jnp.take_along_axis(
-        sfr_bands.astype(i32), jnp.minimum(sfb_line, 20), axis=-1
-    )
-    is_pos_l = jnp.where(sfb_line < 21, sfr_l, 7)
-    zone_l = sfb_line >= bound_sfb[..., None]
+    sfb_iota22 = jnp.arange(22)[None, None, :]
+    is_pos_l = jnp.where(
+        sfb_iota22 < 21, sfr_bands.astype(i32)[..., :22], 7
+    )  # [B,G,22]
+    zone_l = sfb_iota22 >= bound_sfb[..., None]
     mode_long = jnp.where(
         zone_l,
         jnp.where(is_pos_l == 7, base_mode, is_mode(is_pos_l)),
         base_mode,
-    )
+    )  # [B,G,22]
 
-    # ---- short-block intensity: per-window bound past the window's last
-    # nonzero band; segments strided in reordered line space (pinned to
-    # mpg123 via crafted streams, tests/test_intensity.py) ----
+    # ---- short slots 22 + sfb*3 + w: per-window bound past the window's
+    # last nonzero band; segment support reduced by a one-hot matmul ----
     sfb_l = jnp.asarray(_SEG_SFB)[r][:, None, :]  # [B,1,576]
     win_l = jnp.asarray(_SEG_WIN)[r][:, None, :]  # [B,1,576]
     seg_id = sfb_l * 3 + win_l  # [B,1,576] in 0..38
-    seg_oh = jax.nn.one_hot(seg_id[:, 0], 39, dtype=jnp.float32)  # [B,576,39]
+    seg_oh = jax.nn.one_hot(seg_id[:, 0], 39, dtype=f)  # [B,576,39]
     seg_nz = jnp.einsum(
-        "bgj,bjs->bgs", nz.astype(jnp.float32), seg_oh
+        "bgj,bjs->bgs", nz.astype(f), seg_oh, precision=prec
     ).reshape(B, G, 13, 3)
     # bound per window = 1 + last band with any nonzero (0 when empty)
     sfb_iota = jnp.arange(13)[None, None, :, None]
     bound_w = jnp.max(
         jnp.where(seg_nz > 0, sfb_iota + 1, 0), axis=2
     )  # [B, G, 3]
-    bound_line_w = jnp.take_along_axis(
-        bound_w, jnp.broadcast_to(win_l, (B, G, 576)), axis=-1
-    )  # [B,G,576] — each line's window bound
-    is_pos_s = jnp.take_along_axis(
-        sfr_bands.astype(i32),
-        22 + jnp.minimum(sfb_l, 11) * 3 + win_l,
-        axis=-1,
-    )  # [B,G,576]
-    in_zone = sfb_l >= bound_line_w
+    # sfb 12 transmits no scalefactor: its is_pos reads sfb 11's slots
+    # (min(sfb, 11) in the pinned line-space rule, tests/test_intensity.py)
+    sfr_s = sfr_bands.astype(i32)[..., 22:]  # [B,G,39]
+    is_pos_s = jnp.concatenate([sfr_s[..., :36], sfr_s[..., 33:36]], axis=-1)
+    in_zone_s = sfb_iota >= bound_w[:, :, None, :]  # [B,G,13,3]
     mode_short = jnp.where(
-        in_zone,
+        in_zone_s.reshape(B, G, 39),
         jnp.where(is_pos_s == 7, base_mode, is_mode(is_pos_s)),
         base_mode,
-    )
+    )  # [B,G,39]
 
-    # mixed blocks: lines below 3*short_bands[3] (36, or 72 at 8 kHz) are
-    # the LONG region — long-band rule with the GLOBAL bound (any
-    # short-region right content pushes it past the whole long part);
-    # lines above use the per-window short rule (pinned to mpg123,
-    # tests/test_mixed_blocks.py)
-    mixed_r = short_r & (((blockcfg_r.astype(i32) >> 2) & 1) > 0)  # [B,G]
-    line_iota = jnp.arange(576)[None, None, :]
-    split = jnp.asarray(_MIXED_SPLIT)[r][:, None, None]  # [B,1,1]
-    use_long = (~short_r[..., None]) | (
-        mixed_r[..., None] & (line_iota < split)
-    )
-    mode = jnp.where(use_long, mode_long, mode_short)
+    mode = jnp.concatenate([mode_long, mode_short], axis=-1)  # [B,G,61]
     # no intensity: MS everywhere (if ms) / LR; mono-joint handled upstream
     mode = jnp.where(inten[..., None], mode, base_mode)
-    return jnp.where(joint[..., None], mode, 0)
+    mode = jnp.where(joint[..., None], mode, 0)
+
+    # slot mode → coefficients via one-hot matmul (exact selection), then
+    # band→line expansion keyed by the RIGHT channel's block cfg — the
+    # cfg-2 (mixed) map routes low lines to long slots and high lines to
+    # short slots, which IS the mixed-block long/short rule split
+    moh = jax.nn.one_hot(mode, _ST_LUT.shape[0], dtype=f)  # [B,G,61,18+64]
+    coeff_slots = jnp.einsum(
+        "bgse,ec->bgsc", moh, jnp.asarray(_ST_LUT, f), precision=prec
+    )  # [B,G,61,4]
+
+    short_r = (blockcfg_r.astype(i32) & 3) == 2
+    mixed_r = ((blockcfg_r.astype(i32) >> 2) & 1) > 0
+    cfg_r = jnp.where(short_r, jnp.where(mixed_r, 2, 1), 0)  # [B,G]
+    key = r[:, None] * 3 + cfg_r  # [B,G]
+    out = jnp.zeros((B, G, 576, 4), f)
+    for onehot, vs in _L2B_VARIANTS:
+        expanded = jnp.einsum(
+            "bgsc,sj->bgjc", coeff_slots, jnp.asarray(onehot), precision=prec
+        )
+        m = jnp.zeros_like(key, dtype=bool)
+        for v in vs:
+            m = m | (key == v)
+        out = jnp.where(m[..., None, None], expanded, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +532,7 @@ def derive_stereo_modes(
     jax.jit,
     static_argnames=(
         "channels", "joint_stereo", "n_big", "n_c1", "granules_per_frame",
-        "k_big", "n_big_small", "n_c1_small",
+        "buckets",
     ),
 )
 def mp3_decode_fused(
@@ -492,9 +558,7 @@ def mp3_decode_fused(
     n_big: int = 512,
     n_c1: int = 144,
     granules_per_frame: int = 2,
-    k_big: int | None = None,
-    n_big_small: int = 32,
-    n_c1_small: int | None = None,
+    buckets: tuple | None = None,
 ) -> jax.Array:
     """Raw concatenated main_data + per-lane side metadata → PCM.
 
@@ -510,11 +574,13 @@ def mp3_decode_fused(
     Lane bucketing: big_values is max-driven per batch but extremely
     skewed in practice (sparse granules encode almost everything in the
     count1 region), so the host may pass ``perm`` (a lane sort by
-    descending big_values) plus static ``k_big``: the first ``k_big``
-    permuted lanes run the full ``n_big``-pair scan, the rest a short
-    ``n_big_small`` scan, and one row scatter restores lane order.  The
-    scan is the gather-bound hot loop, so cutting its trip count for the
-    sparse majority is a direct win (decoder._split_lanes).
+    descending big_values) plus static ``buckets`` — a tuple of
+    (lane_count, n_big, n_c1) covering the permuted lanes in order; each
+    bucket runs its own scan lengths and one row scatter restores lane
+    order.  The scan is the gather-bound hot loop, so cutting its trip
+    count for the sparse majority is a direct win
+    (decoder._plan_buckets).  Without ``buckets``, one scan of
+    ``n_big``/``n_c1`` covers all lanes.
     """
     from .huffman_device import decode_spectra
 
@@ -543,24 +609,26 @@ def mp3_decode_fused(
         rate_lane,
         cfg.reshape(N),
     ]
-    if k_big is None:
-        lines, fail = decode_spectra(
-            main_u8, *lane_args, n_big=n_big, n_c1=n_c1
-        )
+    if buckets is None:
+        buckets = ((N, n_big, n_c1),)
+    if len(buckets) == 1:
+        _cnt, nb, nc = buckets[0]
+        lines, fail = decode_spectra(main_u8, *lane_args, n_big=nb, n_c1=nc)
     else:
         p = perm.astype(jnp.int32)
         pa = [a[p] for a in lane_args]
-        lines_b, fail_b = decode_spectra(
-            main_u8, *[a[:k_big] for a in pa], n_big=n_big, n_c1=n_c1
-        )
-        lines_s, fail_s = decode_spectra(
-            main_u8, *[a[k_big:] for a in pa], n_big=n_big_small,
-            n_c1=n_c1 if n_c1_small is None else n_c1_small,
-        )
+        parts = []
+        start = 0
+        for cnt, nb, nc in buckets:
+            sl = slice(start, start + cnt)
+            start += cnt
+            parts.append(decode_spectra(
+                main_u8, *[a[sl] for a in pa], n_big=nb, n_c1=nc
+            ))
         # un-permute by SCATTER: int16 row gathers are pathologically slow
         # on this TPU path (~13x the scatter cost at [24k, 576])
-        lines_p = jnp.concatenate([lines_b, lines_s], axis=0)
-        fail_p = jnp.concatenate([fail_b, fail_s], axis=0)
+        lines_p = jnp.concatenate([x for x, _ in parts], axis=0)
+        fail_p = jnp.concatenate([x for _, x in parts], axis=0)
         lines = jnp.zeros_like(lines_p).at[p].set(lines_p)
         fail = jnp.zeros_like(fail_p).at[p].set(fail_p)
     # Host parity: an entropy failure silences the whole frame (2 granules
@@ -573,9 +641,12 @@ def mp3_decode_fused(
 
     x = _requantize(is_q, exp_b.reshape(B, G, C, 61), cfg, rate_idx)
     if C == 2 and joint_stereo:
-        st_mode = derive_stereo_modes(
+        st = derive_stereo_coeffs(
             is_q[:, :, 1], st_flags, sfr_bands.reshape(B, G, 61),
             blockcfg_[:, :, 1], rate_idx,
         )
-        x = _stereo_mix(x, st_mode)
+        x0, x1 = x[:, :, 0], x[:, :, 1]
+        L = st[..., 0] * x0 + st[..., 1] * x1
+        R = st[..., 2] * x0 + st[..., 3] * x1
+        x = jnp.stack([L, R], axis=2)
     return _hybrid_synthesis(x, win_idx, aa_bound)

@@ -83,6 +83,57 @@ def _c1_lut():
 
 _C1LUT = _c1_lut()
 
+
+def _c1_double_lut():
+    """Two count1 quads per lookup: a quad is ≤ 6 code bits + 4 sign bits,
+    so TWO full quads (values AND signs) always fit in 20 bits — one
+    gather decodes both and the per-sign bit extraction disappears.
+    Entry (int32): len1(5) | len2<<5 | bad1<<10 | bad2<<11 |
+    vals<<12 (8 × 2-bit fields, value+1 in {0,1,2}, quad1 lines first,
+    each quad MSB-line-first to match the (v >> (3-q)) & 1 order)."""
+    # single-quad 10-bit LUT with signs folded in, per select
+    s_len = np.zeros((2, 1024), np.int32)
+    s_bad = np.zeros((2, 1024), np.int32)
+    s_vals = np.zeros((2, 1024), np.int32)  # 8 bits: 4 × 2-bit fields
+    for s in (0, 1):
+        for b in range(1024):
+            e = int(_C1LUT[s * 64 + (b >> 4)])
+            ln, v = e >> 4, e & 15
+            if ln == 0:
+                s_bad[s, b] = 1
+                continue
+            o = ln
+            fields = 0
+            for q in range(4):
+                bit = (v >> (3 - q)) & 1
+                val = 0
+                if bit:
+                    sgn = (b >> (9 - o)) & 1
+                    o += 1
+                    val = -1 if sgn else 1
+                fields |= (val + 1) << (6 - 2 * q)
+            s_len[s, b] = o
+            s_vals[s, b] = fields
+    # compose: first quad from the top 10 bits, second from the next
+    idx = np.arange(1 << 20)
+    top = (idx >> 10).astype(np.int32)
+    out = np.zeros((2, 1 << 20), np.int32)
+    for s in (0, 1):
+        l1 = s_len[s, top]
+        b1 = s_bad[s, top]
+        v1 = s_vals[s, top]
+        second = (idx >> (10 - l1)) & 1023
+        l2 = s_len[s, second]
+        b2 = s_bad[s, second]
+        v2 = s_vals[s, second]
+        out[s] = (
+            l1 | (l2 << 5) | (b1 << 10) | (b2 << 11) | (v1 << 12) | (v2 << 20)
+        )
+    return out.reshape(-1)
+
+
+_C1DLUT = _c1_double_lut()
+
 #: short-block reorder permutations in gather form out = in[perm],
 #: [9 rates, 3 cfgs, 576]; cfg 0 (long) rows are identity.
 def _reorder_perms():
@@ -162,14 +213,27 @@ def _aligned_windows(words, file_idx, bitpos, n: int) -> list:
 
 
 def _win_at(a: list, k: jax.Array) -> jax.Array:
-    """32 bits at offset k (0 <= k < 32*(len(a)-1)) into aligned windows."""
-    res = jnp.zeros_like(a[0])
-    for i in range(len(a) - 1):
-        kk = jnp.clip(k - 32 * i, 0, 31)
-        res = jnp.where(
-            (k >= 32 * i) & (k < 32 * (i + 1)), _shift64(a[i], a[i + 1], kk), res
-        )
-    return res
+    """32 bits at offset k (0 <= k < 32*(len(a)-1)) into aligned windows.
+
+    Selects the (hi, lo) word pair with a binary tree keyed on the bits
+    of k>>5, then does ONE 64-bit funnel shift — ~2 selects per candidate
+    window instead of a full shift64+mask per window (this runs twice per
+    decoded pair, so its VPU cost is a first-order term of the scan)."""
+    idx = (k >> 5).astype(jnp.int32)
+    his, los = list(a[:-1]), list(a[1:])
+    level = 0
+    while len(his) > 1:
+        bit = ((idx >> level) & 1) == 1
+        his = [
+            jnp.where(bit, his[i + 1], his[i]) if i + 1 < len(his) else his[i]
+            for i in range(0, len(his), 2)
+        ]
+        los = [
+            jnp.where(bit, los[i + 1], los[i]) if i + 1 < len(los) else los[i]
+            for i in range(0, len(los), 2)
+        ]
+        level += 1
+    return _shift64(his[0], los[0], (k & 31).astype(jnp.uint32))
 
 
 def _take(win: jax.Array, off: jax.Array, n: jax.Array) -> jax.Array:
@@ -236,7 +300,6 @@ def decode_spectra(
     kbase = jnp.asarray(_BIG_BASE)[tid]
     kwidth = jnp.asarray(_BIG_WIDTH)[tid]
     biglut = jnp.asarray(_BIGLUT)
-    c1lut = jnp.asarray(_C1LUT)
 
     def sel3(a, region):  # per-lane region select without a gather
         return jnp.where(
@@ -317,11 +380,14 @@ def decode_spectra(
     else:
         big_out = big_out[:, :288]
 
-    # ---- count1 region: 16 quads per step from ONE 7-word gather ----
-    # Worst case per quad: 6-bit code + 4 signs = 10 bits; the last quad's
-    # 32-bit window read begins <= 15*10 = 150 bits in, so 6 aligned
-    # windows (k < 160) cover it.
+    # ---- count1 region: 16 quads = 8 double-LUT lookups per step from
+    # ONE 7-word gather ----
+    # A quad is <= 6 code bits + 4 signs = 10 bits, so TWO quads (values
+    # and signs) fit in 20 LUT-index bits: one gather decodes both.  The
+    # last lookup starts <= 7*20 = 140 bits in and reads a 32-bit window,
+    # so 6 aligned windows (k < 172 <= 192) cover it.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
+    c1dlut = jnp.asarray(_C1DLUT)
     QUADS = 16
     n_c1S = (n_c1 + QUADS - 1) // QUADS
 
@@ -330,27 +396,29 @@ def decode_spectra(
         a = _aligned_windows(words, file_idx, pos, 6)
         off = jnp.zeros((N,), i32)
         vals16 = []
-        for sub in range(QUADS):
-            placed = idx0 + 4 * (QUADS * step + sub)
-            act = (pos + off < end_bit) & (placed < 576) & jnp.logical_not(fail)
+        for sub in range(QUADS // 2):
             win = _win_at(a, off)
-            entry = c1lut[c1sel * 64 + (win >> 26).astype(i32)].astype(i32)
-            ln = entry >> 4
-            bad = act & (ln == 0)
-            v = entry & 15
-            o = jnp.where(act, ln, 0)
-            quad = []
-            for q in range(4):
-                bit = (v >> (3 - q)) & 1
-                sgn = _take(win, o, bit)
-                o = o + bit
-                quad.append(jnp.where(bit == 1, jnp.where(sgn == 1, -1, 1), 0))
-            fail = fail | bad | (act & (pos + off + o > sbits))
-            # a quad straddling the part2_3 boundary is discarded
-            wr = act & jnp.logical_not(fail) & (pos + off + o <= end_bit)
-            for q in range(4):
-                vals16.append(jnp.where(wr, quad[q], 0))
-            off = off + jnp.where(act, o, 0)
+            entry = c1dlut[(c1sel << 20) + (win >> 12).astype(i32)]
+            l1 = entry & 31
+            l2 = (entry >> 5) & 31
+            for half, (ln, bad_bit, vsh) in enumerate(
+                ((l1, 10, 12), (l2, 11, 20))
+            ):
+                placed = idx0 + 4 * (QUADS * step + 2 * sub + half)
+                act = (
+                    (pos + off < end_bit)
+                    & (placed < 576)
+                    & jnp.logical_not(fail)
+                )
+                bad = act & (((entry >> bad_bit) & 1) == 1)
+                o = jnp.where(act, ln, 0)
+                fail = fail | bad | (act & (pos + off + o > sbits))
+                # a quad straddling the part2_3 boundary is discarded
+                wr = act & jnp.logical_not(fail) & (pos + off + o <= end_bit)
+                for q in range(4):
+                    fld = (entry >> (vsh + 6 - 2 * q)) & 3
+                    vals16.append(jnp.where(wr, fld - 1, 0))
+                off = off + o
         pos = pos + off
         out = jnp.stack(vals16, axis=-1).astype(jnp.int16)  # [N, QUADS*4]
         return (pos, fail), out

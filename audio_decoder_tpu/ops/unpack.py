@@ -80,14 +80,24 @@ def unpack_pcm(
     """
     bps = bits // 8
     nvals = max_frames * channels
-    # Relative byte index of the first byte of each sample value.
-    rel = (jnp.arange(nvals, dtype=jnp.int32) * bps)[None, :]  # [1, nvals]
-    base = data_off[:, None].astype(jnp.int32) + rel           # [B, nvals]
+    # Slice each file's sample region as ONE contiguous dynamic_slice —
+    # the sample bytes are consecutive from data_off, so a per-element
+    # gather (take_along_axis) would burn the TPU's worst op class
+    # (~100 M elem/s) on affine indices; a dynamic slice runs at HBM
+    # bandwidth.  dynamic_slice SHIFTS the start when the window would
+    # run past the buffer (which would mis-align every sample), so pad
+    # the buffer by a full span: any in-range data_off then slices
+    # without clamping, and the padding bytes land only in frames the
+    # n_frames mask zeroes anyway.
+    span = nvals * bps
+    pad = jnp.pad(bufs, ((0, 0), (0, span)))
+    region = jax.vmap(
+        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
+    )(pad, data_off.astype(jnp.int32))                          # [B, span]
+    region = region.reshape(bufs.shape[0], nvals, bps)
 
     def byte(k: int) -> jax.Array:
-        return jnp.take_along_axis(bufs, base + k, axis=1, mode="clip").astype(
-            jnp.uint32
-        )
+        return region[:, :, k].astype(jnp.uint32)
 
     if companded is not None:
         if bits != 8:

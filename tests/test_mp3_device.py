@@ -146,34 +146,40 @@ def test_native_lanes_bitexact_vs_python(kind, ch, mode, bitrate, sr):
 
 
 # ---------------------------------------------------------------------------
-# Lane bucketing (decoder._split_lanes + mp3_decode_fused k_big path)
+# Lane bucketing (decoder._plan_buckets + mp3_decode_fused buckets path)
 # ---------------------------------------------------------------------------
 
 
-def test_split_lanes_heuristic():
-    from audio_decoder_tpu.codecs.mpeg.decoder import _split_lanes
+def test_plan_buckets_heuristic():
+    from audio_decoder_tpu.codecs.mpeg.decoder import _plan_buckets
 
     # skewed: 10% dense lanes, 90% near-empty → split with a short cap
     bv = np.zeros(640, np.int16)
     bv[:64] = 200
     valid = np.ones(640, np.int8)
-    perm, k, cap = _split_lanes(bv, valid, 224)
-    assert k is not None and 0 < k < 640 and cap < 224
-    # bucket invariant: every lane past k_big fits the short scan
-    assert (bv[perm][k:] <= cap).all()
+    perm, buckets = _plan_buckets(bv, valid, 224)
+    assert perm is not None and len(buckets) >= 2
+    assert sum(c for c, _p, _q in buckets) == 640
+    # bucket invariant: every lane in bucket i fits its pair cap
+    start = 0
+    sbv = bv[perm]
+    for cnt, cap, _q in buckets:
+        assert (sbv[start : start + cnt] <= cap).all()
+        start += cnt
     # permutation is a bijection over all lanes
     assert (np.sort(perm) == np.arange(640)).all()
 
-    # uniformly dense → no split
-    assert _split_lanes(np.full(640, 220, np.int16), valid, 224)[1] is None
-    # uniformly sparse → "lower n_big" signal (k_big == 0)
-    _, k0, cap0 = _split_lanes(np.full(640, 3, np.int16), valid, 224)
-    assert k0 == 0 and cap0 == 32
+    # uniformly dense → no split, no permutation
+    p1, b1 = _plan_buckets(np.full(640, 220, np.int16), valid, 224)
+    assert p1 is None and len(b1) == 1 and b1[0][1] == 224
+    # uniformly sparse → single short bucket, no permutation
+    p0, b0 = _plan_buckets(np.full(640, 3, np.int16), valid, 224)
+    assert p0 is None and len(b0) == 1 and b0[0][1] == 32
     # invalid lanes don't force the big bucket
     bv2 = np.full(640, 500, np.int16)
     ok = np.zeros(640, np.int8)
-    _, k2, _ = _split_lanes(bv2, ok, 512)
-    assert k2 == 0
+    p2, b2 = _plan_buckets(bv2, ok, 512)
+    assert p2 is None and b2[0][1] == 32
 
 
 def test_fused_split_matches_unsplit():
@@ -205,7 +211,9 @@ def test_fused_split_matches_unsplit():
     bv = ln.big_values.reshape(-1).astype(np.int64)
     order = np.argsort(-bv, kind="stable").astype(np.int32)
     k = max(32, int(np.count_nonzero(bv > 96)))
+    k2 = max(k + 1, int(np.count_nonzero(bv > 32)))
     split = np.asarray(mp3_decode_fused(
-        *args, jnp.asarray(order), **kw, k_big=k, n_big_small=96,
+        *args, jnp.asarray(order), **kw,
+        buckets=((k, 288, 144), (k2 - k, 96, 144), (L - k2, 32, 144)),
     ))
     assert np.array_equal(base, split)
