@@ -161,12 +161,19 @@ _REORDER = _reorder_perms()
 
 
 def _be_words(main_u8: jax.Array) -> jax.Array:
-    """uint8 [B, M] (M % 4 == 0) → big-endian uint32 words [B, M/4 + 6]
-    (zero pad words so multi-word window reads never index out of range)."""
+    """uint8 [B, M] (M % 4 == 0) → big-endian uint32 words [B, W].
+
+    W is padded to a multiple of 8 plus six spare 8-word rows: window
+    reads gather whole rows (``_aligned_windows``), and the padding
+    guarantees every row index a live lane can produce — including the
+    ≤ 376-bit overshoot of the step that trips the limit check — is in
+    range WITHOUT clipping (clipping would silently shift the window
+    base and mis-decode lanes whose data ends near the buffer end)."""
     B = main_u8.shape[0]
     b = main_u8.reshape(B, -1, 4).astype(jnp.uint32)
     w = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
-    return jnp.pad(w, ((0, 0), (0, 6)))
+    pad = (-w.shape[1]) % 8 + 48
+    return jnp.pad(w, ((0, 0), (0, pad)))
 
 
 def _window32(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array) -> jax.Array:
@@ -198,29 +205,39 @@ def _shift64(hi: jax.Array, lo: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.where(k == 0, hi, (hi << k) | (lo >> (32 - jnp.maximum(k, 1))))
 
 
-def _aligned_windows(words, file_idx, bitpos, n: int) -> list:
-    """n consecutive 32-bit windows at bitpos from ONE (n+1)-word gather:
-    a[i] holds bits [bitpos + 32*i, bitpos + 32*(i+1))."""
-    W = words.shape[1]
-    wi = jnp.clip(bitpos >> 5, 0, W - (n + 1))
-    w = words[file_idx[:, None], wi[:, None] + jnp.arange(n + 1)]  # [N, n+1]
-    sh = (bitpos & 31).astype(jnp.uint32)
-    nsh = 32 - jnp.maximum(sh, 1)
-    return [
-        jnp.where(sh == 0, w[:, i], (w[:, i] << sh) | (w[:, i + 1] >> nsh))
-        for i in range(n)
-    ]
+def _aligned_windows(words, file_idx, bitpos, n: int):
+    """Bit-window access covering [bitpos, bitpos + 32*(n-1)) per lane.
+
+    Gathers whole 8-word ROWS instead of single words: a TPU gather's
+    cost is per *index*, nearly independent of a small trailing slice
+    width, so ceil((n+9)/8) row gathers fetch the same span ~3-4× faster
+    than the n+1 single-word gathers they replace (measured 44 ms vs
+    145 ms for a 13-word span over 2^20 lanes).  Returns (cols, rem):
+    ``cols`` = the 8R raw words from the 8-word-aligned row base below
+    bitpos, ``rem`` = bitpos − 256·row0 ∈ [0, 256) — ``_win_at`` folds
+    rem into its offset, so no pre-shift alignment pass is needed."""
+    B, W = words.shape
+    w8 = words.reshape(B, W // 8, 8)
+    r0 = (bitpos >> 8).astype(jnp.int32)
+    R = (n + 9 + 7) // 8
+    rows = [w8[file_idx, r0 + j] for j in range(R)]  # R gathers of [N, 8]
+    cols = [r[:, i] for r in rows for i in range(8)]
+    return cols, (bitpos & 255).astype(jnp.int32)
 
 
-def _win_at(a: list, k: jax.Array) -> jax.Array:
-    """32 bits at offset k (0 <= k < 32*(len(a)-1)) into aligned windows.
+def _win_at(a, k: jax.Array) -> jax.Array:
+    """32 bits at offset k (0 <= k < 32*(n-1)) into a window span from
+    ``_aligned_windows``.
 
     Selects the (hi, lo) word pair with a binary tree keyed on the bits
-    of k>>5, then does ONE 64-bit funnel shift — ~2 selects per candidate
-    window instead of a full shift64+mask per window (this runs twice per
-    decoded pair, so its VPU cost is a first-order term of the scan)."""
-    idx = (k >> 5).astype(jnp.int32)
-    his, los = list(a[:-1]), list(a[1:])
+    of (rem+k)>>5, then does ONE 64-bit funnel shift — ~2 selects per
+    candidate word instead of a full shift64+mask per word (this runs
+    twice per decoded pair, so its VPU cost is a first-order term of
+    the scan)."""
+    cols, rem = a
+    q = rem + k
+    idx = (q >> 5).astype(jnp.int32)
+    his, los = list(cols[:-1]), list(cols[1:])
     level = 0
     while len(his) > 1:
         bit = ((idx >> level) & 1) == 1
@@ -233,7 +250,7 @@ def _win_at(a: list, k: jax.Array) -> jax.Array:
             for i in range(0, len(los), 2)
         ]
         level += 1
-    return _shift64(his[0], los[0], (k & 31).astype(jnp.uint32))
+    return _shift64(his[0], los[0], (q & 31).astype(jnp.uint32))
 
 
 def _take(win: jax.Array, off: jax.Array, n: jax.Array) -> jax.Array:
