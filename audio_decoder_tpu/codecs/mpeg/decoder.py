@@ -22,16 +22,24 @@ from ...core import errors as E
 from ...core.batch import AudioBatch
 from . import frontend
 from . import native
-from .dsp import mp3_decode_fused, mp3_dsp_tail
+from .dsp import compact_lane_wire, mp3_decode_fused, mp3_dsp_tail
 
 if TYPE_CHECKING:  # pragma: no cover
     from ...io.assets import Asset
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
+    """Round n up to a power of two OR 3/4 of one (two sizes per octave).
+
+    Pure powers of two waste up to 50% padding on every per-granule
+    tensor (wire bytes AND scan lanes); the extra 3/4 step caps waste at
+    ~1/3 while keeping the compiled-shape count bounded.  3/4 sizes stay
+    even (gpf grouping) and keep m_cap % 32 == 0 (row-gather reshape)."""
     size = minimum
     while size < n:
         size *= 2
+    if size > minimum and n <= size // 4 * 3:
+        return size // 4 * 3
     return size
 
 
@@ -289,7 +297,6 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             sample_rate = r["sample_rate"]
             n_gran = r["n_granules"]
             errs = r["err"]
-        L = g_cap * ch
         act = r["valid"].reshape(-1) > 0
         bvs = r["big"].reshape(-1)[act]
         # pairs beyond 288 still consume bits (count1 cursor), so n_big
@@ -299,21 +306,7 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
             r["big"].reshape(-1), r["valid"].reshape(-1), n_big
         )
         pcm = mp3_decode_fused(
-            jnp.asarray(r["main"]),
-            jnp.asarray(r["start"].reshape(B, L)),
-            jnp.asarray(r["end"].reshape(B, L)),
-            jnp.asarray(r["limit"].reshape(B, L)),
-            jnp.asarray(r["big"].reshape(B, L)),
-            jnp.asarray(r["r1"].reshape(B, L)),
-            jnp.asarray(r["r2"].reshape(B, L)),
-            jnp.asarray(r["tsel"].reshape(B, L * 3)),
-            jnp.asarray(r["c1sel"].reshape(B, L)),
-            jnp.asarray(r["valid"].reshape(B, L)),
-            jnp.asarray(r["exp_b"].reshape(B, L * 61)),
-            jnp.asarray(r["cfg"].reshape(B, L)),
-            jnp.asarray(r["stflags"].reshape(B, g_cap)),
-            jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
-            jnp.asarray(_rate_idx_arr(sample_rate)),
+            *fused_wire_args(r, _rate_idx_arr(sample_rate)),
             None if perm is None else jnp.asarray(perm),
             channels=ch,
             joint_stereo=joint,
@@ -332,6 +325,35 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         )
         pieces.append((idxs, batch))
     return pieces
+
+
+def fused_wire_args(r: dict, rate_idx) -> list:
+    """Packed lane dict (native.lanes_batch / _pack_python_lanes layout) →
+    the positional device arrays of ``dsp.mp3_decode_fused`` (sans perm),
+    wire-compacted via ``compact_lane_wire``."""
+    B, G, ch = r["start"].shape
+    L = G * ch
+    end_rel, lim_rel, exp_base, exp_d = compact_lane_wire(
+        r["start"], r["end"], r["limit"], r["exp_b"], r["cfg"]
+    )
+    return [
+        jnp.asarray(r["main"]),
+        jnp.asarray(r["start"].reshape(B, L)),
+        jnp.asarray(end_rel.reshape(B, L)),
+        jnp.asarray(lim_rel.reshape(B, L)),
+        jnp.asarray(r["big"].reshape(B, L)),
+        jnp.asarray(r["r1"].reshape(B, L)),
+        jnp.asarray(r["r2"].reshape(B, L)),
+        jnp.asarray(r["tsel"].reshape(B, L * 3)),
+        jnp.asarray(r["c1sel"].reshape(B, L)),
+        jnp.asarray(r["valid"].reshape(B, L)),
+        jnp.asarray(exp_base.reshape(B, L)),
+        jnp.asarray(exp_d.reshape(B, L * 61)),
+        jnp.asarray(r["cfg"].reshape(B, L)),
+        jnp.asarray(r["stflags"].reshape(B, G)),
+        jnp.asarray(r["sfr"].reshape(B, G * 61)),
+        jnp.asarray(np.asarray(rate_idx, np.int32)),
+    ]
 
 
 def _pack_python_lanes(lanes, g_cap: int, m_cap: int, ch: int) -> dict:

@@ -528,6 +528,36 @@ def derive_stereo_coeffs(
 # ---------------------------------------------------------------------------
 
 
+def compact_lane_wire(start, end, limit, exp_b, blockcfg):
+    """Host-side (numpy) wire compaction for ``mp3_decode_fused``.
+
+    Returns (end_rel u16, limit_rel u16, exp_base i16, exp_d u8); see the
+    dtype rationale in mp3_decode_fused's docstring.  exp_base is the max
+    exponent over the lane's USED band slots (long 0-21 for cfg 0/2,
+    short 22-60 for cfg 1/2) so the uint8 delta is exact for every slot
+    the band→line expansion can select; unused slots may saturate at 255.
+    """
+    st = np.asarray(start, np.int64)
+    end_rel = np.clip(np.asarray(end, np.int64) - st, 0, 65535).astype(np.uint16)
+    lim_rel = np.clip(np.asarray(limit, np.int64) - st, 0, 65535).astype(np.uint16)
+    e = np.asarray(exp_b, np.int32)  # [..., 61]
+    bc = np.asarray(blockcfg, np.int32)
+    shortb = (bc & 3) == 2
+    cfg = np.where(shortb, np.where(((bc >> 2) & 1) == 1, 2, 1), 0)
+    slot = np.arange(61)
+    used = np.where(
+        cfg[..., None] == 0,
+        slot < 22,
+        np.where(cfg[..., None] == 1, slot >= 22, True),
+    )
+    base = np.where(used, e, -(1 << 30)).max(axis=-1)
+    base = np.where(used.any(axis=-1), base, 0).astype(np.int16)
+    dr = base[..., None].astype(np.int32) - e
+    # the 188-step used-band range bound must hold or decode would corrupt
+    assert not np.any((dr > 255) & used), "used-band exponent range > uint8"
+    return end_rel, lim_rel, base, np.clip(dr, 0, 255).astype(np.uint8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -538,15 +568,16 @@ def derive_stereo_coeffs(
 def mp3_decode_fused(
     main_u8: jax.Array,
     start_bit: jax.Array,
-    end_bit: jax.Array,
-    limit_bit: jax.Array,
+    end_rel: jax.Array,
+    limit_rel: jax.Array,
     big_values: jax.Array,
     region1: jax.Array,
     region2: jax.Array,
     tsel: jax.Array,
     c1sel: jax.Array,
     valid: jax.Array,
-    exp_b: jax.Array,
+    exp_base: jax.Array,
+    exp_d: jax.Array,
     blockcfg: jax.Array,
     st_flags: jax.Array,
     sfr_bands: jax.Array,
@@ -569,7 +600,18 @@ def mp3_decode_fused(
     the compressed bitstream per granule over the wire.
 
     Lane array shapes are flat ``[B, G*C]`` (tsel ``[B, G*C*3]``);
-    exp_b is ``[B, G*C*61]``, st_flags ``[B, G]``, sfr ``[B, G*61]``.
+    exp_d is ``[B, G*C*61]``, st_flags ``[B, G]``, sfr ``[B, G*61]``.
+
+    Wire compactness: the side tensors use the smallest exact dtypes —
+    on tunnel/DCN-attached hosts the host→device copy, not compute, is
+    the MP3 bottleneck.  ``end_rel``/``limit_rel`` are uint16 offsets
+    from start_bit (part2_3_length < 4096 bits, and the scan can only
+    overshoot the limit by one step, so a 65535 clamp never changes
+    behavior), and band exponents ship as a per-lane int16 ``exp_base``
+    minus a uint8 ``exp_d`` delta (used-band dynamic range is at most
+    4*(31+2)+8*7 = 188 quarter-log2 steps; unused slots may clip — the
+    band→line expansion never selects them).  ``compact_lane_wire``
+    builds these from the absolute host tensors.
 
     Lane bucketing: big_values is max-driven per batch but extremely
     skewed in practice (sparse granules encode almost everything in the
@@ -595,11 +637,12 @@ def mp3_decode_fused(
     file_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), G * C)
     rate_lane = jnp.repeat(rate_idx.astype(jnp.int32), G * C)
 
+    start_i = start_bit.reshape(N).astype(jnp.int32)
     lane_args = [
         file_idx,
-        start_bit.reshape(N).astype(jnp.int32),
-        end_bit.reshape(N).astype(jnp.int32),
-        limit_bit.reshape(N).astype(jnp.int32),
+        start_i,
+        start_i + end_rel.reshape(N).astype(jnp.int32),
+        start_i + limit_rel.reshape(N).astype(jnp.int32),
         big_values.reshape(N).astype(jnp.int32),
         region1.reshape(N).astype(jnp.int32),
         region2.reshape(N).astype(jnp.int32),
@@ -626,10 +669,15 @@ def mp3_decode_fused(
                 main_u8, *[a[sl] for a in pa], n_big=nb, n_c1=nc
             ))
         # un-permute by SCATTER: int16 row gathers are pathologically slow
-        # on this TPU path (~13x the scatter cost at [24k, 576])
+        # on this TPU path (~13x the scatter cost at [24k, 576]); pairs of
+        # int16 lines scatter as one int32 row to halve the element count
         lines_p = jnp.concatenate([x for x, _ in parts], axis=0)
         fail_p = jnp.concatenate([x for _, x in parts], axis=0)
-        lines = jnp.zeros_like(lines_p).at[p].set(lines_p)
+        packed = jax.lax.bitcast_convert_type(
+            lines_p.reshape(N, 288, 2), jnp.int32
+        )
+        unperm = jnp.zeros_like(packed).at[p].set(packed)
+        lines = jax.lax.bitcast_convert_type(unperm, jnp.int16).reshape(N, 576)
         fail = jnp.zeros_like(fail_p).at[p].set(fail_p)
     # Host parity: an entropy failure silences the whole frame (2 granules
     # for MPEG-1, 1 for LSF); failed-but-invalid lanes are already zero.
@@ -639,7 +687,11 @@ def mp3_decode_fused(
     fail_g = jnp.repeat(fail_f, gpf, axis=1)  # [B, G]
     is_q = jnp.where(fail_g[..., None, None], 0, lines.reshape(B, G, C, 576))
 
-    x = _requantize(is_q, exp_b.reshape(B, G, C, 61), cfg, rate_idx)
+    exp_b = (
+        exp_base.reshape(B, G, C, 1).astype(jnp.int32)
+        - exp_d.reshape(B, G, C, 61).astype(jnp.int32)
+    ).astype(jnp.int16)
+    x = _requantize(is_q, exp_b, cfg, rate_idx)
     if C == 2 and joint_stereo:
         st = derive_stereo_coeffs(
             is_q[:, :, 1], st_flags, sfr_bands.reshape(B, G, 61),

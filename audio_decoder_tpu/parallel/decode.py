@@ -84,7 +84,7 @@ def sharded_mp3_decode_fn(mesh: Mesh, *, channels: int, joint_stereo: bool,
             n_big=n_big, n_c1=n_c1,
         )
 
-    return jax.jit(step, in_shardings=(data,) * 15, out_shardings=data)
+    return jax.jit(step, in_shardings=(data,) * 16, out_shardings=data)
 
 
 def sharded_decode_fn(mesh: Mesh, **static):

@@ -54,27 +54,38 @@ CASES = [
 ]
 
 
-def _fused(ln: "FE.Mp3Lanes") -> np.ndarray:
+def _fused_args(ln: "FE.Mp3Lanes") -> list:
+    from audio_decoder_tpu.codecs.mpeg.dsp import compact_lane_wire
+
     G, C = ln.n_granules, ln.channels
     L = G * C
-    pcm = mp3_decode_fused(
+    end_rel, lim_rel, exp_base, exp_d = compact_lane_wire(
+        ln.start_bit, ln.end_bit, ln.limit_bit, ln.exp_b, ln.blockcfg
+    )
+    return [
         jnp.asarray(ln.main_data)[None],
         jnp.asarray(ln.start_bit.reshape(1, L)),
-        jnp.asarray(ln.end_bit.reshape(1, L)),
-        jnp.asarray(ln.limit_bit.reshape(1, L)),
+        jnp.asarray(end_rel.reshape(1, L)),
+        jnp.asarray(lim_rel.reshape(1, L)),
         jnp.asarray(ln.big_values.reshape(1, L)),
         jnp.asarray(ln.region1.reshape(1, L)),
         jnp.asarray(ln.region2.reshape(1, L)),
         jnp.asarray(ln.tsel.reshape(1, L * 3)),
         jnp.asarray(ln.c1sel.reshape(1, L)),
         jnp.asarray(ln.valid.reshape(1, L)),
-        jnp.asarray(ln.exp_b.reshape(1, L * 61)),
+        jnp.asarray(exp_base.reshape(1, L)),
+        jnp.asarray(exp_d.reshape(1, L * 61)),
         jnp.asarray(ln.blockcfg.reshape(1, L)),
         jnp.asarray(ln.st_flags.reshape(1, G)),
         jnp.asarray(ln.sfr_bands.reshape(1, G * 61)),
         jnp.asarray([ln.rate_idx], jnp.int32),
-        channels=C,
-        joint_stereo=ln.joint_stereo,
+    ]
+
+
+def _fused(ln: "FE.Mp3Lanes") -> np.ndarray:
+    G, C = ln.n_granules, ln.channels
+    pcm = mp3_decode_fused(
+        *_fused_args(ln), channels=C, joint_stereo=ln.joint_stereo
     )
     return np.asarray(pcm[0])[:, :C]
 
@@ -189,23 +200,7 @@ def test_fused_split_matches_unsplit():
     ln = FE.analyze_lanes(blob)
     G, C = ln.n_granules, ln.channels
     L = G * C
-    args = [
-        jnp.asarray(ln.main_data)[None],
-        jnp.asarray(ln.start_bit.reshape(1, L)),
-        jnp.asarray(ln.end_bit.reshape(1, L)),
-        jnp.asarray(ln.limit_bit.reshape(1, L)),
-        jnp.asarray(ln.big_values.reshape(1, L)),
-        jnp.asarray(ln.region1.reshape(1, L)),
-        jnp.asarray(ln.region2.reshape(1, L)),
-        jnp.asarray(ln.tsel.reshape(1, L * 3)),
-        jnp.asarray(ln.c1sel.reshape(1, L)),
-        jnp.asarray(ln.valid.reshape(1, L)),
-        jnp.asarray(ln.exp_b.reshape(1, L * 61)),
-        jnp.asarray(ln.blockcfg.reshape(1, L)),
-        jnp.asarray(ln.st_flags.reshape(1, G)),
-        jnp.asarray(ln.sfr_bands.reshape(1, G * 61)),
-        jnp.asarray([ln.rate_idx], jnp.int32),
-    ]
+    args = _fused_args(ln)
     kw = dict(channels=C, joint_stereo=ln.joint_stereo, n_big=288)
     base = np.asarray(mp3_decode_fused(*args, **kw))
     bv = ln.big_values.reshape(-1).astype(np.int64)

@@ -74,24 +74,10 @@ def test_sharded_mp3_decode_matches_single(mesh8, rng):
         mesh8, channels=ln.channels, joint_stereo=ln.joint_stereo,
         n_big=320, n_c1=144,
     )
+    from audio_decoder_tpu.codecs.mpeg.decoder import fused_wire_args
+
     with mesh8:
-        pcm = fn(
-            jnp.asarray(r["main"]),
-            jnp.asarray(r["start"].reshape(B, L)),
-            jnp.asarray(r["end"].reshape(B, L)),
-            jnp.asarray(r["limit"].reshape(B, L)),
-            jnp.asarray(r["big"].reshape(B, L)),
-            jnp.asarray(r["r1"].reshape(B, L)),
-            jnp.asarray(r["r2"].reshape(B, L)),
-            jnp.asarray(r["tsel"].reshape(B, L * 3)),
-            jnp.asarray(r["c1sel"].reshape(B, L)),
-            jnp.asarray(r["valid"].reshape(B, L)),
-            jnp.asarray(r["exp_b"].reshape(B, L * 61)),
-            jnp.asarray(r["cfg"].reshape(B, L)),
-            jnp.asarray(r["stflags"].reshape(B, g_cap)),
-            jnp.asarray(r["sfr"].reshape(B, g_cap * 61)),
-            jnp.asarray(np.zeros(B, np.int32)),
-        )
+        pcm = fn(*fused_wire_args(r, np.zeros(B, np.int32)))
         jax.block_until_ready(pcm)
     ref, _ = MO.decode(blob)
     n = min(len(ref), ln.n_granules * 576)
