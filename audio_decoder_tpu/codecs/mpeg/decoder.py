@@ -13,6 +13,7 @@ bound the number of compiled shapes.
 
 from __future__ import annotations
 
+import itertools
 from typing import TYPE_CHECKING
 
 import jax.numpy as jnp
@@ -229,8 +230,6 @@ def _plan_buckets(big, valid, n_big: int):
     single_cost, single = eval_plan([n_big])
     best_cost, best = single_cost, single
     caps = [c for c in (32, 96, 160, 224) if c < n_big]
-    import itertools
-
     for r in (1, 2):
         for combo in itertools.combinations(caps, r):
             cost, plan = eval_plan([n_big] + sorted(combo, reverse=True))
@@ -330,12 +329,15 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
 def fused_wire_args(r: dict, rate_idx) -> list:
     """Packed lane dict (native.lanes_batch / _pack_python_lanes layout) →
     the positional device arrays of ``dsp.mp3_decode_fused`` (sans perm),
-    wire-compacted via ``compact_lane_wire``."""
+    wire-compacted via ``compact_lane_wire``.  A lane whose exponents
+    can't ship exactly (impossible for spec-legal streams) is dropped to
+    the invalid path — its frame decodes silent, like other lane errors."""
     B, G, ch = r["start"].shape
     L = G * ch
-    end_rel, lim_rel, exp_base, exp_d = compact_lane_wire(
-        r["start"], r["end"], r["limit"], r["exp_b"], r["cfg"]
+    end_rel, lim_rel, exp_base, exp_d, ok = compact_lane_wire(
+        r["start"], r["end"], r["limit"], r["exp_b"], r["cfg"], rate_idx
     )
+    valid = np.where(ok, np.asarray(r["valid"]), 0)
     return [
         jnp.asarray(r["main"]),
         jnp.asarray(r["start"].reshape(B, L)),
@@ -346,7 +348,7 @@ def fused_wire_args(r: dict, rate_idx) -> list:
         jnp.asarray(r["r2"].reshape(B, L)),
         jnp.asarray(r["tsel"].reshape(B, L * 3)),
         jnp.asarray(r["c1sel"].reshape(B, L)),
-        jnp.asarray(r["valid"].reshape(B, L)),
+        jnp.asarray(valid.reshape(B, L)),
         jnp.asarray(exp_base.reshape(B, L)),
         jnp.asarray(exp_d.reshape(B, L * 61)),
         jnp.asarray(r["cfg"].reshape(B, L)),

@@ -105,6 +105,22 @@ def _line2band() -> np.ndarray:
 _LINE2BAND = _line2band()
 
 
+def _used_slots() -> np.ndarray:
+    """[9 rates, 3 cfgs, 61] bool — slots the band→line map can select.
+
+    The emitters zero every slot they don't fill (notably mixed blocks
+    leave long 8..21 and short sfb 0..2 slots at 0), so any exactness
+    contract over exp_b must range only over the selectable subset."""
+    u = np.zeros(_LINE2BAND.shape[:2] + (61,), bool)
+    for r in range(_LINE2BAND.shape[0]):
+        for c in range(3):
+            u[r, c, np.unique(_LINE2BAND[r, c])] = True
+    return u
+
+
+_USED_SLOTS = _used_slots()
+
+
 def _l2b_variants() -> list:
     """Distinct band→line maps as one-hot [61, 576] f32 matrices.
 
@@ -267,14 +283,18 @@ def _requantize(is_q, exp_b, cfg, rate_idx):
     return jnp.sign(is_q).astype(f) * mag ** (4.0 / 3.0) * gain
 
 
-def _stereo_mix(x, st_mode):
-    """Per-line mode byte → (aL,bL,aR,bR) via LUT, one fused 2x2 mix."""
-    f = jnp.float32
-    st = jnp.asarray(_ST_LUT, f)[st_mode.astype(jnp.int32)]  # [B,G,576,4]
+def _apply_stereo_coeffs(x, st):
+    """[B,G,2,576] spectra × [B,G,576,4] (aL,bL,aR,bR) → 2x2 mixed."""
     x0, x1 = x[:, :, 0], x[:, :, 1]
     L = st[..., 0] * x0 + st[..., 1] * x1
     R = st[..., 2] * x0 + st[..., 3] * x1
     return jnp.stack([L, R], axis=2)
+
+
+def _stereo_mix(x, st_mode):
+    """Per-line mode byte → (aL,bL,aR,bR) via LUT, one fused 2x2 mix."""
+    st = jnp.asarray(_ST_LUT, jnp.float32)[st_mode.astype(jnp.int32)]
+    return _apply_stereo_coeffs(x, st)
 
 
 def _hybrid_synthesis(x, win_idx, aa_bound):
@@ -528,14 +548,19 @@ def derive_stereo_coeffs(
 # ---------------------------------------------------------------------------
 
 
-def compact_lane_wire(start, end, limit, exp_b, blockcfg):
+def compact_lane_wire(start, end, limit, exp_b, blockcfg, rate_idx):
     """Host-side (numpy) wire compaction for ``mp3_decode_fused``.
 
-    Returns (end_rel u16, limit_rel u16, exp_base i16, exp_d u8); see the
-    dtype rationale in mp3_decode_fused's docstring.  exp_base is the max
-    exponent over the lane's USED band slots (long 0-21 for cfg 0/2,
-    short 22-60 for cfg 1/2) so the uint8 delta is exact for every slot
-    the band→line expansion can select; unused slots may saturate at 255.
+    Returns (end_rel u16, limit_rel u16, exp_base i16, exp_d u8, ok bool);
+    see the dtype rationale in mp3_decode_fused's docstring.  exp_base is
+    the max exponent over the lane's USED band slots — exactly the slots
+    the (rate, cfg) band→line map can select (``_USED_SLOTS``; mixed
+    blocks use only long 0..7/0..5 and the short slots past the split) —
+    so the uint8 delta is exact for every selectable slot; unselectable
+    slots may saturate at 255.  The ISO field bounds cap the used-slot
+    range at 188 steps, so ``ok`` is always True for spec-legal streams;
+    a lane whose emitter output exceeds 255 anyway gets ok=False and the
+    caller drops it to the per-lane invalid path instead of corrupting.
     """
     st = np.asarray(start, np.int64)
     end_rel = np.clip(np.asarray(end, np.int64) - st, 0, 65535).astype(np.uint16)
@@ -544,18 +569,15 @@ def compact_lane_wire(start, end, limit, exp_b, blockcfg):
     bc = np.asarray(blockcfg, np.int32)
     shortb = (bc & 3) == 2
     cfg = np.where(shortb, np.where(((bc >> 2) & 1) == 1, 2, 1), 0)
-    slot = np.arange(61)
-    used = np.where(
-        cfg[..., None] == 0,
-        slot < 22,
-        np.where(cfg[..., None] == 1, slot >= 22, True),
+    rate = np.broadcast_to(
+        np.asarray(rate_idx, np.int32).reshape((-1,) + (1,) * (cfg.ndim - 1)),
+        cfg.shape,
     )
-    base = np.where(used, e, -(1 << 30)).max(axis=-1)
-    base = np.where(used.any(axis=-1), base, 0).astype(np.int16)
+    used = _USED_SLOTS[rate, cfg]  # [..., 61]
+    base = np.where(used, e, -(1 << 30)).max(axis=-1).astype(np.int16)
     dr = base[..., None].astype(np.int32) - e
-    # the 188-step used-band range bound must hold or decode would corrupt
-    assert not np.any((dr > 255) & used), "used-band exponent range > uint8"
-    return end_rel, lim_rel, base, np.clip(dr, 0, 255).astype(np.uint8)
+    ok = ~np.any((dr > 255) & used, axis=-1)
+    return end_rel, lim_rel, base, np.clip(dr, 0, 255).astype(np.uint8), ok
 
 
 @functools.partial(
@@ -697,8 +719,5 @@ def mp3_decode_fused(
             is_q[:, :, 1], st_flags, sfr_bands.reshape(B, G, 61),
             blockcfg_[:, :, 1], rate_idx,
         )
-        x0, x1 = x[:, :, 0], x[:, :, 1]
-        L = st[..., 0] * x0 + st[..., 1] * x1
-        R = st[..., 2] * x0 + st[..., 3] * x1
-        x = jnp.stack([L, R], axis=2)
+        x = _apply_stereo_coeffs(x, st)
     return _hybrid_synthesis(x, win_idx, aa_bound)

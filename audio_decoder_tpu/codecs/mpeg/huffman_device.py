@@ -176,29 +176,6 @@ def _be_words(main_u8: jax.Array) -> jax.Array:
     return jnp.pad(w, ((0, 0), (0, pad)))
 
 
-def _window32(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array) -> jax.Array:
-    """32 bits starting at bitpos (per lane), MSB-first, as uint32."""
-    W = words.shape[1]
-    wi = jnp.clip(bitpos >> 5, 0, W - 2)
-    sh = (bitpos & 31).astype(jnp.uint32)
-    w0 = words[file_idx, wi]
-    w1 = words[file_idx, wi + 1]
-    return jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> (32 - jnp.maximum(sh, 1))))
-
-
-def _window64(words: jax.Array, file_idx: jax.Array, bitpos: jax.Array):
-    """Two 32-bit windows (bits [pos, pos+32) and [pos+32, pos+64)) from one
-    3-word gather — enough for a max-length code plus its escape/sign tail."""
-    W = words.shape[1]
-    wi = jnp.clip(bitpos >> 5, 0, W - 3)
-    w = words[file_idx[:, None], wi[:, None] + jnp.arange(3)]  # [N, 3]
-    sh = (bitpos & 31).astype(jnp.uint32)
-    nsh = 32 - jnp.maximum(sh, 1)
-    hi = jnp.where(sh == 0, w[:, 0], (w[:, 0] << sh) | (w[:, 1] >> nsh))
-    lo = jnp.where(sh == 0, w[:, 1], (w[:, 1] << sh) | (w[:, 2] >> nsh))
-    return hi, lo
-
-
 def _shift64(hi: jax.Array, lo: jax.Array, k: jax.Array) -> jax.Array:
     """The 32 bits starting k (0..31) bits into the (hi, lo) window."""
     k = k.astype(jnp.uint32)
@@ -364,9 +341,9 @@ def decode_spectra(
 
     # 8 pairs per step: the last pair starts <= 7*47 = 329 bits in and its
     # trailing 32-bit window read begins <= 329 + 19 = 348 bits in, so 12
-    # aligned windows (k < 352) from one 13-word gather cover it.  Wider
-    # steps halve the scan trip count AND gather fewer total words than
-    # 4-pair steps (the fixed per-step window overhead amortizes).
+    # aligned windows (k < 352) — three 8-word row gathers — cover it.
+    # Wider steps halve the scan trip count AND fetch fewer total words
+    # than 4-pair steps (the fixed per-step window overhead amortizes).
     PAIRS = 8
     n_bigS = (n_big + PAIRS - 1) // PAIRS
 
@@ -398,7 +375,7 @@ def decode_spectra(
         big_out = big_out[:, :288]
 
     # ---- count1 region: 16 quads = 8 double-LUT lookups per step from
-    # ONE 7-word gather ----
+    # TWO 8-word row gathers ----
     # A quad is <= 6 code bits + 4 signs = 10 bits, so TWO quads (values
     # and signs) fit in 20 LUT-index bits: one gather decodes both.  The
     # last lookup starts <= 7*20 = 140 bits in and reads a 32-bit window,

@@ -59,9 +59,11 @@ def _fused_args(ln: "FE.Mp3Lanes") -> list:
 
     G, C = ln.n_granules, ln.channels
     L = G * C
-    end_rel, lim_rel, exp_base, exp_d = compact_lane_wire(
-        ln.start_bit, ln.end_bit, ln.limit_bit, ln.exp_b, ln.blockcfg
+    end_rel, lim_rel, exp_base, exp_d, ok = compact_lane_wire(
+        ln.start_bit, ln.end_bit, ln.limit_bit, ln.exp_b, ln.blockcfg,
+        np.full((1,), ln.rate_idx, np.int32),
     )
+    assert ok.all()  # spec-legal lame streams always ship exactly
     return [
         jnp.asarray(ln.main_data)[None],
         jnp.asarray(ln.start_bit.reshape(1, L)),
@@ -191,6 +193,56 @@ def test_plan_buckets_heuristic():
     ok = np.zeros(640, np.int8)
     p2, b2 = _plan_buckets(bv2, ok, 512)
     assert p2 is None and b2[0][1] == 32
+
+
+def test_compact_lane_wire_extremes():
+    """The uint8 exponent-delta wire format must be exact for every slot
+    the band→line map can SELECT, even at the ISO field extremes where
+    the emitters leave unselectable slots at 0 — up to 398 quarter-steps
+    above the quietest used bands.  Mixed blocks are the trap: they
+    select only long 0..7 (0..5 LSF) plus the short slots past the
+    split, so 'all 61 slots' masking would overflow on legal quiet
+    mixed-block granules (found by review; this pins the fix)."""
+    from audio_decoder_tpu.codecs.mpeg.dsp import _USED_SLOTS, compact_lane_wire
+
+    r0 = 0  # 44.1 kHz
+    used_mixed = _USED_SLOTS[r0, 2]
+    assert not used_mixed[8:22].any() and not used_mixed[22:31].any()
+
+    e = np.zeros((4, 61), np.int16)
+    bc = np.zeros(4, np.int8)
+    # lane 0: long block, gg floor with max scalefac spread: [-398, -210]
+    e[0, :22] = np.linspace(-398, -210, 22).astype(np.int16)
+    # lane 1: short block at the positive ceiling
+    bc[1] = 2
+    e[1, 22:] = 45
+    # lane 2: QUIET MIXED block (gg=30, scalefac_scale=1, sbg=7, sf=15):
+    # used exponents at -296, unselectable slots left 0 by the emitter
+    bc[2] = 2 | 4
+    e[2, used_mixed] = -296
+    # lane 3: corrupt — used-slot range beyond uint8 → must flag, not crash
+    e[3, :22] = np.linspace(-300, 45, 22).astype(np.int16)
+    start = np.array([0, 100, 200, 300], np.int64)
+    end = start + np.array([4095, 0, 70000, 10])  # lane 2: clamp at 65535
+    limit = end + 5
+    rate = np.full(4, r0, np.int32)
+    end_rel, lim_rel, base, d, ok = compact_lane_wire(
+        start, end, limit, e, bc, rate
+    )
+    assert end_rel.dtype == np.uint16 and d.dtype == np.uint8
+    assert end_rel[2] == 65535  # clamped, beyond any reachable bit position
+    # reconstruct exactly what the device computes, over selectable slots
+    rec = base[:, None].astype(np.int32) - d
+    assert (rec[0, :22] == e[0, :22]).all()
+    assert (rec[1, 22:] == e[1, 22:]).all()
+    assert (rec[2, used_mixed] == -296).all()
+    assert list(ok) == [True, True, True, False]
+    # an all-padded (invalid) lane stays representable
+    _, _, b0, d0, ok0 = compact_lane_wire(
+        np.zeros(1), np.zeros(1), np.zeros(1), np.zeros((1, 61), np.int16),
+        np.zeros(1, np.int8), np.zeros(1, np.int32),
+    )
+    assert b0[0] == 0 and (d0 == 0).all() and ok0.all()
 
 
 def test_fused_split_matches_unsplit():
