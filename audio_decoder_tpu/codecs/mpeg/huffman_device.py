@@ -182,24 +182,37 @@ def _shift64(hi: jax.Array, lo: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.where(k == 0, hi, (hi << k) | (lo >> (32 - jnp.maximum(k, 1))))
 
 
-def _aligned_windows(words, file_idx, bitpos, n: int):
-    """Bit-window access covering [bitpos, bitpos + 32*(n-1)) per lane.
+def _overlap_rows(words: jax.Array) -> jax.Array:
+    """[B, W] words → [B, W/4 - 1, 8] rows at 4-word stride (row r =
+    words[4r : 4r+8]).  The half-stride halves the worst-case alignment
+    waste of a window's row base (rem < 128 bits instead of < 256), which
+    is what lets linbits-light scan steps fit 2 rows instead of 3; the
+    2× materialization is one cheap HBM relayout per program."""
+    B, W = words.shape
+    w4 = words.reshape(B, W // 4, 4)
+    return jnp.concatenate([w4[:, :-1], w4[:, 1:]], axis=-1)
+
+
+def _aligned_windows(rows8, file_idx, bitpos, k_max: int):
+    """Bit-window access covering offsets [0, k_max] from bitpos per lane
+    (each _win_at(a, k) reads 32 bits plus a 32-bit lookahead word).
 
     Gathers whole 8-word ROWS instead of single words: a TPU gather's
     cost is per *index*, nearly independent of a small trailing slice
-    width, so ceil((n+9)/8) row gathers fetch the same span ~3-4× faster
-    than the n+1 single-word gathers they replace (measured 44 ms vs
-    145 ms for a 13-word span over 2^20 lanes).  Returns (cols, rem):
-    ``cols`` = the 8R raw words from the 8-word-aligned row base below
-    bitpos, ``rem`` = bitpos − 256·row0 ∈ [0, 256) — ``_win_at`` folds
-    rem into its offset, so no pre-shift alignment pass is needed."""
-    B, W = words.shape
-    w8 = words.reshape(B, W // 8, 8)
-    r0 = (bitpos >> 8).astype(jnp.int32)
-    R = (n + 9 + 7) // 8
-    rows = [w8[file_idx, r0 + j] for j in range(R)]  # R gathers of [N, 8]
+    width, so R row gathers fetch the span ~3-4× faster than the 8R
+    single-word gathers they replace (measured 44 ms vs 145 ms for a
+    13-word span over 2^20 lanes).  Rows come from ``_overlap_rows`` at
+    4-word stride; consecutive gathered rows step by 2 so the fetched
+    words are contiguous.  Returns (cols, rem): ``cols`` = the 8R raw
+    words from the 4-word-aligned base below bitpos, ``rem`` = bitpos −
+    128·row0 ∈ [0, 128) — ``_win_at`` folds rem into its offset, so no
+    pre-shift alignment pass is needed."""
+    idx_max = (127 + k_max) // 32 + 1  # worst lo-word index in cols
+    R = idx_max // 8 + 1
+    r0 = (bitpos >> 7).astype(jnp.int32)
+    rows = [rows8[file_idx, r0 + 2 * j] for j in range(R)]  # R x [N, 8]
     cols = [r[:, i] for r in rows for i in range(8)]
-    return cols, (bitpos & 255).astype(jnp.int32)
+    return cols, (bitpos & 127).astype(jnp.int32)
 
 
 def _win_at(a, k: jax.Array) -> jax.Array:
@@ -279,7 +292,7 @@ def decode_spectra(
     """
     N = start_bit.shape[0]
     i32 = jnp.int32
-    words = _be_words(main_u8)
+    rows8 = _overlap_rows(_be_words(main_u8))
     sbits = limit_bit
     # big_values can exceed 288 pairs (576 lines): the extra pairs are
     # decoded for their BIT CONSUMPTION (the count1 cursor depends on it)
@@ -340,16 +353,17 @@ def decode_spectra(
         return x, y, consumed, act, bad
 
     # 8 pairs per step: the last pair starts <= 7*47 = 329 bits in and its
-    # trailing 32-bit window read begins <= 329 + 19 = 348 bits in, so 12
-    # aligned windows (k < 352) — three 8-word row gathers — cover it.
-    # Wider steps halve the scan trip count AND fetch fewer total words
-    # than 4-pair steps (the fixed per-step window overhead amortizes).
+    # trailing 32-bit window read begins <= 329 + 19 = 348 bits in — with
+    # the half-stride row base (rem < 128) that's word 15 of 16, so TWO
+    # 8-word row gathers cover the worst case.  Wider steps halve the
+    # scan trip count AND fetch fewer total words than 4-pair steps (the
+    # fixed per-step window overhead amortizes).
     PAIRS = 8
     n_bigS = (n_big + PAIRS - 1) // PAIRS
 
     def big_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 12)
+        a = _aligned_windows(rows8, file_idx, pos, 348)
         off = jnp.zeros((N,), i32)
         cols = []
         for sub in range(PAIRS):
@@ -378,8 +392,8 @@ def decode_spectra(
     # TWO 8-word row gathers ----
     # A quad is <= 6 code bits + 4 signs = 10 bits, so TWO quads (values
     # and signs) fit in 20 LUT-index bits: one gather decodes both.  The
-    # last lookup starts <= 7*20 = 140 bits in and reads a 32-bit window,
-    # so 6 aligned windows (k < 172 <= 192) cover it.
+    # last lookup starts <= 7*20 = 140 bits in; with rem < 128 its lo
+    # word is at most index 9 of 16, well inside two rows.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
     c1dlut = jnp.asarray(_C1DLUT)
     QUADS = 16
@@ -387,7 +401,7 @@ def decode_spectra(
 
     def c1_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(words, file_idx, pos, 6)
+        a = _aligned_windows(rows8, file_idx, pos, 140)
         off = jnp.zeros((N,), i32)
         vals16 = []
         for sub in range(QUADS // 2):
