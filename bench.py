@@ -129,7 +129,7 @@ def main() -> None:
 
     run_once()  # compile/warm
     best = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         audio = run_once()
         dt = time.perf_counter() - t0
