@@ -77,19 +77,37 @@ def cmd_repl(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    import time
+
+    import numpy as np
+
     from .codecs.registry import decode_dir
     from .dsp.consensus import consensus_for
     from .utils.trace import TRACE
 
+    t0 = time.perf_counter()
     batch, names = decode_dir(args.assets)
     rate, ch = consensus_for(batch)
+    # per-file decode latency (BASELINE.json tracked metric): time from
+    # decode start until each file's PCM is host-available — batched
+    # decode completes per compiled group, so files in one group share a
+    # completion time
+    lat = {}
     for name in sorted(names):
         f = batch.file(names[name])
+        np.asarray(f.pcm)  # force this file's decode + fetch
+        lat[name] = time.perf_counter() - t0
         status = "ok" if f.err == 0 else f"err={f.err}"
         print(f"{name}: {status} {f.format} {f.sample_rate} Hz "
               f"{f.num_channels} ch {f.pcm.shape[0]} frames")
     print(f"consensus: {int(rate)} Hz, {int(ch)} ch")
     if getattr(args, "stats", False):
+        if lat:
+            vals = np.asarray(sorted(lat.values()))
+            p50 = float(np.percentile(vals, 50))
+            p95 = float(np.percentile(vals, 95))
+            print(f"per-file decode latency: p50 {p50*1e3:.1f} ms, "
+                  f"p95 {p95*1e3:.1f} ms ({len(vals)} files)")
         print("-- stage stats (items = decoded audio-seconds) --")
         print(TRACE.report())
     return 0
