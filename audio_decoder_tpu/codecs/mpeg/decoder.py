@@ -191,14 +191,13 @@ def _plan_buckets(big, valid, n_big: int):
     Returns (perm, buckets): perm None → no permutation needed (single
     bucket); buckets = ((lane_count, n_big, n_c1), ...) in sorted-lane
     order, counts summing to N, empty buckets dropped."""
-    bv = np.where(valid > 0, big.astype(np.int64), 0)
+    v = np.asarray(valid).reshape(-1) > 0
+    bv = np.where(v, np.asarray(big).reshape(-1).astype(np.int64), 0)
     N = bv.size
     order = np.argsort(-bv, kind="stable").astype(np.int32)
     sbv = bv[order]
     # quads actually placeable per lane (invalid lanes place none)
-    squads = np.where(
-        valid.reshape(-1)[order] > 0, (576 - 2 * sbv).clip(0) // 4 + 1, 0
-    ).clip(0, 144)
+    squads = np.where(v[order], (576 - 2 * sbv).clip(0) // 4 + 1, 0).clip(0, 144)
     quantum = max(32, -(-N // 8))
 
     def r32(x, cap):
@@ -221,7 +220,7 @@ def _plan_buckets(big, valid, n_big: int):
         for cap, b in zip(caps_desc, bounds):
             cnt = b - prev
             if cnt > 0:
-                q = r32(squads[prev:b].max() if cnt else 1, 144)
+                q = r32(squads[prev:b].max(), 144)
                 buckets.append((cnt, int(cap), q))
                 cost += cnt * (cap + 0.5 * q)
             prev = b

@@ -241,6 +241,14 @@ def _expand_blockcfg(blockcfg: jax.Array):
     return cfg, win_idx, aa_bound
 
 
+def _variant_mask(key: jax.Array, vs) -> jax.Array:
+    """True where ``key`` (flat rate*3+cfg ids) matches any id in ``vs``."""
+    m = jnp.zeros_like(key, dtype=bool)
+    for v in vs:
+        m = m | (key == v)
+    return m
+
+
 def _band_to_lines(slot_vals, cfg, rate_idx):
     """Expand per-band-slot values [..., 61] to per-line values [..., 576].
 
@@ -259,10 +267,7 @@ def _band_to_lines(slot_vals, cfg, rate_idx):
         expanded = jnp.einsum(
             "...s,sj->...j", sv, jnp.asarray(onehot), precision=prec
         )
-        m = jnp.zeros_like(key, dtype=bool)
-        for v in vs:
-            m = m | (key == v)
-        out = jnp.where(m[..., None], expanded, out)
+        out = jnp.where(_variant_mask(key, vs)[..., None], expanded, out)
     return out
 
 
@@ -536,10 +541,7 @@ def derive_stereo_coeffs(
         expanded = jnp.einsum(
             "bgsc,sj->bgjc", coeff_slots, jnp.asarray(onehot), precision=prec
         )
-        m = jnp.zeros_like(key, dtype=bool)
-        for v in vs:
-            m = m | (key == v)
-        out = jnp.where(m[..., None, None], expanded, out)
+        out = jnp.where(_variant_mask(key, vs)[..., None, None], expanded, out)
     return out
 
 
