@@ -6,8 +6,9 @@ and a scalar 16-bit BE unpack loop (blast/src/file_parsing/aiff.rs:99-183).
 Here the chunk walk is a vmapped ``lax.while_loop`` (chunks may appear in
 any IFF order), the IEEE-80 decode is integer ops (ops.bytes.read_ieee_extended
 ≙ aiff.rs:51-94), and unpacking handles 8/16/24/32-bit signed big-endian
-PCM — the reference hard-assumed 16-bit regardless of the COMM sample size
-(aiff.rs:159-170, SURVEY §5 defect 6).
+PCM plus AIFC sowt (LE PCM) and fl32/fl64 (BE IEEE float) — the reference
+hard-assumed 16-bit regardless of the COMM sample size (aiff.rs:159-170,
+SURVEY §5 defect 6).
 
 COMM size is validated as 18 exactly like the reference (aiff.rs:122-126 →
 InvalidData).
@@ -30,6 +31,10 @@ _SSND = fourcc("SSND")
 _NONE = fourcc("NONE")
 _SOWT = fourcc("sowt")
 _TWOS = fourcc("twos")  # explicit big-endian PCM (synonym of NONE)
+_FL32 = fourcc("fl32")
+_FL32U = fourcc("FL32")  # SoundManager emits uppercase variants
+_FL64 = fourcc("fl64")
+_FL64U = fourcc("FL64")
 
 _MAX_CHUNKS = 128
 
@@ -105,11 +110,14 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     data_off = q + 8 + offset
     data_size = jnp.maximum(ssnd_size - 8 - offset, 0)
 
-    # AIFC compression type: NONE (big-endian PCM) or sowt (little-endian
-    # PCM, the common Mac variant); anything else is unsupported
+    # AIFC compression type: NONE/twos (big-endian PCM), sowt
+    # (little-endian PCM, the common Mac variant), fl32/fl64 (big-endian
+    # IEEE float, both case variants); anything else is unsupported
     comp = jnp.where(is_aifc, read_tag(buf, p + 18), _NONE)
     little = comp == _SOWT
-    supported = jnp.logical_and(
+    f32c = jnp.logical_or(comp == _FL32, comp == _FL32U)
+    f64c = jnp.logical_or(comp == _FL64, comp == _FL64U)
+    int_ok = jnp.logical_and(
         jnp.logical_or(
             jnp.logical_or(bits == 8, bits == 16),
             jnp.logical_or(bits == 24, bits == 32),
@@ -118,6 +126,10 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
             jnp.logical_or(comp == _NONE, comp == _TWOS), little
         ),
     )
+    float_ok = jnp.logical_or(
+        jnp.logical_and(f32c, bits == 32), jnp.logical_and(f64c, bits == 64)
+    )
+    supported = jnp.logical_or(int_ok, float_ok)
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
         i32(E.ERR_UNSUPPORTED),
@@ -130,9 +142,13 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
 
     denom = jnp.maximum(channels * (bits // 8), 1)
     n_frames = jnp.minimum(comm_frames, data_size // denom)
+    # fmt_code: 0 BE PCM, 1 sowt LE PCM, 2 fl32, 3 fl64
+    fmt_code = jnp.where(
+        f64c, i32(3), jnp.where(f32c, i32(2), little.astype(i32))
+    )
     return dict(
         err=err,
-        fmt_code=little.astype(i32),  # 1 = sowt little-endian PCM
+        fmt_code=fmt_code,
         channels=channels,
         sample_rate=sample_rate,
         bits=bits,
@@ -151,10 +167,12 @@ def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
 
 def unpack_args(meta_host: dict) -> dict:
     """Static unpack config: AIFF is big-endian signed PCM at all depths;
-    AIFC 'sowt' flips to little-endian (fmt_code 1)."""
+    AIFC 'sowt' flips to little-endian (fmt_code 1) and fl32/fl64
+    (fmt_code 2/3) are big-endian IEEE float."""
+    code = int(meta_host["fmt_code"])
     return dict(
         bits=int(meta_host["bits"]),
-        big_endian=int(meta_host["fmt_code"]) == 0,
+        big_endian=code != 1,
         unsigned8=False,  # AIFF 8-bit is signed (unlike WAV)
-        is_float=False,
+        is_float=code in (2, 3),
     )

@@ -123,7 +123,10 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
                     jnp.logical_or(bits == 24, bits == 32),
                 ),
             ),
-            jnp.logical_and(fmt_code == FORMAT_IEEE_FLOAT, bits == 32),
+            jnp.logical_and(
+                fmt_code == FORMAT_IEEE_FLOAT,
+                jnp.logical_or(bits == 32, bits == 64),
+            ),
         ),
         jnp.logical_and(
             jnp.logical_or(fmt_code == FORMAT_ALAW, fmt_code == FORMAT_MULAW),

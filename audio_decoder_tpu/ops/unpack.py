@@ -105,13 +105,46 @@ def unpack_pcm(
         lut = jnp.asarray(_ALAW_F32 if companded == "alaw" else _ULAW_F32)
         val = lut[byte(0).astype(jnp.int32)]
     elif is_float:
-        if bits != 32:
-            raise ValueError("float PCM must be 32-bit")
-        o = (3, 2, 1, 0) if not big_endian else (0, 1, 2, 3)
-        word = (
-            (byte(o[0]) << 24) | (byte(o[1]) << 16) | (byte(o[2]) << 8) | byte(o[3])
-        )
-        val = jax.lax.bitcast_convert_type(word, jnp.float32)
+        if bits == 32:
+            o = (3, 2, 1, 0) if not big_endian else (0, 1, 2, 3)
+            word = (
+                (byte(o[0]) << 24) | (byte(o[1]) << 16)
+                | (byte(o[2]) << 8) | byte(o[3])
+            )
+            val = jax.lax.bitcast_convert_type(word, jnp.float32)
+        elif bits == 64:
+            # IEEE float64 → float32 without enabling jax x64: demote via
+            # integer ops with round-half-to-even (matches np.float32(f64)
+            # for normal values; f64 values below f32-denormal flush to 0)
+            o = tuple(range(8)) if big_endian else tuple(range(7, -1, -1))
+            hi = (
+                (byte(o[0]) << 24) | (byte(o[1]) << 16)
+                | (byte(o[2]) << 8) | byte(o[3])
+            )
+            lo = (
+                (byte(o[4]) << 24) | (byte(o[5]) << 16)
+                | (byte(o[6]) << 8) | byte(o[7])
+            )
+            sign = hi >> 31
+            e = ((hi >> 20) & 0x7FF).astype(jnp.int32)
+            keep = ((hi & 0xFFFFF) << 3) | (lo >> 29)  # top 23 mantissa bits
+            rem = lo & 0x1FFFFFFF
+            half = jnp.uint32(1 << 28)
+            round_up = (rem > half) | ((rem == half) & ((keep & 1) == 1))
+            e32 = e - 1023 + 127
+            # assemble exp|mant then add the rounding carry — mantissa
+            # overflow correctly bumps the exponent in IEEE layout
+            mag = (
+                (jnp.clip(e32, 0, 255).astype(jnp.uint32) << 23) | keep
+            ) + round_up.astype(jnp.uint32)
+            mag = jnp.where(e32 <= 0, 0, mag)              # under-range → 0
+            mag = jnp.where(e32 >= 255, jnp.uint32(255) << 23, mag)  # → inf
+            mag = jnp.where(e == 0x7FF, (jnp.uint32(255) << 23) | keep, mag)
+            val = jax.lax.bitcast_convert_type(
+                (sign << 31) | mag, jnp.float32
+            )
+        else:
+            raise ValueError("float PCM must be 32- or 64-bit")
     else:
         if bits == 8:
             raw = byte(0)

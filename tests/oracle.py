@@ -29,11 +29,14 @@ def _need(blob: bytes, start: int, n: int) -> bytes:
 
 
 def _unpack_samples(data: bytes, bits: int, channels: int, *, big_endian: bool,
-                    unsigned8: bool, float32: bool) -> np.ndarray:
+                    unsigned8: bool, float32: bool,
+                    float64: bool = False) -> np.ndarray:
     bps = bits // 8
     n_frames = len(data) // (bps * channels)
     data = data[: n_frames * bps * channels]
-    if float32:
+    if float64:
+        flat = np.frombuffer(data, ">f8" if big_endian else "<f8").astype(np.float32)
+    elif float32:
         flat = np.frombuffer(data, ">f4" if big_endian else "<f4").astype(np.float32)
     elif bits == 8:
         raw = np.frombuffer(data, np.uint8).astype(np.int32)
@@ -82,17 +85,20 @@ def parse_wav(blob: bytes) -> dict:
         (cb,) = struct.unpack("<H", fmt_full[16:18])
         if cb >= 22:
             (fmt_code,) = struct.unpack("<H", fmt_full[24:26])
+    float32 = float64 = False
     if fmt_code == 1 and bits in (8, 16, 24, 32):
-        float32 = False
+        pass
     elif fmt_code == 3 and bits == 32:
         float32 = True
+    elif fmt_code == 3 and bits == 64:
+        float64 = True
     else:
         raise OracleError("UnsupportedFormat", f"fmt {fmt_code} bits {bits}")
     if channels <= 0:
         raise OracleError("InvalidData", "no channels")
     pcm = _unpack_samples(
         data, bits, channels, big_endian=False, unsigned8=bits == 8,
-        float32=float32,
+        float32=float32, float64=float64,
     )
     return dict(sample_rate=rate, channels=channels, bits=bits, pcm=pcm)
 

@@ -27,10 +27,13 @@ def _pack_ieee_extended(rate: float) -> bytes:
 
 
 def pcm_to_bytes(pcm: np.ndarray, bits: int, *, big_endian: bool,
-                 unsigned8: bool = False, float32: bool = False) -> bytes:
-    """Interleave a [frames, channels] int array (or f32 for float32) into
-    raw sample bytes."""
+                 unsigned8: bool = False, float32: bool = False,
+                 float64: bool = False) -> bytes:
+    """Interleave a [frames, channels] int array (or float array for
+    float32/float64) into raw sample bytes."""
     flat = pcm.reshape(-1)
+    if float64:
+        return flat.astype(">f8" if big_endian else "<f8").tobytes()
     if float32:
         return flat.astype(">f4" if big_endian else "<f4").tobytes()
     if bits == 8:
@@ -58,6 +61,7 @@ def make_wav(
     bits: int = 16,
     *,
     float32: bool = False,
+    float64: bool = False,
     extensible: bool = False,
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
     data_override: bytes | None = None,
@@ -73,11 +77,11 @@ def make_wav(
         data_override
         if data_override is not None
         else pcm_to_bytes(pcm, bits, big_endian=False, unsigned8=bits == 8,
-                          float32=float32)
+                          float32=float32, float64=float64)
     )
     block_align = channels * (bits // 8)
     byte_rate = sample_rate * block_align
-    fmt_code = fmt_code_override or (3 if float32 else 1)
+    fmt_code = fmt_code_override or (3 if (float32 or float64) else 1)
 
     if extensible:
         guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
@@ -122,7 +126,11 @@ def make_aiff(
     little-endian."""
     frames, channels = pcm.shape
     little = compression == b"sowt"
-    data = pcm_to_bytes(pcm, bits, big_endian=not little)
+    data = pcm_to_bytes(
+        pcm, bits, big_endian=not little,
+        float32=compression in (b"fl32", b"FL32"),
+        float64=compression in (b"fl64", b"FL64"),
+    )
     comm = (
         struct.pack(">hIh", channels, frames, bits)
         + _pack_ieee_extended(float(sample_rate))

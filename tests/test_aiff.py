@@ -63,6 +63,27 @@ def test_aiff_ssnd_offset(rng):
     np.testing.assert_array_equal(got.pcm, pcm.astype(np.float32) / 32768.0)
 
 
+def test_aifc_float_compression(rng):
+    """AIFC fl32/FL32/fl64/FL64: big-endian IEEE float sample data; fl64
+    demotes to f32 exactly like np.float32(f64)."""
+    pcm = (rng.standard_normal((513, 2)) * 0.7).astype(np.float64)
+    pcm[0, 0] = 1.0 / 3.0
+    for comp, bits in ((b"fl32", 32), (b"FL32", 32), (b"fl64", 64), (b"FL64", 64)):
+        blob = synth.make_aiff(
+            pcm.astype(np.float32) if bits == 32 else pcm,
+            48000, bits, compression=comp,
+        )
+        got = _decode_one(blob)
+        assert got.err == E.ERR_OK, comp
+        assert got.bits_per_sample == bits
+        np.testing.assert_array_equal(
+            np.asarray(got.pcm), pcm.astype(np.float32)
+        )
+    # declared float with a mismatched sample size is unsupported
+    bad = synth.make_aiff(pcm.astype(np.float32), 48000, 16, compression=b"fl32")
+    assert _decode_one(bad).err == E.ERR_UNSUPPORTED
+
+
 def test_aiff_wrong_comm_size_invalid(rng):
     """Comm size must be 18 (≙ aiff.rs:122-126 → InvalidData)."""
     pcm = rng.integers(-10, 10, size=(8, 1)).astype(np.int64)

@@ -64,6 +64,23 @@ def test_wav_float32(rng):
     np.testing.assert_array_equal(got.pcm, pcm)
 
 
+def test_wav_float64(rng):
+    """IEEE float64 WAV (fmt 3, 64-bit) demotes to f32 with round-to-
+    nearest-even — exactly np.float32(f64) for normal audio values."""
+    pcm64 = rng.standard_normal((513, 2)).astype(np.float64) * 0.7
+    # include values that exercise mantissa rounding and signed zeros
+    pcm64[0, 0] = 0.0
+    pcm64[1, 0] = -0.0
+    pcm64[2, 0] = 1.0 / 3.0
+    blob = synth.make_wav(pcm64, 44100, 64, float64=True)
+    got = _decode_one(blob)
+    ref = oracle.parse_wav(blob)
+    assert got.err == E.ERR_OK
+    assert got.bits_per_sample == 64
+    np.testing.assert_array_equal(got.pcm, ref["pcm"])
+    np.testing.assert_array_equal(got.pcm, pcm64.astype(np.float32))
+
+
 def test_wav_extensible_header(rng):
     pcm = _random_i16(rng, 333, 2)
     blob = synth.make_wav(pcm, 44100, 16, extensible=True)
