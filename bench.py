@@ -20,6 +20,9 @@ import struct
 import sys
 import time
 
+# Runnable from any CWD: the package lives next to this file.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 # The working interpreter lives in /opt/venv; re-exec if invoked with a
 # bare system python that lacks the scientific stack.
 try:
