@@ -693,15 +693,14 @@ def mp3_decode_fused(
                 main_u8, *[a[sl] for a in pa], n_big=nb, n_c1=nc
             ))
         # un-permute by SCATTER: int16 row gathers are pathologically slow
-        # on this TPU path (~13x the scatter cost at [24k, 576]); pairs of
-        # int16 lines scatter as one int32 row to halve the element count
+        # on this TPU path (~13x the scatter cost at [24k, 576]).  Plain
+        # int16 rows, NOT int32-packed pairs: packing halves scatter
+        # elements (41→29 ms) but the bitcast forces a tiled-layout
+        # round-trip on the [N, 576] result that costs ~15 ms (profiled
+        # reshape.409 + copy.751) — a net loss.
         lines_p = jnp.concatenate([x for x, _ in parts], axis=0)
         fail_p = jnp.concatenate([x for _, x in parts], axis=0)
-        packed = jax.lax.bitcast_convert_type(
-            lines_p.reshape(N, 288, 2), jnp.int32
-        )
-        unperm = jnp.zeros_like(packed).at[p].set(packed)
-        lines = jax.lax.bitcast_convert_type(unperm, jnp.int16).reshape(N, 576)
+        lines = jnp.zeros_like(lines_p).at[p].set(lines_p)
         fail = jnp.zeros_like(fail_p).at[p].set(fail_p)
     # Host parity: an entropy failure silences the whole frame (2 granules
     # for MPEG-1, 1 for LSF); failed-but-invalid lanes are already zero.
