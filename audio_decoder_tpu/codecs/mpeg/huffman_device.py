@@ -355,9 +355,9 @@ def decode_spectra(
     # 8 pairs per step: the last pair starts <= 7*47 = 329 bits in and its
     # trailing 32-bit window read begins <= 329 + 19 = 348 bits in — with
     # the half-stride row base (rem < 128) that's word 15 of 16, so TWO
-    # 8-word row gathers cover the worst case.  Wider steps halve the
-    # scan trip count AND fetch fewer total words than 4-pair steps (the
-    # fixed per-step window overhead amortizes).
+    # 8-word row gathers cover the worst case.  (16-pair steps measured
+    # WORSE: same window words but the 32-column select tree's extra VPU
+    # depth exceeds the halved step overhead.)
     PAIRS = 8
     n_bigS = (n_big + PAIRS - 1) // PAIRS
 
@@ -388,20 +388,21 @@ def decode_spectra(
     else:
         big_out = big_out[:, :288]
 
-    # ---- count1 region: 16 quads = 8 double-LUT lookups per step from
+    # ---- count1 region: 32 quads = 16 double-LUT lookups per step from
     # TWO 8-word row gathers ----
     # A quad is <= 6 code bits + 4 signs = 10 bits, so TWO quads (values
     # and signs) fit in 20 LUT-index bits: one gather decodes both.  The
-    # last lookup starts <= 7*20 = 140 bits in; with rem < 128 its lo
-    # word is at most index 9 of 16, well inside two rows.
+    # last lookup starts <= 15*20 = 300 bits in; with rem < 128 its lo
+    # word is index (127+300+31)>>5 = 14 of 16 — still two rows, so the
+    # wider step halves the trip count at the same window cost.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
     c1dlut = jnp.asarray(_C1DLUT)
-    QUADS = 16
+    QUADS = 32
     n_c1S = (n_c1 + QUADS - 1) // QUADS
 
     def c1_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(rows8, file_idx, pos, 140)
+        a = _aligned_windows(rows8, file_idx, pos, 300)
         off = jnp.zeros((N,), i32)
         vals16 = []
         for sub in range(QUADS // 2):
