@@ -427,6 +427,13 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                 )
             elif cmd.tempo is not None:
                 st = _bind_tempo_voice(st, reg, t, cmd.tempo)
+        # a voice sequencer with no tempo lane would never fire (the
+        # renderer gates triggers on v_tempo >= 0); -2 = awaiting group
+        # inheritance is allowed, bare -1 is a user error
+        if cmd.group < 0 and int(st.v_tempo[v]) == -1:
+            raise CmdErr(
+                "seq on a voice requires a tempo (load -t ... or seq -t ...)"
+            )
         return st
     if cmd.verb == "quit":
         return st

@@ -10,7 +10,10 @@ block renders as one vectorized program:
   test over the [V, F] grid, with counter-derived uniform randoms for the
   per-step chance roll (processes.rs:77-89's rng), so retriggers need no
   per-sample loop.  This also fixes the reference's float-equality step
-  matching (SURVEY §5 defect 8);
+  matching (SURVEY §5 defect 8).  The i32 clock/t_start arithmetic is
+  two's-complement modular, so clock wraparound is harmless as long as a
+  single tempo lane runs < 2^31 samples (~13.5 h at 44.1 kHz) since its
+  last (re)start — restart/resume re-bases it;
 * voice positions are piecewise-linear between triggers: with the last
   trigger frame per position obtained from a running maximum, every
   frame's fractional cursor is closed-form — no carried state inside the
@@ -79,6 +82,10 @@ def render_block(
     h = h ^ (h >> 16)
     u_j = h.astype(f32) * (1.0 / 4294967296.0)
     delay = jnp.floor(u_j * jit_k * interval[:, None].astype(f32)).astype(i32)
+    # uint32→f32 rounds the top ~128 hash values to exactly 1.0, which
+    # would make delay == interval and silently kill that step forever;
+    # clamp so a full-jitter step still fires on the last frame
+    delay = jnp.minimum(delay, interval[:, None] - 1)
     boundary = (rel >= 0) & (rel % interval[:, None] == delay)
     # Chance rolls are keyed by TEMPO LANE, not voice: voices driven by one
     # group sequencer share a roll (the reference's group-level Seq rolls
@@ -127,9 +134,14 @@ def render_block(
     s1 = flat[off + nxt]
     smp = s0 + (s1 - s0) * frac[..., None]  # [V, F, C]
 
-    # mono fan-out: 1-channel tracks drive every output channel
+    # channel routing: output channel c reads track channel min(c, C-1) —
+    # out <= C slices, out > C repeats the last channel, and 1-channel
+    # tracks fan out to every output (engine.rs:419-427), so the block
+    # always honors the [frames, out_channels] contract
+    C_t = st.tracks.shape[2]
+    smp = smp[:, :, jnp.minimum(jnp.arange(out_channels), C_t - 1)]
     mono = (st.track_ch[st.v_track] == 1)[:, None, None]
-    smp = jnp.where(mono, smp[:, :, :1], smp[:, :, :out_channels])
+    smp = jnp.where(mono, smp[:, :, :1], smp)
 
     w = jnp.where(audible, st.v_gain[:, None], 0.0)  # [V, F]
     block = jnp.einsum("vf,vfc->fc", w, smp)

@@ -14,6 +14,7 @@
 // Build: make -C audio_decoder_tpu/native  (produces libblastrt.so)
 
 #include <dlfcn.h>
+#include <errno.h>
 #include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
@@ -175,6 +176,7 @@ extern "C" int sink_write(void* h, const int16_t* frames, int n_frames) {
     return n_frames;
   }
   long written = 0;
+  int zero_writes = 0;
   const int16_t* p = frames;
   while (written < n_frames) {
     long rc = s->writei(s->pcm, p, (unsigned long)(n_frames - written));
@@ -183,6 +185,15 @@ extern "C" int sink_write(void* h, const int16_t* frames, int n_frames) {
       if (rc < 0) return (int)rc;
       continue;
     }
+    if (rc == 0) {
+      // ALSA can report 0 frames accepted (e.g. draining/odd states);
+      // back off briefly and bail after ~1 s instead of spinning the
+      // render thread forever
+      if (++zero_writes > 1000) return -EIO;
+      usleep(1000);
+      continue;
+    }
+    zero_writes = 0;
     written += rc;
     p += rc * s->channels;
   }

@@ -7,6 +7,15 @@ to the sink — drain → render → commit, the same cycle as the reference's
 queue-pop → coordinate → mmap_commit (runtime.rs:320-380).  SIGTERM sets
 an atomic flag the loop polls (runtime.rs:398-416); terminal state is
 restored on every exit path.
+
+Command transport: the native SPSC ring carries the raw line (parity with
+the reference's CmdQueue, commands.rs:11-69 — the cross-thread signal),
+while the parsed Command object rides a deque the ring tokens are paired
+with 1:1 — Python can't move the typed Command through a C byte ring
+without serialization, and the deque alone couldn't exercise the native
+ring the ALSA build ships with.  submit() checks fullness BEFORE parse
+(parse mutates the registry), which keeps the pairing invariant trivially
+true: every successful push has exactly one pending Command.
 """
 
 from __future__ import annotations
@@ -46,10 +55,18 @@ class EngineLoop:
 
     def submit(self, line: str) -> bool:
         """Parse + enqueue (parse errors surface immediately on the caller's
-        thread, like the reference's REPL-side validation)."""
+        thread, like the reference's REPL-side validation).
+
+        The fullness check runs BEFORE parse: parse has registry side
+        effects (alloc/free of names), so rejecting a command after
+        parsing would leave the host registry diverged from the engine
+        state the command never reached."""
         line = line.strip()
         if not line:
             return True
+        if len(self._pending) >= 250:  # ring holds 255; keep margin
+            self.errors.append("command queue full; rejected")
+            return False
         try:
             cmd = self.proc.parse(line)
         except EC.CmdErr as e:
@@ -59,28 +76,37 @@ class EngineLoop:
             self.term.set()
             return True
         self._pending.append(cmd)
-        if not self.ring.try_push(line):
+        if not self.ring.try_push(line):  # unreachable given the margin
             self.errors.append("command queue full; dropped")
             self._pending.pop()
             return False
         return True
 
-    def run_blocks(self, n_blocks: int) -> np.ndarray:
-        """Render n blocks (drain → apply → render → sink per block)."""
-        out = []
+    def run_blocks(self, n_blocks: int, collect: bool = False) -> np.ndarray:
+        """Render n blocks (drain → apply → render → sink per block).
+
+        collect=True buffers and returns the rendered audio (offline
+        render/tests); the real-time path skips the copies."""
+        out: list = []
         for _ in range(n_blocks):
             if self.term.is_set():
                 break
             while self.ring.try_pop() is not None:
                 if self._pending:
                     cmd = self._pending.popleft()
-                    self.state = EC.apply(self.state, self.reg, cmd)
+                    try:
+                        self.state = EC.apply(self.state, self.reg, cmd)
+                    except EC.CmdErr as e:
+                        self.errors.append(str(e))
+                    except Exception as e:  # never kill the audio thread
+                        self.errors.append(f"{cmd.verb}: {e!r}")
             block, self.state = render_block(
                 self.state, frames=PERIOD, out_channels=self.channels
             )
             block_np = np.asarray(block)
             self.sink.write(block_np)
-            out.append(block_np)
+            if collect:
+                out.append(block_np)
         self._snapshot_status()
         return (
             np.concatenate(out) if out else np.zeros((0, self.channels), np.float32)
@@ -94,7 +120,7 @@ class EngineLoop:
             voices=int(used.sum()),
             playing=int(active.sum()),
             groups=int(np.asarray(st.g_used).sum()),
-            clock_s=float(int(st.clock)) / max(self.rate, 1),
+            clock_s=float(int(st.clock) % (1 << 31)) / max(self.rate, 1),
         )
 
     def install_sigterm(self):
@@ -271,6 +297,8 @@ def repl(loop: EngineLoop, infile=None, outfile=None):
                 stop_prompt.set()
                 painter.join(timeout=1)
         else:
+            import time
+
             for line in infile:
                 line = line.strip()
                 if not line:
@@ -280,6 +308,14 @@ def repl(loop: EngineLoop, infile=None, outfile=None):
                     print(f"error: {loop.errors[-1]}", file=outfile)
                 if loop.term.is_set():
                     break
+            # piped scripts end at EOF in microseconds — drain the queued
+            # commands, then let anything still sounding play out before
+            # tearing the render thread down (a script without `quit`
+            # otherwise renders at most one block batch)
+            while not loop.term.is_set() and loop._pending:
+                time.sleep(0.02)
+            while not loop.term.is_set() and loop.status.get("playing", 0) > 0:
+                time.sleep(0.05)
     except KeyboardInterrupt:
         pass
     finally:

@@ -48,11 +48,11 @@ def test_engine_loop_commands_flow_through_ring():
     loop, sink = _loop_with_tone()
     assert loop.submit("load tone")
     assert loop.submit("start -v tone")
-    audio = loop.run_blocks(8)
+    audio = loop.run_blocks(8, collect=True)
     assert audio.shape == (8 * PERIOD, 1)
     assert np.abs(audio).max() > 0.3
     assert loop.submit("stop -v tone")
-    audio2 = loop.run_blocks(2)
+    audio2 = loop.run_blocks(2, collect=True)
     assert np.all(audio2 == 0)
     assert len(sink.capture) == 10
 
@@ -91,7 +91,7 @@ def test_cli_decode_and_repl_offline():
     loop.sink.capture = []
     assert loop.submit("load kick")
     assert loop.submit("start -v kick")
-    audio = loop.run_blocks(4)
+    audio = loop.run_blocks(4, collect=True)
     ref = pcm[: 4 * PERIOD].astype(np.float32) / 32768.0
     np.testing.assert_allclose(audio, ref, atol=2e-4)
 
@@ -139,15 +139,73 @@ def test_engine_checkpoint_resume_sample_exact():
     path = tempfile.mktemp(prefix="ckpt_")
     save_state(path, loop.state, loop.reg)
 
-    ref = loop.run_blocks(4)  # the future from the original session
+    ref = loop.run_blocks(4, collect=True)  # the future from the original session
 
     st2, reg2 = load_state(path)
     sink2 = Sink("default", 44100, 1, capture=True, realtime=False)
     loop2 = EngineLoop(st2, reg2, 44100, 1, sink=sink2)
-    got = loop2.run_blocks(4)
+    got = loop2.run_blocks(4, collect=True)
     np.testing.assert_array_equal(got, ref)
     # the registry round-trips: names still resolve
     assert loop2.submit("pause -v tone")
+
+
+def test_apply_errors_never_kill_the_render_loop():
+    """An apply-time CmdErr surfaces in loop.errors and rendering
+    continues (a dead audio thread with a live REPL was the old
+    failure mode)."""
+    loop, _ = _loop_with_tone()
+    loop.submit("load tone")
+    # voice seq without any tempo → apply raises CmdErr on the render side
+    assert loop.submit("seq tone -p 4 -s 0")
+    audio = loop.run_blocks(3, collect=True)
+    assert audio.shape == (3 * PERIOD, 1)  # still rendering
+    assert any("requires a tempo" in e for e in loop.errors)
+    # loop still functional
+    assert loop.submit("start -v tone")
+    audio = loop.run_blocks(2, collect=True)
+    assert np.abs(audio).max() > 0.3
+
+
+def test_queue_full_rejects_before_registry_mutation():
+    """A full queue rejects the command BEFORE parse's registry side
+    effects, so names never diverge from engine state."""
+    loop, _ = _loop_with_tone()
+    loop.submit("load tone")
+    # fill the pending queue artificially
+    for _ in range(250):
+        loop._pending.append(None)
+    assert not loop.submit("unload tone")
+    assert "full" in loop.errors[-1]
+    loop._pending.clear()
+    # 'tone' must still be loaded/resolvable — the reject left it intact
+    assert loop.submit("start -v tone")
+
+
+def test_render_block_channel_contract():
+    """render_block honors [frames, out_channels] even when out_channels
+    exceeds the stored track channel count (last channel repeats)."""
+    from audio_decoder_tpu.engine.render import render_block
+
+    tone = (0.4 * np.sin(2 * np.pi * 220 * np.arange(4410) / 44100)).astype(
+        np.float32
+    )[:, None]
+    st = ES.empty_state(tone[None], [4410], [1], out_channels=2)
+    import dataclasses
+
+    st = dataclasses.replace(
+        st,
+        v_used=st.v_used.at[0].set(True),
+        v_active=st.v_active.at[0].set(True),
+        v_gain=st.v_gain.at[0].set(1.0),
+        v_vel=st.v_vel.at[0].set(1.0),
+    )
+    blk, _ = render_block(st, frames=64, out_channels=2)
+    assert blk.shape == (64, 2)
+    # mono fan-out: both channels identical and nonzero
+    b = np.asarray(blk)
+    assert np.abs(b).max() > 0.01
+    np.testing.assert_array_equal(b[:, 0], b[:, 1])
 
 
 def test_stream_decode_prefetch():
