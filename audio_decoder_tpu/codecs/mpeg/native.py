@@ -46,7 +46,16 @@ def _build() -> bool:
     src = os.path.join(_DIR, "mp3fe.cc")
     if not os.path.exists(src):
         return False
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+    # stale if older than ANY build input (the generated LUT header and
+    # the Makefile change without mp3fe.cc changing)
+    deps = [src] + [
+        p for p in (
+            os.path.join(_DIR, "huffman_lut.h"),
+            os.path.join(_DIR, "Makefile"),
+        ) if os.path.exists(p)
+    ]
+    newest = max(os.path.getmtime(p) for p in deps)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
         return True
     try:
         subprocess.run(

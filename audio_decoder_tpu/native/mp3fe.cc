@@ -20,6 +20,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdio>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -124,10 +125,9 @@ static int rate_idx(int sr) {
 // Short-block reorder permutations out = in[perm], keyed [rate][mixed].
 static int16_t g_reorder[9][2][576];
 static float g_is_ratio_a[8], g_is_ratio_b[8];  // intensity L/R factors
-static bool g_init_done = false;
+static std::once_flag g_init_flag;  // first ctypes calls can race (no GIL)
 
-static void init_tables() {
-  if (g_init_done) return;
+static void init_tables_impl() {
   for (int r = 0; r < 9; r++) {
     for (int mixed = 0; mixed < 2; mixed++) {
       int16_t* p = g_reorder[r][mixed];
@@ -146,8 +146,9 @@ static void init_tables() {
     g_is_ratio_a[ip] = (float)(ratio / (1.0 + ratio));
     g_is_ratio_b[ip] = (float)(1.0 / (1.0 + ratio));
   }
-  g_init_done = true;
 }
+
+static void init_tables() { std::call_once(g_init_flag, init_tables_impl); }
 
 // ---------------------------------------------------------------------------
 // Bit reader (MSB-first).  Reads past the end return zero bits; callers
@@ -176,7 +177,8 @@ struct BitReader {
       w = (w << 8) | (byte + i < nbytes ? d[byte + i] : 0);
     return w;
   }
-  inline uint32_t peek(int k) const {  // k <= 24
+  inline uint32_t peek(int k) const {  // 0 <= k <= 24
+    if (k == 0) return 0;  // k=0 would shift a u64 by 64 (UB)
     uint64_t w = window(pos >> 3);
     return (uint32_t)(w >> (64 - k - (pos & 7))) & ((1u << k) - 1);
   }
@@ -396,6 +398,28 @@ struct Scalefacs {
   int32_t s[13][3];
 };
 
+// Shared LSF expansion: read four slen-bit groups per the nr table row
+// and fan them out into long/short/mixed scalefactor slots.
+static void lsf_expand_scalefacs(BitReader* b, const int8_t* nr /*[4]*/,
+                                 const int slen[4], int kind, Scalefacs* sf) {
+  int seq[40];
+  int n = 0;
+  for (int k = 0; k < 4; k++)
+    for (int j = 0; j < nr[k]; j++)
+      seq[n++] = slen[k] ? (int)b->get(slen[k]) : 0;
+  int i = 0;
+  if (kind == 0) {
+    for (int sfb = 0; sfb < 21; sfb++) sf->l[sfb] = seq[i++];
+  } else if (kind == 1) {
+    for (int sfb = 0; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+  } else {
+    for (int sfb = 0; sfb < 6; sfb++) sf->l[sfb] = seq[i++];
+    for (int sfb = 3; sfb < 12; sfb++)
+      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
+  }
+}
+
 // LSF scalefactors (ISO 13818-3 2.4.3.2): four groups of nr_of_sfb values
 // at slen bits each; sets g->preflag from the category.  The intensity-
 // coded channel (i_stereo) uses the is_pos layout keyed by sc >> 1.
@@ -430,22 +454,7 @@ static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf,
       cat = 2;
     }
     g->preflag = 0;
-    int seq[40];
-    int n = 0;
-    for (int k = 0; k < 4; k++)
-      for (int j = 0; j < kLsfINr[cat][kind][k]; j++)
-        seq[n++] = slen[k] ? (int)b->get(slen[k]) : 0;
-    int i = 0;
-    if (kind == 0) {
-      for (int sfb = 0; sfb < 21; sfb++) sf->l[sfb] = seq[i++];
-    } else if (kind == 1) {
-      for (int sfb = 0; sfb < 12; sfb++)
-        for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
-    } else {
-      for (int sfb = 0; sfb < 6; sfb++) sf->l[sfb] = seq[i++];
-      for (int sfb = 3; sfb < 12; sfb++)
-        for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
-    }
+    lsf_expand_scalefacs(b, kLsfINr[cat][kind], slen, kind, sf);
     return;
   }
   if (sc < 400) {
@@ -472,22 +481,7 @@ static void read_scalefacs_lsf(BitReader* b, Granule* g, Scalefacs* sf,
     cat = 2;
     g->preflag = 1;
   }
-  int seq[40];
-  int n = 0;
-  for (int k = 0; k < 4; k++)
-    for (int j = 0; j < kLsfNr[cat][kind][k]; j++)
-      seq[n++] = slen[k] ? b->get(slen[k]) : 0;
-  int i = 0;
-  if (kind == 0) {
-    for (int sfb = 0; sfb < 21; sfb++) sf->l[sfb] = seq[i++];
-  } else if (kind == 1) {
-    for (int sfb = 0; sfb < 12; sfb++)
-      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
-  } else {
-    for (int sfb = 0; sfb < 6; sfb++) sf->l[sfb] = seq[i++];
-    for (int sfb = 3; sfb < 12; sfb++)
-      for (int w = 0; w < 3; w++) sf->s[sfb][w] = seq[i++];
-  }
+  lsf_expand_scalefacs(b, kLsfNr[cat][kind], slen, kind, sf);
 }
 
 static void read_scalefacs(BitReader* b, const Granule* g, int gr,
@@ -609,7 +603,7 @@ static void compute_exp_bands(const Granule* g, const Scalefacs* sf,
 }
 
 // Per-line stereo mode byte (0 LR, 1 MS, 2+k MPEG-1 intensity is_pos k,
-// 9 + scale*32 + k LSF intensity) — mirror of frontend._stereo_modes;
+// 18 + scale*32 + k LSF intensity) — mirror of frontend._stereo_modes;
 // the device LUT expands to mixing planes.
 static void stereo_modes(const int32_t* is_l, const int32_t* is_r,
                          const Granule* g_r, const Scalefacs* sf_r,
@@ -814,6 +808,11 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
           read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
         else
           read_scalefacs_lsf(&b, gmut, sf, i_st);  // sets preflag
+        // a scalefactor walk past the data window (possible on corrupt
+        // streams whose part2_3_length under-claims the scalefactor
+        // bits) reads zero bits — the Python reference raises there, so
+        // match it by invalidating instead of emitting garbage lanes
+        if (b.overrun()) { ok = false; break; }
         prev[c] = sf;
         if (!huffman_spectrum(&b, g, ridx, part2_start, is_tmp[gr][c])) {
           ok = false;
@@ -937,6 +936,11 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
           read_scalefacs(&b, g, gr, si.scfsi[c], prev[c], sf);
         else
           read_scalefacs_lsf(&b, gmut, sf, i_st);  // sets preflag
+        // a scalefactor walk past the data window (possible on corrupt
+        // streams whose part2_3_length under-claims the scalefactor
+        // bits) reads zero bits — the Python reference raises there, so
+        // match it by invalidating instead of emitting garbage lanes
+        if (b.overrun()) { ok = false; break; }
         prev[c] = sf;
         int64_t gi = gbase + gr;
         int64_t li = gi * ch + c;
@@ -1006,6 +1010,15 @@ void mp3fe_lanes_batch(const uint8_t* const* blobs, const int64_t* lens,
     for (;;) {
       int32_t b = next.fetch_add(1);
       if (b >= nfiles) return;
+      // the output strides assume the caller's channel count; a blob
+      // whose real channel count differs would write out of bounds —
+      // probe first and fail the file instead (InvalidData)
+      mp3fe_probe(blobs[b], lens[b], infos + b);
+      if (infos[b].err == 0 && infos[b].channels != channels) {
+        infos[b].err = 3;
+        continue;
+      }
+      if (infos[b].err != 0) continue;
       mp3fe_lanes(blobs[b], lens[b], g_cap, m_cap, main_out + b * m_cap,
                   start_out + b * L, end_out + b * L, limit_out + b * L,
                   big_out + b * L, r1_out + b * L, r2_out + b * L,
@@ -1039,6 +1052,13 @@ void mp3fe_analyze_batch(const uint8_t* const* blobs, const int64_t* lens,
     for (;;) {
       int32_t b = next.fetch_add(1);
       if (b >= nfiles) return;
+      // see lanes_batch: reject channel-count mismatches before writing
+      mp3fe_probe(blobs[b], lens[b], infos + b);
+      if (infos[b].err == 0 && infos[b].channels != channels) {
+        infos[b].err = 3;
+        continue;
+      }
+      if (infos[b].err != 0) continue;
       int64_t gstride = (int64_t)g_cap;
       mp3fe_analyze(
           blobs[b], lens[b], g_cap,

@@ -83,3 +83,21 @@ def test_native_decode_group_end_to_end():
         n = min(len(ref), f.pcm.shape[0])
         rms = float(np.sqrt(((ref[:n, : f.num_channels] - f.pcm[:n]) ** 2).mean()))
         assert rms < 5e-7, f"{name}: rms {rms}"
+
+
+def test_native_batch_rejects_channel_mismatch():
+    """A blob whose real channel count differs from the batch's stride
+    must fail with InvalidData instead of writing out of bounds (the
+    output buffers are allocated for the caller-declared channels)."""
+    from audio_decoder_tpu.codecs.mpeg import native as NA
+
+    if not NA.available():
+        import pytest
+
+        pytest.skip("native front-end unavailable")
+    stereo = CR.lame_encode(_sig("noise", 6000, 2), 44100, 128, mode=1)
+    r = NA.lanes_batch([stereo], 16, 16384, channels=1)
+    assert int(r["err"][0]) == 3  # InvalidData, nothing written
+    assert not r["valid"].any()
+    r2 = NA.analyze_batch([stereo], 16, channels=1, joint=False)
+    assert int(r2["err"][0]) == 3
