@@ -285,3 +285,59 @@ def test_id3v1_trailer_and_aifc_twos():
     two = _decode_one("b", "aiff", make_aiff(pcm, 44100, compression=b"twos"))
     assert two.err == 0
     np.testing.assert_array_equal(np.asarray(ref.pcm), np.asarray(two.pcm))
+
+
+def test_native_python_frontend_agreement_on_corrupt_streams():
+    """The C++ and Python lane emitters must agree on which granules are
+    decodable even for corrupt input: a lane the native path keeps that
+    Python rejects would decode garbage the reference front-end treats
+    as invalid (the BitReader zero-fill vs IndexError divergence, fixed
+    by the overrun check in mp3fe.cc)."""
+    from audio_decoder_tpu.codecs.mpeg import frontend as FE
+    from audio_decoder_tpu.codecs.mpeg import native as NA
+
+    if not (CR.have_lame() and NA.available()):
+        pytest.skip("lame or native front-end unavailable")
+    rng = np.random.default_rng(23)
+    s = 0.3 * rng.standard_normal(6000)
+    pcm = np.clip(np.stack([s, np.roll(s, 5)], 1) * 30000, -32768, 32767).astype(
+        np.int16
+    )
+    blob = bytearray(CR.lame_encode(pcm, 44100, 128, mode=1))
+    for trial in range(24):
+        mut = bytearray(blob)
+        if trial % 2 == 0:
+            mut = mut[: int(rng.integers(64, len(mut)))]  # truncate
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                i = int(rng.integers(0, len(mut)))
+                mut[i] ^= int(rng.integers(1, 256))
+        data = bytes(mut)
+        try:
+            ln = FE.analyze_lanes(data)
+            py_ok = True
+        except Exception:
+            py_ok = False
+        info = NA.probe(data)
+        if not py_ok:
+            # Python rejects the whole file; native may still frame it,
+            # but must not claim MORE decodable granules than a framing
+            # pass supports — just require it not to crash and that any
+            # per-lane validity is self-consistent (checked below when
+            # both succeed).
+            continue
+        if info["err"] != 0:
+            continue  # native rejects outright: strictly safer
+        g_cap = 1
+        while g_cap < max(ln.n_granules, 1):
+            g_cap *= 2
+        m_cap = 1024
+        while m_cap < max(len(ln.main_data), 1):
+            m_cap *= 2
+        r = NA.lanes_batch([data], g_cap, m_cap, ln.channels)
+        nat_valid = r["valid"][0, : ln.n_granules].reshape(-1)
+        py_valid = np.asarray(ln.valid).reshape(-1)
+        np.testing.assert_array_equal(
+            nat_valid.astype(bool), py_valid.astype(bool),
+            err_msg=f"valid-mask divergence on trial {trial}",
+        )
