@@ -88,15 +88,18 @@ def cmd_decode(args) -> int:
     t0 = time.perf_counter()
     batch, names = decode_dir(args.assets)
     rate, ch = consensus_for(batch)
-    # per-file decode latency (BASELINE.json tracked metric): time from
-    # decode start until each file's PCM is host-available — batched
-    # decode completes per compiled group, so files in one group share a
-    # completion time
+    # per-file decode latency (BASELINE.json tracked metric): decode
+    # completion (the err fetch forces the batched decode programs) plus
+    # each file's OWN host fetch, timed individually — so the metric is
+    # independent of fetch order and file count, not a cumulative sum
+    np.asarray(batch.err)
+    t_compute = time.perf_counter() - t0
     lat = {}
     for name in sorted(names):
         f = batch.file(names[name])
-        np.asarray(f.pcm)  # force this file's decode + fetch
-        lat[name] = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        np.asarray(f.pcm)  # this file's host transfer only
+        lat[name] = t_compute + (time.perf_counter() - t1)
         status = "ok" if f.err == 0 else f"err={f.err}"
         print(f"{name}: {status} {f.format} {f.sample_rate} Hz "
               f"{f.num_channels} ch {f.pcm.shape[0]} frames")

@@ -114,8 +114,10 @@ def unpack_pcm(
             val = jax.lax.bitcast_convert_type(word, jnp.float32)
         elif bits == 64:
             # IEEE float64 → float32 without enabling jax x64: demote via
-            # integer ops with round-half-to-even (matches np.float32(f64)
-            # for normal values; f64 values below f32-denormal flush to 0)
+            # integer ops with round-half-to-even, including gradual
+            # underflow into the f32-subnormal range (matches
+            # np.float32(f64) for every finite value; NaNs stay NaN with
+            # the quiet bit forced)
             o = tuple(range(8)) if big_endian else tuple(range(7, -1, -1))
             hi = (
                 (byte(o[0]) << 24) | (byte(o[1]) << 16)
@@ -137,9 +139,35 @@ def unpack_pcm(
             mag = (
                 (jnp.clip(e32, 0, 255).astype(jnp.uint32) << 23) | keep
             ) + round_up.astype(jnp.uint32)
-            mag = jnp.where(e32 <= 0, 0, mag)              # under-range → 0
+            # gradual underflow (e32 <= 0): shift the 24-bit significand
+            # (implicit 1 | keep) right by 1-e32 with round-half-to-even;
+            # rem plus the bits below the round bit form the sticky.  A
+            # clamp at 31 is safe: past 25 the round bit is already 0 so
+            # the result rounds to 0 (f64 subnormals, e == 0, land here
+            # too — their spurious implicit 1 is shifted out entirely).
+            sig24 = (jnp.uint32(1) << 23) | keep
+            shift = jnp.clip(1 - e32, 1, 31).astype(jnp.uint32)
+            kept_sub = sig24 >> shift
+            low = sig24 & ((jnp.uint32(1) << shift) - 1)
+            rbit = (low >> (shift - 1)) & 1
+            sticky = (
+                (low & ((jnp.uint32(1) << (shift - 1)) - 1)) != 0
+            ) | (rem != 0)
+            sub_round = rbit & (
+                sticky | ((kept_sub & 1) == 1)
+            ).astype(jnp.uint32)
+            # rounding up to 1<<23 is FLT_MIN — correct in IEEE layout
+            mag = jnp.where(e32 <= 0, kept_sub + sub_round, mag)
             mag = jnp.where(e32 >= 255, jnp.uint32(255) << 23, mag)  # → inf
-            mag = jnp.where(e == 0x7FF, (jnp.uint32(255) << 23) | keep, mag)
+            # e == 0x7FF: inf stays inf; NaN forces the quiet bit so a
+            # payload living only in the low 29 mantissa bits (keep == 0)
+            # cannot demote to inf
+            is_nan = (e == 0x7FF) & ((((hi & 0xFFFFF) | lo)) != 0)
+            mag = jnp.where(e == 0x7FF, jnp.uint32(255) << 23, mag)
+            mag = jnp.where(
+                is_nan, (jnp.uint32(255) << 23) | (jnp.uint32(1) << 22) | keep,
+                mag,
+            )
             val = jax.lax.bitcast_convert_type(
                 (sign << 31) | mag, jnp.float32
             )

@@ -52,6 +52,9 @@ class EngineLoop:
         #: plain-Python snapshot for the prompt status line, refreshed by
         #: the render thread (never read device arrays from the UI thread)
         self.status: dict = {}
+        #: bumps on every status refresh, so waiters can tell a stale
+        #: snapshot (taken before their commands applied) from a fresh one
+        self.status_seq = 0
 
     def submit(self, line: str) -> bool:
         """Parse + enqueue (parse errors surface immediately on the caller's
@@ -116,12 +119,18 @@ class EngineLoop:
         st = self.state
         used = np.asarray(st.v_used)
         active = np.asarray(st.v_active) & used
+        # `draining` counts only non-sequenced voices: a running sequencer
+        # retriggers its voice forever (render.py keeps s_on voices
+        # active), so a play-out wait keyed on `playing` would never end.
+        seq = np.asarray(st.s_on)
         self.status = dict(
             voices=int(used.sum()),
             playing=int(active.sum()),
+            draining=int((active & ~seq).sum()),
             groups=int(np.asarray(st.g_used).sum()),
             clock_s=float(int(st.clock) % (1 << 31)) / max(self.rate, 1),
         )
+        self.status_seq += 1
 
     def install_sigterm(self):
         """SIGTERM → atomic flag → clean loop exit (≙ runtime.rs:398-416).
@@ -264,7 +273,14 @@ def _render_prompt(prompt_state, stop: threading.Event, loop=None):
     sys.stdout.flush()
 
 
-def repl(loop: EngineLoop, infile=None, outfile=None):
+#: piped-script play-out bound: even non-sequenced voices could loop (a
+#: reverse voice at velocity 0 never reaches its end), so the EOF drain is
+#: wall-clock bounded; SIGTERM remains the hard escape hatch.
+DRAIN_TIMEOUT_S = 30.0
+
+
+def repl(loop: EngineLoop, infile=None, outfile=None,
+         drain_timeout: float = DRAIN_TIMEOUT_S):
     """REPL feeding the engine loop.  With a tty: raw-mode editing,
     history, spinner (≙ runtime.rs:39-243).  Piped input: line mode."""
     infile = infile or sys.stdin
@@ -311,10 +327,26 @@ def repl(loop: EngineLoop, infile=None, outfile=None):
             # piped scripts end at EOF in microseconds — drain the queued
             # commands, then let anything still sounding play out before
             # tearing the render thread down (a script without `quit`
-            # otherwise renders at most one block batch)
+            # otherwise renders at most one block batch).  The wait keys
+            # on `draining` (non-sequenced voices only — sequenced voices
+            # never auto-clear) and is wall-clock bounded so a script that
+            # leaves something running ends at EOF rather than hanging.
+            deadline = time.monotonic() + drain_timeout
             while not loop.term.is_set() and loop._pending:
+                if time.monotonic() > deadline:
+                    break
                 time.sleep(0.02)
-            while not loop.term.is_set() and loop.status.get("playing", 0) > 0:
+            # wait for one status snapshot taken AFTER the commands
+            # applied — the initial {} snapshot would read draining=0
+            seq0 = loop.status_seq
+            while not loop.term.is_set() and loop.status_seq <= seq0:
+                if time.monotonic() > deadline:
+                    break
+                time.sleep(0.02)
+            while (not loop.term.is_set()
+                   and loop.status.get("draining", 0) > 0):
+                if time.monotonic() > deadline:
+                    break
                 time.sleep(0.05)
     except KeyboardInterrupt:
         pass

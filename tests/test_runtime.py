@@ -359,6 +359,40 @@ def test_engine_loop_status_snapshot():
     assert loop.status["clock_s"] > 0.4
 
 
+def test_piped_eof_with_running_sequencer_exits():
+    """A piped script that leaves a sequencer running and ends without
+    `quit` must not hang the REPL at EOF: sequenced voices never
+    auto-clear (render keeps retriggering them), so the play-out drain
+    excludes them and is wall-clock bounded."""
+    import io
+    import time
+    from audio_decoder_tpu.runtime.loop import repl
+
+    loop, _ = _loop_with_tone()
+    script = io.StringIO(
+        "load tone -t s:100\nseq tone -t s:100 -p 2 -s 0,1\nstart -v tone\n"
+    )
+    t0 = time.monotonic()
+    repl(loop, infile=script, outfile=io.StringIO(), drain_timeout=2.0)
+    assert time.monotonic() - t0 < 15.0  # used to hang forever
+    assert loop.term.is_set()
+
+
+def test_piped_eof_drains_plain_voice_to_completion():
+    """The EOF drain still lets a plain (non-sequenced) voice play out:
+    the render thread keeps producing blocks until the voice deactivates."""
+    import io
+    from audio_decoder_tpu.runtime.loop import repl
+
+    loop, sink = _loop_with_tone()
+    script = io.StringIO("load tone\nstart -v tone\n")
+    repl(loop, infile=script, outfile=io.StringIO(), drain_timeout=20.0)
+    # 1 s tone at 44.1 kHz = ~345 blocks of 128; the drain must have kept
+    # rendering well past the first run_blocks batch
+    assert len(sink.capture) >= 345
+    assert loop.status.get("draining", 1) == 0
+
+
 def test_decode_trace_counters():
     from audio_decoder_tpu.utils.trace import TRACE
     from audio_decoder_tpu.codecs.registry import decode_assets

@@ -72,6 +72,22 @@ def test_wav_float64(rng):
     pcm64[0, 0] = 0.0
     pcm64[1, 0] = -0.0
     pcm64[2, 0] = 1.0 / 3.0
+    # gradual underflow: values inside/around the f32-subnormal range
+    # must demote subnormally (not flush), incl. round-to-FLT_MIN
+    pcm64[3, 0] = 1e-40
+    pcm64[4, 0] = -3.7e-42
+    pcm64[5, 0] = float(np.finfo(np.float32).smallest_subnormal) / 2  # half-ULP tie → even → 0
+    pcm64[6, 0] = float(np.finfo(np.float32).smallest_subnormal) * 0.75
+    pcm64[7, 0] = float(np.finfo(np.float32).tiny) * (1 - 2**-25)  # rounds up to FLT_MIN
+    pcm64[8, 0] = 1e-320  # f64 subnormal → 0
+    pcm64[9, 0] = float(np.finfo(np.float32).max) * 1.01  # overflow → inf
+    pcm64[10, 0] = -np.inf
+    pcm64[11, 0] = np.nan
+    # NaN whose payload lives only in the low 29 mantissa bits: must stay
+    # NaN after demotion (the quiet bit is forced), not become inf
+    lownan = np.frombuffer(
+        np.uint64(0x7FF0_0000_0000_0001).tobytes(), np.float64)[0]
+    pcm64[12, 0] = lownan
     blob = synth.make_wav(pcm64, 44100, 64, float64=True)
     got = _decode_one(blob)
     ref = oracle.parse_wav(blob)
