@@ -242,30 +242,40 @@ def _plan_buckets(big, valid, n_big: int):
     return order, best
 
 
-def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
+def _decode_group_fused(
+    assets: "list[Asset]", sess=None, sess_idx: list[int] | None = None
+) -> list[tuple[list[int], AudioBatch]]:
     """On-device-Huffman path: the host (C++ when available, else Python)
     emits raw main_data + lane metadata; the entire entropy decode + DSP
     runs as ONE jitted program per (channels, joint) group — the wire
-    carries the compressed bitstream itself (~50 B metadata/granule)."""
-    use_native = native.available()
+    carries the compressed bitstream itself (~50 B metadata/granule).
+
+    With a ``native.Mp3Session`` (sess + the assets' session indices),
+    probes come from the session's single open-time frame walk and lane
+    emission reuses the stored frame tables — one walk per blob total."""
+    use_native = sess is not None or native.available()
     probes = []
     lanes_py: list = []
-    for a in assets:
-        if use_native:
-            probes.append(native.probe(a.data))
-            lanes_py.append(None)
-        else:
-            try:
-                ln = frontend.analyze_lanes(a.data)
-                probes.append(dict(
-                    err=0, channels=ln.channels, joint=ln.joint_stereo,
-                    n_granules=ln.n_granules, sample_rate=ln.sample_rate,
-                    main_bytes=len(ln.main_data),
-                ))
-                lanes_py.append(ln)
-            except E.DecodeError as e:
-                probes.append(dict(err=e.code))
+    if sess is not None:
+        probes = [sess.infos[i] for i in sess_idx]
+        lanes_py = [None] * len(assets)
+    else:
+        for a in assets:
+            if use_native:
+                probes.append(native.probe(a.data))
                 lanes_py.append(None)
+            else:
+                try:
+                    ln = frontend.analyze_lanes(a.data)
+                    probes.append(dict(
+                        err=0, channels=ln.channels, joint=ln.joint_stereo,
+                        n_granules=ln.n_granules, sample_rate=ln.sample_rate,
+                        main_bytes=len(ln.main_data),
+                    ))
+                    lanes_py.append(ln)
+                except E.DecodeError as e:
+                    probes.append(dict(err=e.code))
+                    lanes_py.append(None)
 
     pieces: list[tuple[list[int], AudioBatch]] = []
     failed = [i for i, p in enumerate(probes) if p["err"] != 0]
@@ -285,7 +295,12 @@ def _decode_group_fused(assets: "list[Asset]") -> list[tuple[list[int], AudioBat
         B = len(idxs)
         g_cap = _bucket(max(probes[i]["n_granules"] for i in idxs))
         m_cap = _bucket(max(probes[i]["main_bytes"] for i in idxs), 1024)
-        if use_native:
+        if sess is not None:
+            r = sess.lanes_batch([sess_idx[i] for i in idxs], g_cap, m_cap, ch)
+            sample_rate = r["sample_rate"]
+            n_gran = r["n_granules"]
+            errs = r["err"]
+        elif use_native:
             r = native.lanes_batch([assets[i].data for i in idxs], g_cap, m_cap, ch)
             sample_rate = r["sample_rate"]
             n_gran = r["n_granules"]
@@ -470,21 +485,38 @@ def decode_group(assets: "list[Asset]") -> list[tuple[list[int], AudioBatch]]:
     Routes by the layer of the first valid frame: Layer III takes the
     fused on-device-Huffman path; Layers I/II take the fixed-width
     subband path.  The host-Huffman Layer III paths remain available for
-    reference and tests."""
-    by_layer: dict[int, list[int]] = {}
-    for i, a in enumerate(assets):
-        by_layer.setdefault(frontend.probe_layer(a.data), []).append(i)
+    reference and tests.
 
-    pieces: list[tuple[list[int], AudioBatch]] = []
-    for layer, idxs in by_layer.items():
-        sub = [assets[i] for i in idxs]
-        if layer in (1, 2):
-            sub_pieces = _decode_group_layer12(sub, layer)
-        else:  # Layer III or undetected (fused path reports errors)
-            sub_pieces = _decode_group_fused(sub)
-        for local, batch in sub_pieces:
-            pieces.append(([idxs[j] for j in local], batch))
-    return pieces
+    With the native front-end, every blob is frame-walked exactly ONCE:
+    an ``Mp3Session`` walks at open time and serves layer routing, the
+    grouping probes, the channel guard, and lane emission from the
+    stored frame tables (the reference walks once too, mpeg.rs:7-128;
+    the pre-session code here walked up to 4x per blob)."""
+    sess = None
+    if native.available():
+        sess = native.Mp3Session([a.data for a in assets])
+        layers = sess.layers
+    else:
+        layers = [frontend.probe_layer(a.data) for a in assets]
+
+    try:
+        by_layer: dict[int, list[int]] = {}
+        for i, layer in enumerate(layers):
+            by_layer.setdefault(layer, []).append(i)
+
+        pieces: list[tuple[list[int], AudioBatch]] = []
+        for layer, idxs in by_layer.items():
+            sub = [assets[i] for i in idxs]
+            if layer in (1, 2):
+                sub_pieces = _decode_group_layer12(sub, layer)
+            else:  # Layer III or undetected (fused path reports errors)
+                sub_pieces = _decode_group_fused(sub, sess=sess, sess_idx=idxs)
+            for local, batch in sub_pieces:
+                pieces.append(([idxs[j] for j in local], batch))
+        return pieces
+    finally:
+        if sess is not None:
+            sess.close()
 
 
 def decode_group_hosthuff(

@@ -96,12 +96,139 @@ def _load():
             C.POINTER(C.c_int16), C.POINTER(C.c_int8), C.POINTER(C.c_int8),
             C.POINTER(C.c_int8), C.POINTER(_Info), C.c_int32,
         ]
+        lib.mp3fe_open_batch.restype = C.c_void_p
+        lib.mp3fe_open_batch.argtypes = [
+            C.POINTER(C.c_char_p), C.POINTER(C.c_int64), C.c_int32, C.c_int32,
+            C.POINTER(_Info), C.POINTER(C.c_int32),
+        ]
+        lib.mp3fe_close.argtypes = [C.c_void_p]
+        lib.mp3fe_frame_walks.restype = C.c_int64
+        lib.mp3fe_frame_walks.argtypes = []
+        lib.mp3fe_lanes_batch_session.argtypes = [
+            C.c_void_p, C.POINTER(C.c_int32), C.c_int32, C.c_int32,
+            C.c_int64, C.c_int32,
+            C.POINTER(C.c_uint8),
+            C.POINTER(C.c_int32), C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+            C.POINTER(C.c_int16), C.POINTER(C.c_int16), C.POINTER(C.c_int16),
+            C.POINTER(C.c_int8), C.POINTER(C.c_int8), C.POINTER(C.c_int8),
+            C.POINTER(C.c_int16), C.POINTER(C.c_int8), C.POINTER(C.c_int8),
+            C.POINTER(C.c_int8), C.POINTER(_Info), C.c_int32,
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def frame_walks() -> int:
+    """Process-wide count of native frame walks (tests pin 1 per blob)."""
+    lib = _load()
+    assert lib is not None
+    return int(lib.mp3fe_frame_walks())
+
+
+class Mp3Session:
+    """One-walk-per-blob front-end session (≙ the single pass of the
+    reference's mpeg.rs:7-128).
+
+    Opening walks every blob exactly once (threaded C++), capturing the
+    per-file frame tables; ``infos`` (geometry summaries for grouping),
+    ``layers`` (front-end routing) and :meth:`lanes_batch` (lane
+    emission with the channel guard) all feed off that single walk.
+    Blob references are held for the session's lifetime — the C++ side
+    stores raw pointers into them."""
+
+    def __init__(self, blobs: list[bytes], nthreads: int = 0):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._blobs = list(blobs)  # keep the buffers alive
+        n = len(self._blobs)
+        self._buf_ptrs = (C.c_char_p * n)(*self._blobs)
+        self._lens = (C.c_int64 * n)(*[len(b) for b in self._blobs])
+        infos = (_Info * n)()
+        layers = (C.c_int32 * n)()
+        self._handle = C.c_void_p(lib.mp3fe_open_batch(
+            self._buf_ptrs, self._lens, n, nthreads, infos, layers))
+        self.infos = [
+            dict(sample_rate=i.sample_rate, channels=i.channels,
+                 n_granules=i.n_granules, joint=bool(i.joint), err=i.err,
+                 main_bytes=i.main_bytes)
+            for i in infos
+        ]
+        self.layers = [int(x) for x in layers]
+
+    def lanes_batch(self, file_idx: list[int], g_cap: int, m_cap: int,
+                    channels: int, nthreads: int = 0) -> dict:
+        """Lane emission for selected session files — same output layout
+        as module-level :func:`lanes_batch`, but no re-walk."""
+        assert self._handle
+        assert m_cap % 4 == 0
+        B = len(file_idx)
+        G, ch = g_cap, channels
+        main = np.zeros((B, m_cap), np.uint8)
+        start = np.zeros((B, G, ch), np.int32)
+        end = np.zeros((B, G, ch), np.int32)
+        limit = np.zeros((B, G, ch), np.int32)
+        big = np.zeros((B, G, ch), np.int16)
+        r1 = np.zeros((B, G, ch), np.int16)
+        r2 = np.zeros((B, G, ch), np.int16)
+        tsel = np.zeros((B, G, ch, 3), np.int8)
+        c1 = np.zeros((B, G, ch), np.int8)
+        valid = np.zeros((B, G, ch), np.int8)
+        exp_b = np.zeros((B, G, ch, 61), np.int16)
+        cfg = np.zeros((B, G, ch), np.int8)
+        stflags = np.zeros((B, G), np.int8)
+        sfr = np.zeros((B, G, 61), np.int8)
+        infos = (_Info * B)()
+        idx = (C.c_int32 * B)(*file_idx)
+        self._lib.mp3fe_lanes_batch_session(
+            self._handle, idx, B, g_cap, m_cap, channels,
+            main.ctypes.data_as(C.POINTER(C.c_uint8)),
+            start.ctypes.data_as(C.POINTER(C.c_int32)),
+            end.ctypes.data_as(C.POINTER(C.c_int32)),
+            limit.ctypes.data_as(C.POINTER(C.c_int32)),
+            big.ctypes.data_as(C.POINTER(C.c_int16)),
+            r1.ctypes.data_as(C.POINTER(C.c_int16)),
+            r2.ctypes.data_as(C.POINTER(C.c_int16)),
+            tsel.ctypes.data_as(C.POINTER(C.c_int8)),
+            c1.ctypes.data_as(C.POINTER(C.c_int8)),
+            valid.ctypes.data_as(C.POINTER(C.c_int8)),
+            exp_b.ctypes.data_as(C.POINTER(C.c_int16)),
+            cfg.ctypes.data_as(C.POINTER(C.c_int8)),
+            stflags.ctypes.data_as(C.POINTER(C.c_int8)),
+            sfr.ctypes.data_as(C.POINTER(C.c_int8)),
+            infos, nthreads,
+        )
+        return dict(
+            main=main, start=start, end=end, limit=limit, big=big, r1=r1,
+            r2=r2, tsel=tsel, c1sel=c1, valid=valid, exp_b=exp_b, cfg=cfg,
+            stflags=stflags, sfr=sfr,
+            err=np.asarray([i.err for i in infos], np.int32),
+            n_granules=np.asarray([i.n_granules for i in infos], np.int32),
+            sample_rate=np.asarray([i.sample_rate for i in infos], np.int32),
+            channels=np.asarray([i.channels for i in infos], np.int32),
+            main_bytes=np.asarray([i.main_bytes for i in infos], np.int32),
+        )
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.mp3fe_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def probe(blob: bytes) -> dict:

@@ -294,7 +294,12 @@ static int free_format_base(const uint8_t* blob, int64_t n, int64_t i,
 // Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
 // A leading ID3v2 tag (synchsafe size) and a leading Xing/Info/VBRI
 // metadata frame are skipped; free-format frame lengths are measured.
+// Total find_frames invocations — exported for tests that pin the
+// single-walk contract of the session API (one walk per blob).
+static std::atomic<int64_t> g_frame_walks{0};
+
 static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
+  g_frame_walks.fetch_add(1, std::memory_order_relaxed);
   int64_t i = 0;
   if (n >= 10 && blob[0] == 'I' && blob[1] == 'D' && blob[2] == '3') {
     int64_t size = ((int64_t)(blob[6] & 0x7F) << 21) |
@@ -705,12 +710,10 @@ typedef struct {
   int32_t main_bytes;  // total concatenated main_data bytes
 } mp3fe_info;
 
-// Phase 1: cheap frame walk — geometry only (no entropy decode).
-void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
-  init_tables();
+// Geometry summary over an already-collected frame list (no walk).
+static void probe_from_frames(const std::vector<Frame>& frames,
+                              mp3fe_info* info) {
   memset(info, 0, sizeof(*info));
-  std::vector<Frame> frames;
-  find_frames(blob, n, &frames);
   int sr = 0, ch = 0, ver = -1, count = 0, joint = 0;
   int64_t main_bytes = 0;
   for (const Frame& f : frames) {
@@ -730,6 +733,14 @@ void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
   info->n_granules = (ver == 3 ? 2 : 1) * count;
   info->joint = joint;
   info->main_bytes = (int32_t)main_bytes;
+}
+
+// Phase 1: cheap frame walk — geometry only (no entropy decode).
+void mp3fe_probe(const uint8_t* blob, int64_t n, mp3fe_info* info) {
+  init_tables();
+  std::vector<Frame> frames;
+  find_frames(blob, n, &frames);
+  probe_from_frames(frames, info);
 }
 
 // Phase 2: full analysis into caller-allocated dense tensors:
@@ -861,21 +872,22 @@ void mp3fe_analyze(const uint8_t* blob, int64_t n, int32_t g_cap,
 //   big/r1/r2 int16 [Gcap, ch]       tsel int8 [Gcap, ch, 3]
 //   c1sel/valid/cfg int8 [Gcap, ch]  exp_b int16 [Gcap, ch, 61]
 //   stflags int8 [Gcap]              sfr int8 [Gcap, 61]
-void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
-                 uint8_t* main_out, int32_t* start_out, int32_t* end_out,
-                 int32_t* limit_out, int16_t* big_out, int16_t* r1_out,
-                 int16_t* r2_out, int8_t* tsel_out, int8_t* c1_out,
-                 int8_t* valid_out, int16_t* expb_out, int8_t* cfg_out,
-                 int8_t* stflags_out, int8_t* sfr_out, mp3fe_info* info) {
-  init_tables();
-  mp3fe_probe(blob, n, info);
-  if (info->err) return;
+static void lanes_from_frames(const uint8_t* blob, int64_t n,
+                              const std::vector<Frame>& frames,
+                              int32_t g_cap, int64_t m_cap,
+                              uint8_t* main_out, int32_t* start_out,
+                              int32_t* end_out, int32_t* limit_out,
+                              int16_t* big_out, int16_t* r1_out,
+                              int16_t* r2_out, int8_t* tsel_out,
+                              int8_t* c1_out, int8_t* valid_out,
+                              int16_t* expb_out, int8_t* cfg_out,
+                              int8_t* stflags_out, int8_t* sfr_out,
+                              mp3fe_info* info) {
+  // `info` carries the probe summary for these same frames; the caller
+  // has already rejected err != 0
   int sr = info->sample_rate, ch = info->channels;
   int ridx = rate_idx(sr);
   if (ridx < 0) { info->err = 3; return; }
-
-  std::vector<Frame> frames;
-  find_frames(blob, n, &frames);
 
   int64_t total_main = 0;  // bytes appended to main_out so far
   Scalefacs sf_store[2][2];
@@ -988,6 +1000,23 @@ void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
   info->main_bytes = (int32_t)total_main;
 }
 
+void mp3fe_lanes(const uint8_t* blob, int64_t n, int32_t g_cap, int64_t m_cap,
+                 uint8_t* main_out, int32_t* start_out, int32_t* end_out,
+                 int32_t* limit_out, int16_t* big_out, int16_t* r1_out,
+                 int16_t* r2_out, int8_t* tsel_out, int8_t* c1_out,
+                 int8_t* valid_out, int16_t* expb_out, int8_t* cfg_out,
+                 int8_t* stflags_out, int8_t* sfr_out, mp3fe_info* info) {
+  init_tables();
+  std::vector<Frame> frames;
+  find_frames(blob, n, &frames);
+  probe_from_frames(frames, info);
+  if (info->err) return;
+  lanes_from_frames(blob, n, frames, g_cap, m_cap, main_out, start_out,
+                    end_out, limit_out, big_out, r1_out, r2_out, tsel_out,
+                    c1_out, valid_out, expb_out, cfg_out, stflags_out,
+                    sfr_out, info);
+}
+
 // Batched lane analysis, threaded over files; outputs strided [B, ...].
 void mp3fe_lanes_batch(const uint8_t* const* blobs, const int64_t* lens,
                        int32_t nfiles, int32_t g_cap, int64_t m_cap,
@@ -1070,6 +1099,126 @@ void mp3fe_analyze_batch(const uint8_t* const* blobs, const int64_t* lens,
     }
   };
   if (nthreads == 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> ts;
+  for (int i = 0; i < nthreads; i++) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Session API — ONE frame walk per blob.
+//
+// The classic entry points above re-walk each blob (probe for grouping,
+// the batch drivers' channel guard, the lane emitter) — up to 3 walks per
+// blob per decode.  A session walks every blob exactly once at open time,
+// stores the frame tables, and feeds grouping (probe infos + routed
+// layer), the channel guard, and lane emission from that single walk —
+// the shape of the reference's single pass (mpeg.rs:7-128).  The caller
+// owns blob lifetime for the session's duration.
+// ---------------------------------------------------------------------------
+
+struct mp3fe_session {
+  std::vector<const uint8_t*> blobs;
+  std::vector<int64_t> lens;
+  std::vector<std::vector<Frame>> frames;
+  std::vector<mp3fe_info> infos;
+};
+
+// Cumulative find_frames invocations (process-wide) — lets tests pin the
+// "one walk per blob" contract as a hard counter delta.
+int64_t mp3fe_frame_walks(void) {
+  return g_frame_walks.load(std::memory_order_relaxed);
+}
+
+// Walk + probe every blob once (threaded).  infos_out[b] gets the Layer
+// III geometry summary; layers_out[b] gets the routed layer of the FIRST
+// frame in human numbering (1/2/3; 0 = no frame found) for front-end
+// dispatch (Layer I/II take the subband path, III the fused path).
+mp3fe_session* mp3fe_open_batch(const uint8_t* const* blobs,
+                                const int64_t* lens, int32_t nfiles,
+                                int32_t nthreads, mp3fe_info* infos_out,
+                                int32_t* layers_out) {
+  init_tables();
+  auto* s = new mp3fe_session;
+  s->blobs.assign(blobs, blobs + nfiles);
+  s->lens.assign(lens, lens + nfiles);
+  s->frames.resize(nfiles);
+  s->infos.resize(nfiles);
+  if (nthreads <= 0) {
+    nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > nfiles) nthreads = nfiles;
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= nfiles) return;
+      find_frames(s->blobs[b], s->lens[b], &s->frames[b]);
+      probe_from_frames(s->frames[b], &s->infos[b]);
+      if (infos_out) infos_out[b] = s->infos[b];
+      if (layers_out) {
+        static const int32_t kLayerMap[4] = {0, 3, 2, 1};  // header code
+        layers_out[b] = s->frames[b].empty()
+                            ? 0
+                            : kLayerMap[s->frames[b][0].h.layer & 3];
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    for (int i = 0; i < nthreads; i++) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  return s;
+}
+
+void mp3fe_close(mp3fe_session* s) { delete s; }
+
+// Lane emission for a subset of the session's files (threaded), reusing
+// the open-time frame tables — no re-walk.  file_idx selects session
+// files; outputs are strided [nsel, ...] exactly like mp3fe_lanes_batch.
+void mp3fe_lanes_batch_session(
+    mp3fe_session* s, const int32_t* file_idx, int32_t nsel, int32_t g_cap,
+    int64_t m_cap, int32_t channels, uint8_t* main_out, int32_t* start_out,
+    int32_t* end_out, int32_t* limit_out, int16_t* big_out, int16_t* r1_out,
+    int16_t* r2_out, int8_t* tsel_out, int8_t* c1_out, int8_t* valid_out,
+    int16_t* expb_out, int8_t* cfg_out, int8_t* stflags_out,
+    int8_t* sfr_out, mp3fe_info* infos, int32_t nthreads) {
+  init_tables();
+  if (nthreads <= 0) {
+    nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > nsel) nthreads = nsel;
+  std::atomic<int32_t> next(0);
+  int64_t L = (int64_t)g_cap * channels;
+  auto worker = [&]() {
+    for (;;) {
+      int32_t b = next.fetch_add(1);
+      if (b >= nsel) return;
+      int32_t f = file_idx[b];
+      infos[b] = s->infos[f];
+      // strided outputs assume the caller's channel count; reject a
+      // mismatching blob instead of writing out of bounds
+      if (infos[b].err == 0 && infos[b].channels != channels)
+        infos[b].err = 3;
+      if (infos[b].err != 0) continue;
+      lanes_from_frames(s->blobs[f], s->lens[f], s->frames[f], g_cap, m_cap,
+                        main_out + b * m_cap, start_out + b * L,
+                        end_out + b * L, limit_out + b * L, big_out + b * L,
+                        r1_out + b * L, r2_out + b * L, tsel_out + b * L * 3,
+                        c1_out + b * L, valid_out + b * L,
+                        expb_out + b * L * 61, cfg_out + b * L,
+                        stflags_out + b * g_cap, sfr_out + b * g_cap * 61,
+                        infos + b);
+    }
+  };
+  if (nthreads <= 1) {
     worker();
     return;
   }

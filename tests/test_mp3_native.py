@@ -101,3 +101,67 @@ def test_native_batch_rejects_channel_mismatch():
     assert not r["valid"].any()
     r2 = NA.analyze_batch([stereo], 16, channels=1, joint=False)
     assert int(r2["err"][0]) == 3
+
+
+def test_session_single_walk_and_parity():
+    """The Mp3Session front-end walks each blob's frames exactly ONCE
+    (counter-verified) and its lane output is bit-identical to the
+    classic per-call API."""
+    blobs = [
+        CR.lame_encode(_sig("noise", 12000, 2), 44100, 128, mode=1),
+        CR.lame_encode(_sig("transient", 15000, 2), 44100, 192, mode=1),
+        CR.lame_encode(_sig("noise", 9000, 2), 44100, 128, mode=1),
+        b"\x00" * 2048,  # garbage: still exactly one walk
+    ]
+    w0 = NA.frame_walks()
+    with NA.Mp3Session(blobs) as sess:
+        assert NA.frame_walks() - w0 == len(blobs)  # open: 1 walk per blob
+        assert [i["err"] for i in sess.infos] == [0, 0, 0, 3]
+        assert sess.layers == [3, 3, 3, 0]
+        g_cap = max(i["n_granules"] for i in sess.infos)
+        m_cap = ((max(i["main_bytes"] for i in sess.infos) + 1023) // 1024) * 1024
+        r = sess.lanes_batch([0, 1, 2], g_cap, m_cap, channels=2)
+        # grouping, guard, and lane emission added NO further walks
+        assert NA.frame_walks() - w0 == len(blobs)
+    ref = NA.lanes_batch(blobs[:3], g_cap, m_cap, channels=2)
+    for k in ("main", "start", "end", "limit", "big", "r1", "r2", "tsel",
+              "c1sel", "valid", "exp_b", "cfg", "stflags", "sfr", "err",
+              "n_granules", "sample_rate", "channels", "main_bytes"):
+        np.testing.assert_array_equal(r[k], ref[k], err_msg=k)
+
+
+def test_session_channel_guard():
+    """The session's lane path rejects a channel-mismatched blob before
+    writing (same guard as the classic batch entry)."""
+    stereo = CR.lame_encode(_sig("noise", 6000, 2), 44100, 128, mode=1)
+    with NA.Mp3Session([stereo]) as sess:
+        r = sess.lanes_batch([0], 16, 16384, channels=1)
+    assert int(r["err"][0]) == 3
+    assert not r["valid"].any()
+
+
+def test_decode_group_single_walk_per_blob():
+    """End-to-end decode_group: with the native front-end, each blob is
+    frame-walked exactly once (routing + grouping + guard + lanes all
+    feed off the session's open-time walk)."""
+    blobs = {
+        "a": CR.lame_encode(_sig("noise", 12000, 2), 44100, 128, mode=1),
+        "b": CR.lame_encode(_sig("transient", 15000, 2), 44100, 192, mode=1),
+        "m": CR.lame_encode(_sig("noise", 8000, 1), 44100, 128, mode=None),
+    }
+    assets = [Asset(path=k, name=k, ext="mp3", data=v)
+              for k, v in blobs.items()]
+    w0 = NA.frame_walks()
+    pieces = MD.decode_group(assets)
+    assert NA.frame_walks() - w0 == len(assets)
+    got = {}
+    for idxs, batch in pieces:
+        for row, i in enumerate(idxs):
+            got[assets[i].name] = batch.file(row)
+    for name, blob in blobs.items():
+        f = got[name]
+        assert f.err == 0
+        ref, _ = MO.decode(blob)
+        n = min(len(ref), f.pcm.shape[0])
+        rms = float(np.sqrt(((ref[:n, : f.num_channels] - f.pcm[:n]) ** 2).mean()))
+        assert rms < 5e-7, f"{name}: rms {rms}"
