@@ -18,9 +18,79 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .state import EngineArrays, HostRegistry
+from .state import (
+    MAX_PROCS, MAX_STEPS, PROC_SEQ, EngineArrays, HostRegistry,
+)
 
-_VERSION = 1
+_VERSION = 2
+
+
+def _migrate_1_to_2(z: dict) -> dict:
+    """v1 → v2: the single per-voice sequencer arrays (s_*) became
+    MAX_PROCS-slot process chains (p_*); a v1 sequencer moves into
+    slot 0 with kind PROC_SEQ."""
+    out = dict(z)
+    s_on = np.asarray(out.pop("s_on"))
+    period = np.asarray(out.pop("s_period"))
+    mask = np.asarray(out.pop("s_stepmask"))
+    chance = np.asarray(out.pop("s_chance"))
+    jit = np.asarray(out.pop("s_jitter"))
+    V, S = mask.shape
+    p_kind = np.zeros((V, MAX_PROCS), np.int32)
+    p_kind[:, 0] = np.where(s_on, PROC_SEQ, 0)
+    p_period = np.ones((V, MAX_PROCS), np.int32)
+    p_period[:, 0] = period
+    p_stepmask = np.zeros((V, MAX_PROCS, S), bool)
+    p_stepmask[:, 0] = mask
+    p_chance = np.zeros((V, MAX_PROCS, S), np.float32)
+    p_chance[:, 0] = chance
+    p_jitter = np.zeros((V, MAX_PROCS, S), np.float32)
+    p_jitter[:, 0] = jit
+    out.update(
+        p_kind=p_kind, p_period=p_period, p_stepmask=p_stepmask,
+        p_chance=p_chance, p_jitter=p_jitter,
+        p_depth=np.zeros((V, MAX_PROCS), np.float32),
+    )
+    return out
+
+
+#: version k → migration producing a version-(k+1) array dict
+_MIGRATIONS = {1: _migrate_1_to_2}
+
+#: general forward-compat rule: a field absent from a version-k
+#: checkpoint gets its documented default before that version migrates
+#: forward (replaces the old one-off s_jitter special case — any field
+#: added mid-version registers its default here)
+_FIELD_DEFAULTS: dict = {
+    1: {
+        # added after v1 shipped: no jitter
+        "s_jitter": lambda z: np.zeros_like(np.asarray(z["s_chance"],
+                                                       np.float32)),
+    },
+    2: {
+        # every process-chain field defaults to "empty chain" so a
+        # stripped v2 npz still loads
+        "p_kind": lambda z: np.zeros(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS), np.int32),
+        "p_period": lambda z: np.ones(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS), np.int32),
+        "p_stepmask": lambda z: np.zeros(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS, MAX_STEPS), bool),
+        "p_chance": lambda z: np.zeros(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS, MAX_STEPS), np.float32),
+        "p_jitter": lambda z: np.zeros(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS, MAX_STEPS), np.float32),
+        "p_depth": lambda z: np.zeros(
+            (np.asarray(z["v_used"]).shape[0], MAX_PROCS), np.float32),
+    },
+}
+
+
+def _apply_defaults(z: dict, version: int) -> dict:
+    for name, make in _FIELD_DEFAULTS.get(version, {}).items():
+        if name not in z:
+            z[name] = make(z)
+    return z
 
 
 def save_state(path: str, st: EngineArrays, reg: HostRegistry) -> None:
@@ -51,19 +121,21 @@ def load_state(path: str) -> tuple[EngineArrays, HostRegistry]:
         raise FileNotFoundError(path)
     with open(path + ".json") as f:
         meta = json.load(f)
-    if meta.get("version") != _VERSION:
-        raise ValueError(f"unsupported checkpoint version {meta.get('version')}")
-    z = np.load(path + ".npz")
+    version = meta.get("version")
+    if not isinstance(version, int) or version < 1 or version > _VERSION:
+        raise ValueError(f"unsupported checkpoint version {version!r}")
+    npz = np.load(path + ".npz")
+    z = {name: npz[name] for name in npz.files}
+    # walk the migration chain: per version, fill documented defaults for
+    # fields added mid-version, then migrate the dict one version forward
+    while version < _VERSION:
+        z = _apply_defaults(z, version)
+        z = _MIGRATIONS[version](z)
+        version += 1
+    z = _apply_defaults(z, _VERSION)
     kwargs = {}
     for f_ in dataclasses.fields(EngineArrays):
-        if f_.name not in z.files:
-            # field added after the checkpoint was written: s_jitter
-            # defaults to zero (no jitter), matching prior behavior
-            if f_.name == "s_jitter":
-                kwargs[f_.name] = jnp.zeros_like(
-                    jnp.asarray(z["s_chance"], jnp.float32)
-                )
-                continue
+        if f_.name not in z:
             raise ValueError(f"checkpoint missing field {f_.name}")
         a = z[f_.name]
         kwargs[f_.name] = (

@@ -16,7 +16,14 @@ Grammar (mirroring the reference's flags):
   group <name> -v v1,v2,... [-t ...]
   tc <name> <unit>:<val>              (unit: s=samples m=millis b=bpm)
   seq <voice> -p <period> -s s1,s2,... [-c <chance-spec>] [-j <spec>]
+  trem <voice> -p <period> -d <depth> [-t ...]   (beyond the reference)
   q | quit
+
+Each voice carries MAX_PROCS process slots (the reference's Vec<Process>
+axis, processes.rs:12-50): `seq` fills the voice's existing SEQ slot or
+the first free one; `trem` — a tempo-synced gain LFO cycling over
+<period> tempo steps at <depth> in [0,1] — likewise, so a voice can run
+a sequencer and a tremolo together.
 
 Chance mini-language (≙ commands.rs:1032-1168): `_` default-all 1.0,
 `a:<p>` all steps p, `<n>:<p>` step n, `<n1>-<n2>:<p>` range.  The
@@ -33,7 +40,10 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from .state import MAX_STEPS, EngineArrays, HostRegistry
+from .state import (
+    MAX_PROCS, MAX_STEPS, PROC_NONE, PROC_SEQ, PROC_TREM,
+    EngineArrays, HostRegistry,
+)
 
 
 class CmdErr(Exception):
@@ -61,6 +71,7 @@ class Command:
     steps: tuple = ()
     chance: tuple = ()
     jitter: tuple = ()
+    depth: float = 0.0
     name: str = ""
 
 
@@ -112,6 +123,8 @@ class CmdProcessor:
             return self._parse_tc(args)
         if verb == "seq":
             return self._parse_seq(args)
+        if verb == "trem":
+            return self._parse_trem(args)
         raise CmdErr(f"unknown command {verb!r}")
 
     def _find_voice(self, name: str) -> int:
@@ -284,6 +297,46 @@ class CmdProcessor:
             jitter=tuple(jit_vals), tempo=tempo,
         )
 
+    def _parse_trem(self, args: list[str]) -> Command:
+        """trem <voice|group> -p <period> -d <depth> [-t ...] — a
+        tempo-synced gain LFO, the second process kind (the extensibility
+        the processes! macro designs for, processes.rs:12-50)."""
+        if not args:
+            raise CmdErr("trem: missing voice or group name")
+        group = -1
+        voice = -1
+        if args[0] in self.reg.groups:
+            group = self.reg.groups[args[0]]
+        else:
+            voice = self._find_voice(args[0])
+        period = 0
+        depth = -1.0
+        tempo = None
+        i = 1
+        while i < len(args):
+            if args[i] in ("-p", "--period") and i + 1 < len(args):
+                period = int(args[i + 1])
+                i += 2
+            elif args[i] in ("-d", "--depth") and i + 1 < len(args):
+                try:
+                    depth = float(args[i + 1])
+                except ValueError as e:
+                    raise CmdErr(f"trem: bad depth {args[i + 1]!r}") from e
+                i += 2
+            elif args[i] in ("-t", "--tempo") and i + 1 < len(args):
+                tempo = self._parse_tempo_flag(args[i + 1])
+                i += 2
+            else:
+                raise CmdErr(f"trem: unexpected {args[i]!r}")
+        if period <= 0:
+            raise CmdErr("trem: -p period required (LFO cycle in tempo steps)")
+        if not 0.0 <= depth <= 1.0:
+            raise CmdErr("trem: -d depth required, in [0,1]")
+        return Command(
+            verb="trem", voice=voice, group=group, period=period,
+            depth=depth, tempo=tempo,
+        )
+
     @staticmethod
     def _parse_chance(
         spec: str, steps: list[int], period: int,
@@ -347,7 +400,7 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
             st,
             v_used=st.v_used.at[v].set(False),
             v_active=st.v_active.at[v].set(False),
-            s_on=st.s_on.at[v].set(False),
+            p_kind=st.p_kind.at[v].set(PROC_NONE),  # clear the whole chain
             v_tempo=st.v_tempo.at[v].set(-1),
         )
     if cmd.verb == "velocity":
@@ -413,13 +466,14 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
         else:
             targets = [v]
         for t in targets:
+            slot = _proc_slot(st, t, PROC_SEQ)
             st = dataclasses.replace(
                 st,
-                s_on=st.s_on.at[t].set(True),
-                s_period=st.s_period.at[t].set(cmd.period),
-                s_stepmask=st.s_stepmask.at[t].set(jnp.asarray(mask)),
-                s_chance=st.s_chance.at[t].set(jnp.asarray(ch)),
-                s_jitter=st.s_jitter.at[t].set(jnp.asarray(jt)),
+                p_kind=st.p_kind.at[t, slot].set(PROC_SEQ),
+                p_period=st.p_period.at[t, slot].set(cmd.period),
+                p_stepmask=st.p_stepmask.at[t, slot].set(jnp.asarray(mask)),
+                p_chance=st.p_chance.at[t, slot].set(jnp.asarray(ch)),
+                p_jitter=st.p_jitter.at[t, slot].set(jnp.asarray(jt)),
             )
             if cmd.group >= 0:
                 st = dataclasses.replace(
@@ -435,9 +489,63 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                 "seq on a voice requires a tempo (load -t ... or seq -t ...)"
             )
         return st
+    if cmd.verb == "trem":
+        if cmd.group >= 0:
+            targets = [
+                int(i) for i in np.nonzero(np.asarray(st.v_group) == cmd.group)[0]
+            ]
+            lane = reg.group_lane(cmd.group)
+            if cmd.tempo is not None and cmd.tempo.kind == "own":
+                st = dataclasses.replace(
+                    st,
+                    t_interval=st.t_interval.at[lane].set(
+                        cmd.tempo.interval_samples
+                    ),
+                    g_tempo=st.g_tempo.at[cmd.group].set(lane),
+                )
+            if int(st.g_tempo[cmd.group]) < 0:
+                raise CmdErr("trem on a group requires a group tempo (-t)")
+        else:
+            targets = [v]
+        for t in targets:
+            slot = _proc_slot(st, t, PROC_TREM)
+            st = dataclasses.replace(
+                st,
+                p_kind=st.p_kind.at[t, slot].set(PROC_TREM),
+                p_period=st.p_period.at[t, slot].set(cmd.period),
+                p_depth=st.p_depth.at[t, slot].set(cmd.depth),
+            )
+            if cmd.group >= 0:
+                st = dataclasses.replace(
+                    st, v_tempo=st.v_tempo.at[t].set(reg.group_lane(cmd.group))
+                )
+            elif cmd.tempo is not None:
+                st = _bind_tempo_voice(st, reg, t, cmd.tempo)
+        # the LFO phase derives from the voice's tempo lane; same tempo
+        # requirement as seq
+        if cmd.group < 0 and int(st.v_tempo[v]) == -1:
+            raise CmdErr(
+                "trem on a voice requires a tempo (load -t ... or trem -t ...)"
+            )
+        return st
     if cmd.verb == "quit":
         return st
     raise CmdErr(f"unhandled verb {cmd.verb!r}")
+
+
+def _proc_slot(st: EngineArrays, v: int, kind: int) -> int:
+    """Slot index for installing a process of `kind` on voice v: reuse
+    the voice's existing slot of that kind (re-issuing `seq`/`trem`
+    reconfigures it, like the reference replacing its Seq) else claim
+    the first free slot."""
+    kinds = np.asarray(st.p_kind[v])
+    same = np.nonzero(kinds == kind)[0]
+    if same.size:
+        return int(same[0])
+    free = np.nonzero(kinds == PROC_NONE)[0]
+    if free.size:
+        return int(free[0])
+    raise CmdErr(f"voice has no free process slot (max {MAX_PROCS})")
 
 
 def _bind_tempo_voice(st, reg, v: int, tempo: TempoSpec | None):

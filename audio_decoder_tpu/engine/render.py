@@ -37,7 +37,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .state import MAX_STEPS, MAX_VOICES, EngineArrays
+from .state import (
+    MAX_STEPS, MAX_VOICES, PROC_SEQ, PROC_TREM, EngineArrays,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("frames", "out_channels"))
@@ -51,22 +53,27 @@ def render_block(
     i32 = jnp.int32
     fidx = jnp.arange(F, dtype=i32)  # [F]
 
-    # ---- sequencer triggers on the [V, F] grid ----
+    # ---- process chains on the [V, P, F] grid ----
+    # Each of the MAX_PROCS slots is evaluated by kind and the results
+    # combine per voice (≙ the per-sample Process-chain walk,
+    # engine.rs:391-394 / processes.rs:69): any SEQ slot may retrigger,
+    # every TREM slot multiplies into the gain.
     lane = jnp.maximum(st.v_tempo, 0)
     interval = jnp.maximum(st.t_interval[lane], 1)  # [V]
     t_on = st.t_active[lane] & (st.v_tempo >= 0)
     rel = (st.clock + fidx[None, :]) - st.t_start[lane][:, None]  # [V, F]
-    step_num = jnp.maximum(rel, 0) // interval[:, None]
-    k = step_num % jnp.maximum(st.s_period, 1)[:, None]  # [V, F]
-    k = jnp.minimum(k, MAX_STEPS - 1)
-    in_step = jnp.take_along_axis(st.s_stepmask, k, axis=1)
-    chance = jnp.take_along_axis(st.s_chance, k, axis=1)
+    step_num = jnp.maximum(rel, 0) // interval[:, None]  # [V, F]
+    is_seq = st.p_kind == PROC_SEQ  # [V, P]
+    k = step_num[:, None, :] % jnp.maximum(st.p_period, 1)[:, :, None]
+    k = jnp.minimum(k, MAX_STEPS - 1)  # [V, P, F]
+    in_step = jnp.take_along_axis(st.p_stepmask, k, axis=2)
+    chance = jnp.take_along_axis(st.p_chance, k, axis=2)
     # Per-step trigger jitter (the reference's -j stub, made real): the
     # step's boundary is delayed by floor(u * jitter * interval) frames,
     # u a stable hash of (tempo lane, absolute step number) — identical
     # across block boundaries and shared by group members, like the
     # chance roll.  jitter == 0 reproduces the unjittered grid exactly.
-    jit_k = jnp.take_along_axis(st.s_jitter, k, axis=1)  # [V, F]
+    jit_k = jnp.take_along_axis(st.p_jitter, k, axis=2)  # [V, P, F]
     seed = jax.random.randint(
         jax.random.fold_in(st.rng_key, 7), (), 0, 2**31 - 1
     ).astype(jnp.uint32)
@@ -80,13 +87,17 @@ def render_block(
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)
-    u_j = h.astype(f32) * (1.0 / 4294967296.0)
-    delay = jnp.floor(u_j * jit_k * interval[:, None].astype(f32)).astype(i32)
+    u_j = h.astype(f32) * (1.0 / 4294967296.0)  # [V, F]
+    delay = jnp.floor(
+        u_j[:, None, :] * jit_k * interval[:, None, None].astype(f32)
+    ).astype(i32)
     # uint32→f32 rounds the top ~128 hash values to exactly 1.0, which
     # would make delay == interval and silently kill that step forever;
     # clamp so a full-jitter step still fires on the last frame
-    delay = jnp.minimum(delay, interval[:, None] - 1)
-    boundary = (rel >= 0) & (rel % interval[:, None] == delay)
+    delay = jnp.minimum(delay, interval[:, None, None] - 1)
+    boundary = (rel[:, None, :] >= 0) & (
+        rel[:, None, :] % interval[:, None, None] == delay
+    )  # [V, P, F]
     # Chance rolls are keyed by TEMPO LANE, not voice: voices driven by one
     # group sequencer share a roll (the reference's group-level Seq rolls
     # once per trigger, processes.rs:77-89), while independent voices get
@@ -95,18 +106,35 @@ def render_block(
     u_lane = jax.random.uniform(
         jax.random.fold_in(st.rng_key, st.clock), (n_lanes, F), dtype=f32
     )
-    u = u_lane[lane]
+    u = u_lane[lane]  # [V, F]
     grp = st.v_group
     g_ok = jnp.where(grp >= 0, st.g_active[jnp.maximum(grp, 0)], True)
     sounding = st.v_used & st.v_active & g_ok
+    has_seq = is_seq.any(axis=1)  # [V]
     trig = (
-        sounding[:, None]
-        & st.s_on[:, None]
-        & t_on[:, None]
+        sounding[:, None, None]
+        & is_seq[:, :, None]
+        & t_on[:, None, None]
         & boundary
         & in_step
-        & (u < chance)
+        & (u[:, None, :] < chance)
+    ).any(axis=1)  # [V, F]
+
+    # tremolo slots: a tempo-synced raised-cosine gain LFO cycling over
+    # p_period tempo steps; depth 0 → unity, depth 1 → full dips.  Phase 0
+    # (the lane's start) is unity gain, so enabling a trem never clicks.
+    is_trem = (st.p_kind == PROC_TREM) & t_on[:, None]  # [V, P]
+    ph = rel[:, None, :].astype(f32) / (
+        interval[:, None, None]
+        * jnp.maximum(st.p_period, 1)[:, :, None]
+    ).astype(f32)
+    lfo = 1.0 - st.p_depth[:, :, None] * (0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * ph
+    ))
+    slot_mult = jnp.where(
+        is_trem[:, :, None] & (rel[:, None, :] >= 0), lfo, 1.0
     )
+    gain_mult = slot_mult.prod(axis=1)  # [V, F]
 
     # ---- closed-form positions between triggers ----
     end = (st.track_len[st.v_track] - 1).astype(f32)  # [V]
@@ -143,7 +171,7 @@ def render_block(
     mono = (st.track_ch[st.v_track] == 1)[:, None, None]
     smp = jnp.where(mono, smp[:, :, :1], smp)
 
-    w = jnp.where(audible, st.v_gain[:, None], 0.0)  # [V, F]
+    w = jnp.where(audible, st.v_gain[:, None] * gain_mult, 0.0)  # [V, F]
     block = jnp.einsum("vf,vfc->fc", w, smp)
     block = jnp.clip(block, -1.0, 1.0)
 
@@ -151,7 +179,7 @@ def render_block(
     pos_next = jnp.where(sounding, pos[:, F - 1] + st.v_vel, st.v_pos)
     # without a sequencer the voice parks when it runs off the track
     ran_off = (pos_next < 0.0) | (pos_next > end)
-    active_next = st.v_active & (~sounding | st.s_on | ~ran_off)
+    active_next = st.v_active & (~sounding | has_seq | ~ran_off)
 
     st2 = EngineArrays(
         tracks=st.tracks, track_len=st.track_len, track_ch=st.track_ch,
@@ -159,8 +187,8 @@ def render_block(
         v_pos=pos_next, v_vel=st.v_vel, v_gain=st.v_gain, v_group=st.v_group,
         t_interval=st.t_interval, t_start=st.t_start, t_active=st.t_active,
         v_tempo=st.v_tempo, g_tempo=st.g_tempo,
-        s_on=st.s_on, s_period=st.s_period, s_stepmask=st.s_stepmask,
-        s_chance=st.s_chance, s_jitter=st.s_jitter,
+        p_kind=st.p_kind, p_period=st.p_period, p_stepmask=st.p_stepmask,
+        p_chance=st.p_chance, p_jitter=st.p_jitter, p_depth=st.p_depth,
         g_used=st.g_used, g_active=st.g_active,
         clock=st.clock + F, rng_key=st.rng_key,
     )

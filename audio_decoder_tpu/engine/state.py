@@ -29,6 +29,14 @@ MAX_VOICES = 64
 MAX_GROUPS = 16
 MAX_CONTEXTS = 16
 MAX_STEPS = 64  # sequencer period capacity (steps per period)
+MAX_PROCS = 4  # process-chain slots per voice (≙ Vec<Process>)
+
+#: process kinds (≙ the processes! enum dispatch, processes.rs:12-50 —
+#: an extensible axis the reference designs for but only instantiates
+#: once; Seq ≙ processes.rs:52-99, tremolo is the second kind proving it)
+PROC_NONE = 0
+PROC_SEQ = 1
+PROC_TREM = 2
 
 #: tempo owner kinds (≙ TempoMode, blast_time.rs:66-74)
 TEMPO_VOICE = 0
@@ -63,14 +71,18 @@ class EngineArrays:
     v_tempo: jax.Array  # i32 [V] tempo lane per voice (-1 = none)
     g_tempo: jax.Array  # i32 [G] tempo lane per group (-1 = none)
 
-    # sequencers (one optional per voice; ≙ Seq processes.rs:52-99)
-    s_on: jax.Array  # bool [V]
-    s_period: jax.Array  # i32 [V] steps per cycle
-    s_stepmask: jax.Array  # bool [V, MAX_STEPS] trigger steps
-    s_chance: jax.Array  # f32 [V, MAX_STEPS] per-step probability
-    s_jitter: jax.Array  # f32 [V, MAX_STEPS] trigger delay, fraction of
-    #                      the tempo interval (the reference parses -j but
-    #                      never applies it, commands.rs:1125-1136)
+    # process chains: MAX_PROCS enum-dispatched slots per voice
+    # (≙ Voice's Vec<Process> + the processes! macro, processes.rs:12-50;
+    # the reference's one instance, Seq, lives in any slot with
+    # p_kind == PROC_SEQ; PROC_TREM is a tempo-synced gain LFO)
+    p_kind: jax.Array  # i32 [V, P] PROC_NONE/SEQ/TREM
+    p_period: jax.Array  # i32 [V, P] seq: steps per cycle; trem: LFO steps
+    p_stepmask: jax.Array  # bool [V, P, MAX_STEPS] seq trigger steps
+    p_chance: jax.Array  # f32 [V, P, MAX_STEPS] seq per-step probability
+    p_jitter: jax.Array  # f32 [V, P, MAX_STEPS] seq trigger delay, fraction
+    #                      of the tempo interval (the reference parses -j
+    #                      but never applies it, commands.rs:1125-1136)
+    p_depth: jax.Array  # f32 [V, P] trem modulation depth in [0, 1]
 
     # groups
     g_used: jax.Array  # bool [G]
@@ -102,11 +114,12 @@ def empty_state(
         t_active=jnp.zeros(lanes, bool),
         v_tempo=jnp.full((V,), -1, jnp.int32),
         g_tempo=jnp.full((G,), -1, jnp.int32),
-        s_on=jnp.zeros(V, bool),
-        s_period=jnp.ones(V, jnp.int32),
-        s_stepmask=jnp.zeros((V, MAX_STEPS), bool),
-        s_chance=jnp.zeros((V, MAX_STEPS), jnp.float32),
-        s_jitter=jnp.zeros((V, MAX_STEPS), jnp.float32),
+        p_kind=jnp.zeros((V, MAX_PROCS), jnp.int32),
+        p_period=jnp.ones((V, MAX_PROCS), jnp.int32),
+        p_stepmask=jnp.zeros((V, MAX_PROCS, MAX_STEPS), bool),
+        p_chance=jnp.zeros((V, MAX_PROCS, MAX_STEPS), jnp.float32),
+        p_jitter=jnp.zeros((V, MAX_PROCS, MAX_STEPS), jnp.float32),
+        p_depth=jnp.zeros((V, MAX_PROCS), jnp.float32),
         g_used=jnp.zeros(G, bool),
         g_active=jnp.zeros(G, bool),
         clock=jnp.zeros((), jnp.int32),

@@ -26,7 +26,8 @@ from ..engine.state import EngineArrays
 #: EngineArrays fields whose leading axis is the voice axis
 _VOICE_FIELDS = (
     "v_used", "v_active", "v_track", "v_pos", "v_vel", "v_gain", "v_group",
-    "v_tempo", "s_on", "s_period", "s_stepmask", "s_chance", "s_jitter",
+    "v_tempo", "p_kind", "p_period", "p_stepmask", "p_chance", "p_jitter",
+    "p_depth",
 )
 
 

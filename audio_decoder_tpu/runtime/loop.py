@@ -120,9 +120,11 @@ class EngineLoop:
         used = np.asarray(st.v_used)
         active = np.asarray(st.v_active) & used
         # `draining` counts only non-sequenced voices: a running sequencer
-        # retriggers its voice forever (render.py keeps s_on voices
+        # retriggers its voice forever (render.py keeps seq-chained voices
         # active), so a play-out wait keyed on `playing` would never end.
-        seq = np.asarray(st.s_on)
+        from ..engine.state import PROC_SEQ
+
+        seq = (np.asarray(st.p_kind) == PROC_SEQ).any(axis=1)
         self.status = dict(
             voices=int(used.sum()),
             playing=int(active.sum()),
@@ -152,9 +154,9 @@ _MARKERS = "^X v>X<Z".replace(" ", "")  # spinner glyphs (runtime.rs:56-63)
 
 _VERBS = (
     "load", "start", "pause", "resume", "stop", "unload", "velocity",
-    "group", "tc", "seq", "quit",
+    "group", "tc", "seq", "trem", "quit",
 )
-_FLAGS = ("-v", "-g", "-t", "-p", "-s", "-c", "-j")
+_FLAGS = ("-v", "-g", "-t", "-p", "-s", "-c", "-j", "-d")
 
 
 def complete_line(reg, buf: list, cur: int) -> tuple[list, int]:

@@ -273,3 +273,155 @@ def test_seq_jitter_stable_across_block_sizes():
         outs.append(audio)
     n = min(len(outs[0]), len(outs[1]))  # whole blocks only: 896 vs 960
     assert np.array_equal(outs[0][:n], outs[1][:n])
+
+
+def test_trem_modulates_gain_on_tempo_grid():
+    """PROC_TREM: a tempo-synced raised-cosine gain LFO — unity at the
+    lane's phase 0, dipping to 1-depth mid-cycle (the second process
+    kind on the chain axis of processes.rs:12-50)."""
+    const = np.full((4000, 1), 0.5, np.float32)
+    st, reg, proc = _engine({"c": const})
+    # interval 100 samples, LFO period 4 steps -> 400-sample cycle
+    st = _run(st, reg, proc, [
+        "load c -t s:100",
+        "trem c -p 4 -d 0.8",
+        "start -v c",
+    ])
+    audio, st = render_seconds(st, 2.0, RATE, 1, block=128)
+    a = audio[:, 0]
+    # phase 0: unity gain
+    assert abs(a[0] - 0.5) < 1e-5
+    # mid-cycle (200 samples in): gain dips to 1-depth = 0.2
+    assert abs(a[200] - 0.5 * 0.2) < 1e-3
+    # full cycle (400): back to unity
+    assert abs(a[400] - 0.5) < 1e-3
+    # periodicity
+    np.testing.assert_allclose(a[:400], a[400:800], atol=1e-4)
+
+
+def test_seq_and_trem_together_on_one_voice():
+    """Two process kinds active on ONE voice: the sequencer retriggers
+    clicks on the tempo grid while the tremolo scales their gain — the
+    chain evaluates every slot (processes.rs:69's per-process walk)."""
+    click = np.zeros((1000, 1), np.float32)
+    click[0] = 1.0
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, [
+        "load k -t s:100",
+        "seq k -p 1 -s 0",          # every 100-sample step
+        "trem k -p 4 -d 1.0",       # 400-sample LFO, full depth
+        "start -v k",
+    ])
+    import numpy as _np
+    kinds = _np.asarray(st.p_kind[int(reg.voices["k"])])
+    assert sorted(k for k in kinds if k) == [ES.PROC_SEQ, ES.PROC_TREM]
+    audio, st = render_seconds(st, 1.2, RATE, 1, block=128)
+    hits = np.nonzero(np.abs(audio[:, 0]) > 1e-6)[0]
+    # clicks still land on the 100-sample sequencer grid (the mid-cycle
+    # clicks vanish entirely: full-depth trem dips them to exactly 0)
+    assert len(hits) >= 9 and all(h % 100 == 0 for h in hits)
+    vals = audio[hits, 0]
+    # trem scales each click by the LFO: step 0 -> 1.0, step 2 (mid) -> 0.0
+    assert abs(vals[0] - 1.0) < 1e-3
+    assert abs(audio[200, 0]) < 1e-3  # mid-cycle click fully dipped
+    assert abs(audio[400, 0] - 1.0) < 1e-3  # next cycle back to unity
+
+
+def test_proc_slot_reuse_and_exhaustion():
+    """Re-issuing `seq` reconfigures the existing SEQ slot; exhausting
+    MAX_PROCS distinct kinds errors cleanly."""
+    click = np.zeros((100, 1), np.float32)
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, ["load k -t s:50", "seq k -p 2 -s 0"])
+    v = reg.voices["k"]
+    st2 = _run(st, reg, proc, ["seq k -p 4 -s 1"])  # reuse, not new slot
+    kinds = np.asarray(st2.p_kind[v])
+    assert (kinds == ES.PROC_SEQ).sum() == 1
+    assert int(st2.p_period[v, 0]) == 4
+    # fill every slot: 1 seq + 3 trems... trem also reuses its own slot,
+    # so force exhaustion by hand-filling the chain
+    import dataclasses
+    full = dataclasses.replace(
+        st, p_kind=st.p_kind.at[v].set(
+            jnp.full((ES.MAX_PROCS,), ES.PROC_TREM, jnp.int32))
+    )
+    with pytest.raises(EC.CmdErr, match="free process slot"):
+        EC.apply(full, reg, proc.parse("seq k -p 2 -s 0"))
+
+
+def test_checkpoint_v1_migrates_to_process_chains(tmp_path):
+    """A version-1 checkpoint (single s_* sequencer arrays) loads via the
+    migration chain: the sequencer lands in slot 0 as PROC_SEQ."""
+    import json
+    from audio_decoder_tpu.engine import checkpoint as CK
+
+    click = np.zeros((200, 1), np.float32)
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, ["load k -t s:100", "seq k -p 2 -s 0,1 -c a:0.5"])
+    path = str(tmp_path / "ck")
+    CK.save_state(path, st, reg)
+    # rewrite as a v1 checkpoint: p_* -> s_* slot-0 views
+    z = dict(np.load(path + ".npz"))
+    v1 = {k: v for k, v in z.items() if not k.startswith("p_")}
+    v1["s_on"] = (z["p_kind"][:, 0] == ES.PROC_SEQ)
+    v1["s_period"] = z["p_period"][:, 0]
+    v1["s_stepmask"] = z["p_stepmask"][:, 0]
+    v1["s_chance"] = z["p_chance"][:, 0]
+    v1["s_jitter"] = z["p_jitter"][:, 0]
+    np.savez_compressed(path + ".npz", **v1)
+    meta = json.load(open(path + ".json"))
+    meta["version"] = 1
+    json.dump(meta, open(path + ".json", "w"))
+
+    st2, reg2 = CK.load_state(path)
+    np.testing.assert_array_equal(np.asarray(st2.p_kind), np.asarray(st.p_kind))
+    np.testing.assert_array_equal(np.asarray(st2.p_chance),
+                                  np.asarray(st.p_chance))
+    assert reg2.voices == reg.voices
+
+
+def test_checkpoint_v1_without_jitter_field(tmp_path):
+    """The v1 mid-version default (s_jitter) still applies through the
+    general defaulting rule before migration."""
+    import json
+    from audio_decoder_tpu.engine import checkpoint as CK
+
+    click = np.zeros((200, 1), np.float32)
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, ["load k -t s:100", "seq k -p 2 -s 0"])
+    path = str(tmp_path / "ck")
+    CK.save_state(path, st, reg)
+    z = dict(np.load(path + ".npz"))
+    v1 = {k: v for k, v in z.items() if not k.startswith("p_")}
+    v1["s_on"] = (z["p_kind"][:, 0] == ES.PROC_SEQ)
+    v1["s_period"] = z["p_period"][:, 0]
+    v1["s_stepmask"] = z["p_stepmask"][:, 0]
+    v1["s_chance"] = z["p_chance"][:, 0]
+    np.savez_compressed(path + ".npz", **v1)  # NO s_jitter
+    meta = json.load(open(path + ".json"))
+    meta["version"] = 1
+    json.dump(meta, open(path + ".json", "w"))
+    st2, _ = CK.load_state(path)
+    assert not np.asarray(st2.p_jitter).any()
+    np.testing.assert_array_equal(np.asarray(st2.p_kind), np.asarray(st.p_kind))
+
+
+def test_checkpoint_stripped_optional_fields_load(tmp_path):
+    """Every optional (defaultable) field can be missing from the npz and
+    the checkpoint still loads with its documented default — the general
+    version-keyed rule, not a per-field special case."""
+    from audio_decoder_tpu.engine import checkpoint as CK
+
+    click = np.zeros((200, 1), np.float32)
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, ["load k"])
+    path = str(tmp_path / "ck")
+    CK.save_state(path, st, reg)
+    z = dict(np.load(path + ".npz"))
+    for name in ("p_kind", "p_period", "p_stepmask", "p_chance",
+                 "p_jitter", "p_depth"):
+        z.pop(name)
+    np.savez_compressed(path + ".npz", **z)
+    st2, _ = CK.load_state(path)
+    assert not np.asarray(st2.p_kind).any()
+    assert np.asarray(st2.p_period).shape == (ES.MAX_VOICES, ES.MAX_PROCS)
