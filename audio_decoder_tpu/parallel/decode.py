@@ -15,10 +15,35 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from ..codecs import aiff as aiff_codec
 from ..codecs import wav as wav_codec
 from ..dsp.consensus import consensus_config
 from ..ops.unpack import unpack_pcm
+from .mesh import pad_to_multiple
+
+
+def pad_batch(bufs, lens, multiple: int):
+    """Pad the file axis to a multiple of the mesh's data-axis size.
+
+    Sharding requires B % data == 0; uneven batches append zero-length
+    rows which the parsers reject (err != 0, n_frames == 0), so padding
+    rows contribute nothing to consensus or frame totals.  Returns
+    (bufs, lens, valid) with valid[b] False on padding — host-side
+    numpy, applied before the device transfer."""
+    bufs = np.asarray(bufs)
+    lens = np.asarray(lens)
+    B = bufs.shape[0]
+    Bp = pad_to_multiple(max(B, 1), multiple)
+    valid = np.zeros((Bp,), bool)
+    valid[:B] = True
+    if Bp == B:
+        return bufs, lens, valid
+    bufs = np.concatenate(
+        [bufs, np.zeros((Bp - B,) + bufs.shape[1:], bufs.dtype)])
+    lens = np.concatenate([lens, np.zeros((Bp - B,), lens.dtype)])
+    return bufs, lens, valid
 
 
 @functools.partial(
@@ -85,6 +110,21 @@ def sharded_mp3_decode_fn(mesh: Mesh, *, channels: int, joint_stereo: bool,
         )
 
     return jax.jit(step, in_shardings=(data,) * 16, out_shardings=data)
+
+
+def sharded_l12_fn(mesh: Mesh, *, channels: int, steps: int):
+    """Bind the Layer I/II subband synthesis to a mesh: the per-file axis
+    of codes/classes/scalefactors shards over 'data' (like the fused L3
+    path, decode is collective-free data parallelism)."""
+    from ..codecs.mpeg.layer12 import l12_synthesize
+
+    data = NamedSharding(mesh, P("data"))
+
+    def step(codes, cls, sf_idx):
+        return l12_synthesize(codes, cls, sf_idx, channels=channels,
+                              steps=steps)
+
+    return jax.jit(step, in_shardings=(data, data, data), out_shardings=data)
 
 
 def sharded_decode_fn(mesh: Mesh, **static):

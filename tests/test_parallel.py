@@ -123,3 +123,69 @@ def test_voice_sharded_render_matches_single(mesh8):
         np.testing.assert_allclose(
             np.asarray(blk), ref_blocks[i], atol=2e-6
         )
+
+
+def test_uneven_batch_pads_and_masks(mesh8, rng):
+    """B % data_axis != 0: pad_batch appends zero-length rows; the real
+    files decode bit-exact, padding rows error out, and consensus is
+    unaffected by them."""
+    from audio_decoder_tpu.io.assets import pack_bytes
+    from audio_decoder_tpu.parallel.decode import pad_batch
+
+    n_files = 5  # data axis is 4 -> pads to 8
+    frames = 512
+    blobs, refs = [], []
+    for _ in range(n_files):
+        pcm = np.clip(rng.standard_normal((frames, 2)) * 8000,
+                      -32768, 32767).astype(np.int16)
+        blobs.append(make_wav(pcm, 44100))
+        refs.append(pcm)
+    bufs, lens = pack_bytes(blobs)
+    data_size = mesh8.shape["data"]
+    assert n_files % data_size != 0
+    bufs_p, lens_p, valid = pad_batch(bufs, lens, data_size)
+    assert bufs_p.shape[0] % data_size == 0
+    assert valid.sum() == n_files
+
+    fn = sharded_decode_fn(mesh8, bits=16, channels=2, max_frames=frames,
+                           family="wav")
+    with mesh8:
+        pcm, meta, rate, ch = fn(jnp.asarray(bufs_p), jnp.asarray(lens_p))
+        jax.block_until_ready(pcm)
+    errs = np.asarray(meta["err"])
+    assert (errs[valid] == 0).all()
+    assert (errs[~valid] != 0).all()
+    assert int(np.asarray(meta["n_frames"])[~valid].sum()) == 0
+    # consensus collective ignored the padding rows
+    assert int(rate) == 44100 and int(ch) == 2
+    for i, ref in enumerate(refs):
+        got = np.round(np.asarray(pcm[i]) * 32768.0).astype(np.int16)
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not CR.have_twolame(), reason="twolame unavailable")
+def test_sharded_layer2_matches_single(mesh8, rng):
+    """Layer II subband synthesis dp-sharded over the mesh equals the
+    single-device path."""
+    from audio_decoder_tpu.codecs.mpeg import layer12 as L12
+    from audio_decoder_tpu.parallel.decode import sharded_l12_fn
+
+    s = 0.3 * rng.standard_normal(1152 * 3)
+    pcm16 = np.clip(np.stack([s, np.roll(s, 13) * 0.7], 1) * 30000,
+                    -32768, 32767).astype(np.int16)
+    blob = CR.twolame_encode(pcm16, 44100, 192)
+    an = L12.analyze_l2(blob)
+    B = 8
+    codes = np.broadcast_to(an.codes, (B,) + an.codes.shape).copy()
+    cls = np.broadcast_to(an.cls, (B,) + an.cls.shape).copy()
+    sf = np.broadcast_to(an.sf_idx, (B,) + an.sf_idx.shape).copy()
+    single = L12.l12_synthesize(
+        jnp.asarray(codes[:1]), jnp.asarray(cls[:1]), jnp.asarray(sf[:1]),
+        channels=an.channels, steps=an.steps_per_frame)
+    fn = sharded_l12_fn(mesh8, channels=an.channels, steps=an.steps_per_frame)
+    with mesh8:
+        pcm = fn(codes, cls, sf)
+        jax.block_until_ready(pcm)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(pcm[b]), np.asarray(single[0]), atol=1e-6)
