@@ -28,17 +28,10 @@ from ..ops.unpack import unpack_pcm
 from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import wav as wav_codec
-from .mpeg import decoder as mpeg_codec
 
-_FAMILY_BY_EXT = {
-    "wav": "wav",
-    "aif": "aiff",
-    "aiff": "aiff",
-    "mp3": "mp3",
-    "mp2": "mp3",  # Layer II routes through the MPEG family decoder
-    "mp1": "mp3",  # Layer I likewise
-}
-
+# family name → (vectorized header parser, unpack-config fn, big_endian)
+# for the PCM container families; extension routing lives in the model
+# registry (audio_decoder_tpu.models.MODELS — the one dispatch surface)
 _PARSERS = {
     "wav": (wav_codec.parse_meta_batch, wav_codec.unpack_args, False),
     "aiff": (aiff_codec.parse_meta_batch, aiff_codec.unpack_args, True),
@@ -66,7 +59,7 @@ def _error_batch(names, formats, codes) -> AudioBatch:
     )
 
 
-def _decode_pcm_family(
+def decode_pcm_family(
     family: str, assets: list[Asset]
 ) -> list[tuple[list[int], AudioBatch]]:
     """Decode one WAV/AIFF family batch.
@@ -140,16 +133,21 @@ def _decode_pcm_family(
 
 
 def decode_assets(assets: Sequence[Asset]) -> AudioBatch:
-    """Decode a mixed list of assets into one ``AudioBatch`` (asset order)."""
+    """Decode a mixed list of assets into one ``AudioBatch`` (asset order).
+
+    Routing goes through the model registry (models.MODELS), the single
+    extension→decoder dispatch surface."""
+    from .. import models  # late: models binds this module's family fns
+
     assets = list(assets)
     by_family: dict[str, list[int]] = {}
     unknown: list[int] = []
     for i, a in enumerate(assets):
-        fam = _FAMILY_BY_EXT.get(a.ext)
-        if fam is None:
+        m = models.for_extension(a.ext)
+        if m is None:
             unknown.append(i)  # ≙ "unsupported format" skip, main.rs:73-76
         else:
-            by_family.setdefault(fam, []).append(i)
+            by_family.setdefault(m.name, []).append(i)
 
     pieces: list[tuple[list[int], AudioBatch]] = []
     if unknown:
@@ -166,12 +164,8 @@ def decode_assets(assets: Sequence[Asset]) -> AudioBatch:
 
     for fam, idxs in by_family.items():
         fam_assets = [assets[i] for i in idxs]
-        fam_pieces: list[tuple[list[int], AudioBatch]] = []
         with TRACE.stage(f"decode/{fam}"):
-            if fam in _PARSERS:
-                fam_pieces = list(_decode_pcm_family(fam, fam_assets))
-            elif fam == "mp3":
-                fam_pieces = list(mpeg_codec.decode_group(fam_assets))
+            fam_pieces = list(models.MODELS[fam].decode_group(fam_assets))
         for local_idxs, batch in fam_pieces:
             # decoded audio-seconds counter (SURVEY §5: per-batch
             # audio-sec/sec observability the reference lacks)

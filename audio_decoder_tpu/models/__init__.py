@@ -1,34 +1,40 @@
-"""Codec model families — the decode-model registry.
+"""Codec model families — THE decode dispatch surface.
 
 Each supported container/codec family is a "model": a host-side probe,
-an optional native front-end, and a jitted device decode program.  This
-module is the stable lookup surface over them (the extension dispatch in
-``codecs.registry`` routes through the same implementations).
+an optional native front-end, and a jitted device decode program, bound
+here as a real ``decode_group`` callable.  ``codecs.registry`` routes
+every asset through this table (extension → model → decode_group), so
+there is exactly one dispatch surface (≙ the extension match of the
+reference's entry loop, blast/src/main.rs:38-77).
 
 Families:
   wav  — RIFF/WAVE: vectorized chunk parse + fused PCM unpack (8/16/24/32
-         bit + IEEE float), little-endian (codecs/wav.py).
-  aiff — FORM/AIFF: big-endian PCM + IEEE-80 rates (codecs/aiff.py).
-  mp3  — MPEG-1/2/2.5 Layer III: host frame/side-info walk (C++ mp3fe or
-         pure Python) + full on-device entropy decode and synthesis
-         (codecs/mpeg/) — the reference's decode TODO, completed.
-  mp2/mp1 — MPEG Layers II and I: host fixed-width subband parse +
-         jitted requantize feeding the same polyphase synthesis
-         (codecs/mpeg/layer12.py); layer-routed automatically, so a
-         .mp3-named Layer II stream still decodes.
+         bit + IEEE float + A/µ-law), little-endian (codecs/wav.py).
+  aiff — FORM/AIFF: big-endian PCM + IEEE-80 rates, AIFF-C codecs
+         (codecs/aiff.py).
+  mp3  — MPEG-1/2/2.5 Layers I/II/III: host frame/side-info walk (C++
+         mp3fe or pure Python) + full on-device entropy decode and
+         synthesis (codecs/mpeg/) — the reference's decode TODO,
+         completed; layer-routed automatically, so a .mp3-named Layer II
+         stream still decodes.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
+from ..codecs import registry as _registry
 from ..codecs.mpeg import decoder as _mpeg
 
 
 @dataclasses.dataclass(frozen=True)
 class CodecModel:
-    """One decode family: name, extensions, group decoder."""
+    """One decode family: name, extensions, group decoder.
+
+    ``decode_group(assets) -> [(family_local_indices, AudioBatch), ...]``
+    — the same piece contract every family decoder returns."""
 
     name: str
     extensions: tuple
@@ -39,12 +45,12 @@ class CodecModel:
 MODELS = {
     "wav": CodecModel(
         name="wav", extensions=("wav",),
-        decode_group=None,  # PCM families decode via codecs.registry
+        decode_group=functools.partial(_registry.decode_pcm_family, "wav"),
         bit_exact=True,
     ),
     "aiff": CodecModel(
         name="aiff", extensions=("aif", "aiff"),
-        decode_group=None,
+        decode_group=functools.partial(_registry.decode_pcm_family, "aiff"),
         bit_exact=True,
     ),
     "mp3": CodecModel(
