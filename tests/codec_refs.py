@@ -196,3 +196,55 @@ def twolame_encode(
     assert n2 >= 0
     L.twolame_close(C.byref(C.c_void_p(opts.value)))
     return bytes(out[: n + n2])
+
+
+# ---------------------------------------------------------------- ffdec
+# Second oracle: ffmpeg's mp3float decoder (an implementation family
+# independent of mpg123), via the tests/ffdec.c shim built lazily here.
+
+_ffdec = None
+
+
+def have_ffdec() -> bool:
+    global _ffdec
+    if _ffdec is None:
+        import os
+        import subprocess
+
+        d = os.path.dirname(os.path.abspath(__file__))
+        src = os.path.join(d, "ffdec.c")
+        so = os.path.join(d, "libffdec.so")
+        try:
+            if not os.path.exists(so) or (
+                os.path.getmtime(so) < os.path.getmtime(src)
+            ):
+                subprocess.run(
+                    ["gcc", "-O2", "-fPIC", "-shared", src, "-o", so,
+                     "-lavcodec", "-lavutil"],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = C.CDLL(so)
+            lib.ffdec_decode.restype = C.c_int64
+            lib.ffdec_decode.argtypes = [
+                C.c_char_p, C.c_int64, C.POINTER(C.c_float), C.c_int64,
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+            ]
+            _ffdec = lib
+        except Exception:
+            _ffdec = False
+    return bool(_ffdec)
+
+
+def ffdec_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode MPEG audio via libavcodec → (f32 [frames, ch], rate)."""
+    assert have_ffdec()
+    max_frames = len(blob) * 32 + (1 << 17)  # generous bound
+    out = np.zeros((max_frames * 2,), np.float32)
+    ch = C.c_int(0)
+    rate = C.c_int(0)
+    n = _ffdec.ffdec_decode(
+        blob, len(blob), out.ctypes.data_as(C.POINTER(C.c_float)),
+        max_frames, C.byref(ch), C.byref(rate))
+    assert n >= 0, f"ffdec error {n}"
+    c = max(ch.value, 1)
+    return out[: n * c].reshape(n, c).copy(), rate.value

@@ -1,0 +1,75 @@
+// ffdec — minimal MPEG-audio → float PCM decode via libavcodec.
+//
+// Test-only SECOND ORACLE: ffmpeg's mp3float decoder is an independent
+// implementation family from mpg123, so conformance can be measured
+// against two unrelated decoders instead of one (tests/test_compliance.py).
+// Built lazily by tests/codec_refs.py when libavcodec headers/libs exist.
+
+#include <libavcodec/avcodec.h>
+#include <libavutil/frame.h>
+#include <stdint.h>
+#include <string.h>
+
+static void copy_frame(const AVCodecContext* ctx, const AVFrame* frame,
+                       float* out, int64_t max_frames, int64_t* written,
+                       int* ch_out) {
+  int ch = ctx->ch_layout.nb_channels;
+  if (ch <= 0 || ch > 2) return;
+  *ch_out = ch;
+  for (int i = 0; i < frame->nb_samples; i++) {
+    if (*written >= max_frames) return;
+    for (int c = 0; c < ch; c++) {
+      float v = 0.0f;
+      if (frame->format == AV_SAMPLE_FMT_FLTP)
+        v = ((const float*)frame->extended_data[c])[i];
+      else if (frame->format == AV_SAMPLE_FMT_FLT)
+        v = ((const float*)frame->extended_data[0])[i * ch + c];
+      else if (frame->format == AV_SAMPLE_FMT_S16P)
+        v = ((const int16_t*)frame->extended_data[c])[i] / 32768.0f;
+      else if (frame->format == AV_SAMPLE_FMT_S16)
+        v = ((const int16_t*)frame->extended_data[0])[i * ch + c] / 32768.0f;
+      out[*written * ch + c] = v;
+    }
+    (*written)++;
+  }
+}
+
+// Decode an MPEG audio blob (Layer I/II/III). Returns decoded frame
+// count (>= 0) or a negative error; out is interleaved [frames, ch].
+int64_t ffdec_decode(const uint8_t* data, int64_t len, float* out,
+                     int64_t max_frames, int* channels_out, int* rate_out) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_MP3);
+  if (!codec) return -1;
+  AVCodecParserContext* parser = av_parser_init(codec->id);
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!parser || !ctx) return -2;
+  if (avcodec_open2(ctx, codec, NULL) < 0) return -3;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  int ch = 0;
+  const uint8_t* p = data;
+  int64_t remaining = len;
+  while (remaining > 0) {
+    int used = av_parser_parse2(parser, ctx, &pkt->data, &pkt->size, p,
+                                (int)remaining, AV_NOPTS_VALUE,
+                                AV_NOPTS_VALUE, 0);
+    if (used < 0) break;
+    p += used;
+    remaining -= used;
+    if (pkt->size && avcodec_send_packet(ctx, pkt) == 0) {
+      while (avcodec_receive_frame(ctx, frame) == 0)
+        copy_frame(ctx, frame, out, max_frames, &written, &ch);
+    }
+  }
+  avcodec_send_packet(ctx, NULL);  // flush
+  while (avcodec_receive_frame(ctx, frame) == 0)
+    copy_frame(ctx, frame, out, max_frames, &written, &ch);
+  *channels_out = ch;
+  *rate_out = ctx->sample_rate;
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  av_parser_close(parser);
+  return written;
+}
