@@ -53,7 +53,11 @@ def _load():
         lib.spsc_pop.argtypes = [C.c_void_p, C.c_char_p]
         lib.sink_open.restype = C.c_void_p
         lib.sink_open.argtypes = [C.c_char_p, C.c_int, C.c_int]
+        lib.sink_open_mode.restype = C.c_void_p
+        lib.sink_open_mode.argtypes = [C.c_char_p, C.c_int, C.c_int, C.c_int]
         lib.sink_is_null.argtypes = [C.c_void_p]
+        lib.sink_mode.argtypes = [C.c_void_p]
+        lib.sink_write.restype = C.c_int
         lib.sink_write.argtypes = [C.c_void_p, C.POINTER(C.c_int16), C.c_int]
         lib.sink_close.argtypes = [C.c_void_p]
         _lib = lib
@@ -107,7 +111,11 @@ class Sink:
     null sink; optional capture buffer for tests/offline rendering."""
 
     def __init__(self, device: str, rate: int, channels: int,
-                 capture: bool = False, realtime: bool = True):
+                 capture: bool = False, realtime: bool = True,
+                 mode: str = "auto"):
+        """mode: "auto" (mmap with writei fallback, like the reference's
+        MMAP_INTERLEAVED device, runtime.rs:267-295), "writei", or
+        "mmap" (required — null sink if unsupported)."""
         self.rate = rate
         self.channels = channels
         self.capture = [] if capture else None
@@ -116,7 +124,8 @@ class Sink:
         lib = _load()
         self._lib = lib
         if lib is not None and realtime:
-            self._h = lib.sink_open(device.encode(), rate, channels)
+            m = {"auto": 0, "writei": 1, "mmap": 2}[mode]
+            self._h = lib.sink_open_mode(device.encode(), rate, channels, m)
 
     @property
     def is_hardware(self) -> bool:
@@ -125,6 +134,14 @@ class Sink:
             and self._lib is not None
             and self._lib.sink_is_null(self._h) == 0
         )
+
+    @property
+    def mode(self) -> str:
+        """"null", "writei" or "mmap" — which device path is active."""
+        if self._h is None or self._lib is None:
+            return "null"
+        return {0: "null", 1: "writei", 2: "mmap"}[
+            int(self._lib.sink_mode(self._h))]
 
     def write(self, block: np.ndarray) -> None:
         """block: f32 [frames, channels] in [-1, 1]."""

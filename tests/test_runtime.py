@@ -408,3 +408,123 @@ def test_decode_trace_counters():
     assert s.calls == 1 and s.seconds > 0
     assert abs(s.items - 0.1) < 1e-6  # 4410 frames @ 44.1 kHz
     assert "decode/wav" in TRACE.report()
+
+
+# ---------------------------------------------------------------- ALSA sink
+# Device-path tests against a scriptable fake libasound (tests/alsastub.c,
+# injected via BLAST_ALSA_LIB) — the xrun/zero-write/mmap paths run
+# without hardware, unlike the reference whose hw:0,0 coupling made its
+# tests unrunnable (SURVEY §4).
+
+
+def _stub_lib():
+    import ctypes as C
+    import os
+    import subprocess
+
+    d = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(d, "alsastub.c")
+    so = os.path.join(d, "libalsastub.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(["gcc", "-O2", "-fPIC", "-shared", src, "-o", so],
+                       check=True, capture_output=True, timeout=120)
+    lib = C.CDLL(so)
+    lib.stub_captured_samples.restype = C.c_long
+    lib.stub_read_capture.argtypes = [C.POINTER(C.c_int16), C.c_long]
+    return so, lib
+
+
+@pytest.fixture()
+def alsa_stub(monkeypatch):
+    so, lib = _stub_lib()
+    monkeypatch.setenv("BLAST_ALSA_LIB", so)
+    lib.stub_reset()
+    yield lib
+
+
+def _stub_capture(lib) -> np.ndarray:
+    import ctypes as C
+
+    n = int(lib.stub_captured_samples())
+    out = np.zeros(n, np.int16)
+    lib.stub_read_capture(out.ctypes.data_as(C.POINTER(C.c_int16)), n)
+    return out
+
+
+def test_sink_mmap_geometry_and_data(alsa_stub):
+    """Auto mode selects mmap on a capable device, applies the
+    reference's explicit geometry (period 128, buffer 4x, stop=boundary,
+    start=avail_min=period; runtime.rs:267-315), and the committed
+    samples are bit-identical to the blocks written."""
+    import ctypes as C
+
+    sink = Sink("hw:0,0", 44100, 2)
+    assert sink.mode == "mmap"
+    lib = alsa_stub
+    assert C.c_long.in_dll(lib, "stub_hw_period").value == 128
+    assert C.c_long.in_dll(lib, "stub_hw_buffer").value == 512
+    assert C.c_int.in_dll(lib, "stub_hw_access").value == 0  # MMAP_INTERLEAVED
+    assert C.c_int.in_dll(lib, "stub_hw_format").value == 2  # S16_LE
+    boundary = C.c_ulong.in_dll(lib, "stub_boundary_value").value
+    assert C.c_ulong.in_dll(lib, "stub_sw_stop").value == boundary
+    assert C.c_ulong.in_dll(lib, "stub_sw_start").value == 128
+    assert C.c_ulong.in_dll(lib, "stub_sw_avail").value == 128
+    rng = np.random.default_rng(3)
+    blocks = [rng.uniform(-0.5, 0.5, (333, 2)).astype(np.float32)
+              for _ in range(5)]
+    for b in blocks:
+        sink.write(b)
+    got = _stub_capture(lib)
+    want = np.concatenate([
+        np.clip(np.round(b * 32767.0), -32768, 32767).astype(np.int16)
+        for b in blocks
+    ]).reshape(-1)
+    np.testing.assert_array_equal(got, want)
+    assert C.c_int.in_dll(lib, "stub_start_calls").value >= 1
+    sink.close()
+
+
+def test_sink_mmap_xrun_recovery(alsa_stub):
+    """-EPIPE from avail_update recovers (snd_pcm_recover + prepare,
+    runtime.rs:331-339) and the write still completes with no data
+    loss."""
+    import ctypes as C
+
+    sink = Sink("hw:0,0", 44100, 2)
+    assert sink.mode == "mmap"
+    lib = alsa_stub
+    C.c_int.in_dll(lib, "stub_inject_epipe_avail").value = 2
+    block = np.full((256, 2), 0.25, np.float32)
+    sink.write(block)
+    assert C.c_int.in_dll(lib, "stub_recover_calls").value == 2
+    assert len(_stub_capture(lib)) == 256 * 2
+    sink.close()
+
+
+def test_sink_writei_zero_write_backoff_and_recovery(alsa_stub):
+    """The writei fallback path: zero-frame accepts back off and retry;
+    -EPIPE recovers; all frames land exactly once."""
+    import ctypes as C
+
+    sink = Sink("hw:0,0", 44100, 2, mode="writei")
+    assert sink.mode == "writei"
+    lib = alsa_stub
+    C.c_int.in_dll(lib, "stub_inject_zero_writes").value = 3
+    C.c_int.in_dll(lib, "stub_inject_epipe_writes").value = 1
+    rng = np.random.default_rng(5)
+    block = rng.uniform(-0.5, 0.5, (200, 2)).astype(np.float32)
+    sink.write(block)
+    assert C.c_int.in_dll(lib, "stub_recover_calls").value == 1
+    got = _stub_capture(lib)
+    want = np.clip(np.round(block * 32767.0), -32768, 32767).astype(
+        np.int16).reshape(-1)
+    np.testing.assert_array_equal(got, want)
+    sink.close()
+
+
+def test_sink_mode_flags(alsa_stub):
+    """mode="mmap" requires mmap; mode="writei" never uses it; auto
+    prefers mmap when the device supports it."""
+    assert Sink("hw:0,0", 44100, 2, mode="mmap").mode == "mmap"
+    assert Sink("hw:0,0", 44100, 2, mode="writei").mode == "writei"
+    assert Sink("hw:0,0", 44100, 2, mode="auto").mode == "mmap"
