@@ -20,6 +20,7 @@ import numpy as np
 
 from .state import (
     MAX_PROCS, MAX_STEPS, PROC_SEQ, EngineArrays, HostRegistry,
+    build_track_rows,
 )
 
 _VERSION = 2
@@ -68,6 +69,9 @@ _FIELD_DEFAULTS: dict = {
                                                        np.float32)),
     },
     2: {
+        # derived data need not ship in the checkpoint
+        "track_rows": lambda z: np.asarray(
+            build_track_rows(jnp.asarray(z["tracks"], jnp.float32))),
         # every process-chain field defaults to "empty chain" so a
         # stripped v2 npz still loads
         "p_kind": lambda z: np.zeros(

@@ -153,20 +153,34 @@ def render_block(
     audible = sounding[:, None] & in_range  # [V, F]
 
     S = st.tracks.shape[1]
+    C_t = st.tracks.shape[2]
     base = jnp.clip(jnp.floor(pos).astype(i32), 0, S - 1)
     frac = pos - base.astype(f32)
-    nxt = jnp.minimum(base + 1, S - 1)
-    flat = st.tracks.reshape(-1, st.tracks.shape[2])  # [T*S, C]
-    off = (st.v_track * S)[:, None]
-    s0 = flat[off + base]  # [V, F, C]
-    s1 = flat[off + nxt]
+    # ONE 8-wide row gather per (voice, frame) delivers both interp taps
+    # for every channel: row k of track_rows is flat[4k:4k+8] over the
+    # [T, S, C] store, and the window (2C consecutive samples starting at
+    # the tap's flat index) always fits one stride-4 row.  ~2.7x fewer
+    # gathered elements than the per-tap-per-channel element gathers for
+    # stereo (row gather ~1.5 element-equivalents; docs/PERFORMANCE.md).
+    # Bit-exact: at pos == end, frac == 0 zeroes the (out-of-track) s1.
+    flatbase = (st.v_track[:, None] * S + base) * C_t  # [V, F]
+    row_k = flatbase >> 2
+    o = flatbase & 3
+    row = st.track_rows[row_k]  # [V, F, 8] row gather
+    # in-row select: o in 0..3, window 2C <= 4 wide — static slices + a
+    # 4-way select tree (elementwise; no per-element gather)
+    cands = [row[..., s:s + 2 * C_t] for s in range(4)]
+    taps = cands[3]
+    for s_off in (2, 1, 0):
+        taps = jnp.where((o == s_off)[..., None], cands[s_off], taps)
+    s0 = taps[..., :C_t]  # [V, F, C]
+    s1 = taps[..., C_t:]
     smp = s0 + (s1 - s0) * frac[..., None]  # [V, F, C]
 
     # channel routing: output channel c reads track channel min(c, C-1) —
     # out <= C slices, out > C repeats the last channel, and 1-channel
     # tracks fan out to every output (engine.rs:419-427), so the block
     # always honors the [frames, out_channels] contract
-    C_t = st.tracks.shape[2]
     smp = smp[:, :, jnp.minimum(jnp.arange(out_channels), C_t - 1)]
     mono = (st.track_ch[st.v_track] == 1)[:, None, None]
     smp = jnp.where(mono, smp[:, :, :1], smp)
@@ -182,7 +196,8 @@ def render_block(
     active_next = st.v_active & (~sounding | has_seq | ~ran_off)
 
     st2 = EngineArrays(
-        tracks=st.tracks, track_len=st.track_len, track_ch=st.track_ch,
+        tracks=st.tracks, track_rows=st.track_rows,
+        track_len=st.track_len, track_ch=st.track_ch,
         v_used=st.v_used, v_active=active_next, v_track=st.v_track,
         v_pos=pos_next, v_vel=st.v_vel, v_gain=st.v_gain, v_group=st.v_group,
         t_interval=st.t_interval, t_start=st.t_start, t_active=st.t_active,

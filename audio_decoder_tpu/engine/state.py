@@ -51,6 +51,8 @@ class EngineArrays:
 
     # tracks
     tracks: jax.Array  # f32 [T, S, C] padded decoded PCM
+    track_rows: jax.Array  # f32 [R, 8] stride-4 rows over flat tracks
+    #                        (derived; see build_track_rows)
     track_len: jax.Array  # i32 [T]
     track_ch: jax.Array  # i32 [T]
 
@@ -93,13 +95,33 @@ class EngineArrays:
     rng_key: jax.Array
 
 
+def build_track_rows(tracks: jax.Array) -> jax.Array:
+    """Stride-4, 8-wide sample rows over the flattened [T, S, C] store.
+
+    Row k = flat[4k : 4k+8].  Any two-tap interpolation window (both
+    taps, every channel, C <= 2) fits inside ONE row regardless of the
+    fractional position's alignment, so the renderer fetches a single
+    row per (voice, frame) instead of 2C element gathers — a TPU row
+    gather costs ~1.5 element-gathers but delivers 8 words
+    (docs/PERFORMANCE.md gather facts; same trick as the Huffman scan's
+    bit windows).  Built once per track load, ~2x track memory."""
+    flat = tracks.reshape(-1)
+    n = flat.shape[0]
+    pad = (-n) % 4 + 8
+    flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    a = flat.reshape(-1, 4)
+    return jnp.concatenate([a[:-1], a[1:]], axis=1)
+
+
 def empty_state(
     tracks: jax.Array, track_len, track_ch, out_channels: int
 ) -> EngineArrays:
     V, G, X = MAX_VOICES, MAX_GROUPS, MAX_CONTEXTS
     lanes = V + G + X
+    tracks = jnp.asarray(tracks, jnp.float32)
     return EngineArrays(
-        tracks=jnp.asarray(tracks, jnp.float32),
+        tracks=tracks,
+        track_rows=build_track_rows(tracks),
         track_len=jnp.asarray(track_len, jnp.int32),
         track_ch=jnp.asarray(track_ch, jnp.int32),
         v_used=jnp.zeros(V, bool),
