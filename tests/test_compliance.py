@@ -143,3 +143,33 @@ def test_compliance_table(capsys):
               f"{'vs ffmpeg':>11}")
         for sr, br, ch, r1, r2 in rows:
             print(f"{sr:>6} {br:>5} {ch:>5} {r1:>11.3e} {r2:>11.3e}")
+
+
+@pytest.mark.skipif(not (CR.have_twolame() and CR.have_ffdec()),
+                    reason="twolame/libavcodec unavailable")
+@pytest.mark.parametrize("sr,br,mode", [
+    (44100, 192, None), (48000, 256, 1), (32000, 128, 4),
+    (22050, 64, None), (24000, 96, 1), (16000, 48, 4),
+])
+def test_iso_rms_compliance_layer2(sr, br, mode):
+    """Layer II: the subband pipeline measured against BOTH oracle
+    families (mpg123 and ffmpeg decode Layer II with unrelated code)."""
+    rng = np.random.default_rng(sr)
+    n = int(sr * 0.8)
+    t = np.arange(n)
+    s = 0.25 * np.sin(2 * np.pi * 550 * t / sr) + 0.1 * rng.standard_normal(n)
+    ch = 1 if mode == 4 else 2
+    if ch == 1:
+        pcm16 = np.clip(s[:, None] * 30000, -32768, 32767).astype(np.int16)
+    else:
+        pcm16 = np.clip(np.stack([s, np.roll(s, 11) * 0.8], 1) * 30000,
+                        -32768, 32767).astype(np.int16)
+    blob = CR.twolame_encode(pcm16, sr, br, mode=mode)
+    got, gsr = _pipeline_decode(blob)
+    ref, rsr = CR.mpg123_decode(blob)  # system mpg123 decodes Layer II
+    ff, fsr = CR.ffdec_decode(blob)    # ffmpeg likewise
+    assert gsr == rsr == fsr == sr
+    r1 = _rms(got, ref[:, : got.shape[1]])
+    r2 = _rms(got, ff[:, : got.shape[1]])
+    assert r1 < ISO_LIMIT, f"{sr}: vs mpg123 {r1:.3e}"
+    assert r2 < ISO_LIMIT, f"{sr}: vs ffmpeg {r2:.3e}"
