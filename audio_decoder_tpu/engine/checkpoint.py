@@ -102,6 +102,9 @@ def save_state(path: str, st: EngineArrays, reg: HostRegistry) -> None:
     arrays = {
         f.name: np.asarray(getattr(st, f.name))
         for f in dataclasses.fields(st)
+        # derived data (2x the track store) is rebuilt on load by the
+        # version-2 defaulting rule, not shipped
+        if f.name != "track_rows"
     }
     np.savez_compressed(path + ".npz", **arrays)
     meta = dict(

@@ -264,10 +264,16 @@ class CmdProcessor:
         i = 1
         while i < len(args):
             if args[i] in ("-p", "--period") and i + 1 < len(args):
-                period = int(args[i + 1])
+                try:
+                    period = int(args[i + 1])
+                except ValueError as e:
+                    raise CmdErr(f"seq: bad period {args[i + 1]!r}") from e
                 i += 2
             elif args[i] in ("-s", "--steps") and i + 1 < len(args):
-                steps = [int(s) for s in args[i + 1].split(",")]
+                try:
+                    steps = [int(s) for s in args[i + 1].split(",")]
+                except ValueError as e:
+                    raise CmdErr(f"seq: bad steps {args[i + 1]!r}") from e
                 i += 2
             elif args[i] in ("-c", "--chance") and i + 1 < len(args):
                 chance_spec = args[i + 1]
@@ -315,7 +321,10 @@ class CmdProcessor:
         i = 1
         while i < len(args):
             if args[i] in ("-p", "--period") and i + 1 < len(args):
-                period = int(args[i + 1])
+                try:
+                    period = int(args[i + 1])
+                except ValueError as e:
+                    raise CmdErr(f"trem: bad period {args[i + 1]!r}") from e
                 i += 2
             elif args[i] in ("-d", "--depth") and i + 1 < len(args):
                 try:

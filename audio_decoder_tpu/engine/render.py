@@ -163,18 +163,28 @@ def render_block(
     # gathered elements than the per-tap-per-channel element gathers for
     # stereo (row gather ~1.5 element-equivalents; docs/PERFORMANCE.md).
     # Bit-exact: at pos == end, frac == 0 zeroes the (out-of-track) s1.
-    flatbase = (st.v_track[:, None] * S + base) * C_t  # [V, F]
-    row_k = flatbase >> 2
-    o = flatbase & 3
-    row = st.track_rows[row_k]  # [V, F, 8] row gather
-    # in-row select: o in 0..3, window 2C <= 4 wide — static slices + a
-    # 4-way select tree (elementwise; no per-element gather)
-    cands = [row[..., s:s + 2 * C_t] for s in range(4)]
-    taps = cands[3]
-    for s_off in (2, 1, 0):
-        taps = jnp.where((o == s_off)[..., None], cands[s_off], taps)
-    s0 = taps[..., :C_t]  # [V, F, C]
-    s1 = taps[..., C_t:]
+    if C_t <= 2:
+        flatbase = (st.v_track[:, None] * S + base) * C_t  # [V, F]
+        row_k = flatbase >> 2
+        o = flatbase & 3
+        row = st.track_rows[row_k]  # [V, F, 8] row gather
+        # in-row select: o in 0..3, window 2C <= 4 wide — static slices +
+        # a 4-way select tree (elementwise; no per-element gather)
+        cands = [row[..., s:s + 2 * C_t] for s in range(4)]
+        taps = cands[3]
+        for s_off in (2, 1, 0):
+            taps = jnp.where((o == s_off)[..., None], cands[s_off], taps)
+        s0 = taps[..., :C_t]  # [V, F, C]
+        s1 = taps[..., C_t:]
+    else:
+        # > 2 channels: the 2C-wide window no longer fits an 8-word row —
+        # keep the per-tap element gather (static branch: C_t is a trace
+        # constant, so only one path compiles)
+        nxt = jnp.minimum(base + 1, S - 1)
+        flat = st.tracks.reshape(-1, C_t)  # [T*S, C]
+        off = (st.v_track * S)[:, None]
+        s0 = flat[off + base]  # [V, F, C]
+        s1 = flat[off + nxt]
     smp = s0 + (s1 - s0) * frac[..., None]  # [V, F, C]
 
     # channel routing: output channel c reads track channel min(c, C-1) —

@@ -122,13 +122,19 @@ class EngineLoop:
         # `draining` counts only non-sequenced voices: a running sequencer
         # retriggers its voice forever (render.py keeps seq-chained voices
         # active), so a play-out wait keyed on `playing` would never end.
+        # It also mirrors the renderer's `sounding` group mask — a voice
+        # in a PAUSED group is not sounding, never runs off its track,
+        # and must not hold the EOF drain open.
         from ..engine.state import PROC_SEQ
 
         seq = (np.asarray(st.p_kind) == PROC_SEQ).any(axis=1)
+        grp = np.asarray(st.v_group)
+        g_act = np.asarray(st.g_active)
+        g_ok = np.where(grp >= 0, g_act[np.maximum(grp, 0)], True)
         self.status = dict(
             voices=int(used.sum()),
             playing=int(active.sum()),
-            draining=int((active & ~seq).sum()),
+            draining=int((active & ~seq & g_ok).sum()),
             groups=int(np.asarray(st.g_used).sum()),
             clock_s=float(int(st.clock) % (1 << 31)) / max(self.rate, 1),
         )

@@ -62,17 +62,21 @@ MEASURE_BUDGET_S = float(os.environ.get("BENCH_MEASURE_S", "45"))
 
 _RESULT_LOCK = threading.Lock()
 _RESULT: dict = {}
-_EMITTED = threading.Event()
+_emitted = False
 
 
 def _emit_and_exit(code: int = 0) -> None:
     """Print the best-so-far JSON line exactly once and hard-exit.
 
     os._exit is deliberate: the main thread may be wedged inside a
-    blocking tunnel call that would never let a normal exit run."""
-    if not _EMITTED.is_set():
-        _EMITTED.set()
-        with _RESULT_LOCK:
+    blocking tunnel call that would never let a normal exit run.  The
+    emitted test-and-set happens under the lock: watchdog and main
+    thread can race here, and the output contract is ONE line."""
+    global _emitted
+    with _RESULT_LOCK:
+        first = not _emitted
+        _emitted = True
+        if first:
             if _RESULT:
                 print(json.dumps(_RESULT), flush=True)
             else:

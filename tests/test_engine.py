@@ -425,3 +425,30 @@ def test_checkpoint_stripped_optional_fields_load(tmp_path):
     st2, _ = CK.load_state(path)
     assert not np.asarray(st2.p_kind).any()
     assert np.asarray(st2.p_period).shape == (ES.MAX_VOICES, ES.MAX_PROCS)
+
+
+def test_render_four_channel_tracks():
+    """Tracks with more than 2 channels render via the element-gather
+    branch (the 8-wide row window only fits 2C <= 4); review finding:
+    a 4-channel WAV used to crash render_block."""
+    rng = np.random.default_rng(9)
+    quad = (rng.standard_normal((512, 4)) * 0.1).astype(np.float32)
+    st, reg, proc = _engine({"q": quad})
+    st = _run(st, reg, proc, ["load q", "start -v q"])
+    block, st = render_block(st, frames=128, out_channels=4)
+    b = np.asarray(block)
+    assert b.shape == (128, 4)
+    np.testing.assert_allclose(b, quad[:128], atol=1e-6)
+
+
+def test_seq_and_trem_malformed_numbers_raise_cmderr():
+    """Malformed -p/-s values surface as CmdErr (the REPL catches those),
+    not ValueError (which would kill the session)."""
+    click = np.zeros((100, 1), np.float32)
+    st, reg, proc = _engine({"k": click})
+    st = _run(st, reg, proc, ["load k -t s:50"])
+    for bad in ("seq k -p abc -s 0", "seq k -p 1.5 -s 0",
+                "seq k -p 4 -s 0,x", "trem k -p abc -d 0.5",
+                "trem k -p 4 -d oops"):
+        with pytest.raises(EC.CmdErr):
+            proc.parse(bad)

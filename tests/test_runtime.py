@@ -528,3 +528,22 @@ def test_sink_mode_flags(alsa_stub):
     assert Sink("hw:0,0", 44100, 2, mode="mmap").mode == "mmap"
     assert Sink("hw:0,0", 44100, 2, mode="writei").mode == "writei"
     assert Sink("hw:0,0", 44100, 2, mode="auto").mode == "mmap"
+
+
+def test_piped_eof_with_paused_group_exits_promptly():
+    """A script that pauses a group and ends without `quit` must not
+    stall the EOF drain: paused-group members are not sounding and never
+    deactivate, so `draining` excludes them (the renderer's group mask)."""
+    import io
+    import time
+    from audio_decoder_tpu.runtime.loop import repl
+
+    loop, _ = _loop_with_tone()
+    script = io.StringIO(
+        "load tone\ngroup g -v tone\nstart -g g\npause -g g\n"
+    )
+    t0 = time.monotonic()
+    repl(loop, infile=script, outfile=io.StringIO(), drain_timeout=25.0)
+    # used to sit out the full drain timeout; now exits on the first
+    # post-command snapshot
+    assert time.monotonic() - t0 < 20.0
