@@ -165,10 +165,14 @@ def cmd_inspect(args) -> int:
     """Interactive byte/sync navigator (≙ the reference's `skiparound`
     debugging aid, mpeg.rs:305-364): n/b hunt sync words, f steps a whole
     frame via the parsed header, +N/-N move bytes, q quits."""
-    from .codecs.mpeg.frontend import crc_check, parse_header
+    from .codecs.mpeg.frontend import crc_check, lame_gapless, parse_header
 
     with open(args.file, "rb") as fh:
         blob = fh.read()
+    gl = lame_gapless(blob)
+    if gl:
+        print(f"LAME tag: delay={gl['delay']} padding={gl['padding']}"
+              f" frames={gl['frames']} (gapless trim available)")
     cur = 0
 
     def show():

@@ -556,3 +556,32 @@ def decode_group_hosthuff(
         pieces.append((got_idxs, batch))
 
     return pieces
+
+
+#: standard MDCT + synthesis filterbank decoder delay (samples): the
+#: first 529 output samples of any conformant decoder are filter warm-up
+DECODER_DELAY = 529
+
+
+def gapless_bounds(blob: bytes, total_frames: int) -> tuple[int, int] | None:
+    """(start, length) window of the true audio within the decoded PCM.
+
+    Uses the LAME tag's encoder delay/padding plus the standard
+    529-sample decoder delay, so ``pcm[start : start + length]`` is the
+    encoder's input sample-exactly in position and length (the raw
+    decode leads with delay+529 warm-up samples and trails with
+    padding-529 flush samples).  None when the stream carries no tag."""
+    info = frontend.lame_gapless(blob)
+    if info is None:
+        return None
+    start = info["delay"] + DECODER_DELAY
+    if info["frames"]:
+        length = (info["frames"] * info["samples_per_frame"]
+                  - info["delay"] - info["padding"])
+    else:
+        length = total_frames - start - max(
+            info["padding"] - DECODER_DELAY, 0)
+    length = max(0, min(length, total_frames - start))
+    if start >= total_frames:
+        return None
+    return start, length

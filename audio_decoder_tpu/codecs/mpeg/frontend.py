@@ -922,3 +922,62 @@ def analyze(blob: bytes) -> Mp3Analysis:
         joint_stereo=ln.joint_stereo, is_q=is_q, exp_b=ln.exp_b,
         st_mode=st_mode, blockcfg=ln.blockcfg,
     )
+
+
+def lame_gapless(blob: bytes) -> dict | None:
+    """Encoder delay/padding from a Xing/Info LAME tag (gapless decode).
+
+    LAME-family encoders pad the stream: `delay` junk samples lead the
+    audio and `padding` trail it, recorded as two 12-bit fields at byte
+    21 of the LAME extension inside the Xing/Info metadata frame.  The
+    reference never reads the tag (its mpeg.rs stops at framing and
+    `is_info_frame` only *skips* it); decoders that honor it reproduce
+    the encoder's input sample-exactly in position and length.
+
+    Returns dict(delay, padding, frames, samples_per_frame) or None when
+    the stream has no LAME tag."""
+    i = skip_id3v2(blob)
+    n = len(blob)
+    h = None
+    while i + 4 <= n:
+        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            cand = parse_header(int.from_bytes(blob[i : i + 4], "big"))
+            if cand is not None and i + cand["frame_len"] <= n:
+                h = cand
+                break
+        i += 1
+    if h is None or h["layer"] != 1:  # tags live in Layer III streams
+        return None
+    off = i + 4 + (2 if h["crc"] else 0)
+    if h["version"] == 3:
+        side = 17 if h["channels"] == 1 else 32
+    else:
+        side = 9 if h["channels"] == 1 else 17
+    t = blob[off + side : off + side + 160]
+    if len(t) < 8 or t[:4] not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(t[4:8], "big")
+    p = 8
+    frames = None
+    if flags & 1:
+        frames = int.from_bytes(t[p : p + 4], "big")
+        p += 4
+    if flags & 2:
+        p += 4
+    if flags & 4:
+        p += 100
+    if flags & 8:
+        p += 4
+    lame = t[p:]
+    # the 36-byte LAME extension: 9-byte encoder string, delay/padding
+    # packed into bytes 21..23
+    if len(lame) < 24 or not lame[:4].isascii() or lame[:4] in (b"\x00" * 4,):
+        return None
+    delay = (lame[21] << 4) | (lame[22] >> 4)
+    padding = ((lame[22] & 0xF) << 8) | lame[23]
+    if delay == 0 and padding == 0:
+        return None  # tag without gapless info
+    return dict(
+        delay=delay, padding=padding, frames=frames,
+        samples_per_frame=1152 if h["version"] == 3 else 576,
+    )

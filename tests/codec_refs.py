@@ -45,11 +45,14 @@ def lame_encode(
     mode: int | None = None,
     quality: int = 5,
     disable_reservoir: bool = False,
+    write_vbr_tag: bool = False,
 ) -> bytes:
-    """Encode [frames, channels] int16 PCM → MP3 bytes (no Xing/ID3 tags).
+    """Encode [frames, channels] int16 PCM → MP3 bytes.
 
     mode: 0=stereo, 1=joint stereo, 3=mono (defaults by channel count).
-    """
+    write_vbr_tag=True emits a real Xing/LAME info frame (patched in
+    post-flush via lame_get_lametag_frame) carrying the encoder
+    delay/padding for gapless decode."""
     assert have_lame()
     L = _lame
     L.lame_init.restype = C.c_void_p
@@ -63,7 +66,7 @@ def lame_encode(
     L.lame_set_brate(gfp, bitrate)
     L.lame_set_mode(gfp, mode)
     L.lame_set_quality(gfp, quality)
-    L.lame_set_bWriteVbrTag(gfp, 0)
+    L.lame_set_bWriteVbrTag(gfp, 1 if write_vbr_tag else 0)
     if hasattr(L, "lame_set_write_id3tag_automatic"):
         L.lame_set_write_id3tag_automatic(gfp, 0)
     if disable_reservoir and hasattr(L, "lame_set_disable_reservoir"):
@@ -95,8 +98,19 @@ def lame_encode(
         gfp, out[n:].ctypes.data_as(C.POINTER(C.c_ubyte)), len(out) - n
     )
     assert n2 >= 0
+    blob = bytearray(out[: n + n2].tobytes())
+    if write_vbr_tag and hasattr(L, "lame_get_lametag_frame"):
+        # the placeholder first frame must be patched with the final tag
+        # (the file API does this via lame_mp3_tags_fid; with buffers the
+        # tag frame is fetched explicitly and spliced over the start)
+        tag = np.zeros(8192, np.uint8)
+        L.lame_get_lametag_frame.restype = C.c_size_t
+        tn = int(L.lame_get_lametag_frame(
+            gfp, tag.ctypes.data_as(C.POINTER(C.c_ubyte)), len(tag)))
+        if 0 < tn <= len(blob):
+            blob[:tn] = tag[:tn].tobytes()
     L.lame_close(gfp)
-    return bytes(out[: n + n2])
+    return bytes(blob)
 
 
 # mpg123 constants

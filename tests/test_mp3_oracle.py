@@ -73,3 +73,49 @@ def test_frame_scan_resyncs_after_junk():
     n = min(len(ref), len(mine))
     rms = float(np.sqrt(((ref[:n] - mine[:n]) ** 2).mean()))
     assert rms < TOL
+
+
+def test_gapless_trim_recovers_input_exactly():
+    """The LAME info tag's encoder delay/padding + the 529-sample decoder
+    delay locate the true audio inside the decoded PCM: the trimmed
+    window has EXACTLY the encoder's input length and is sample-aligned
+    (lag-0), for MPEG-1 and LSF, stereo and mono, at awkward lengths."""
+    from audio_decoder_tpu.codecs.mpeg import decoder as MD
+    from audio_decoder_tpu.io.assets import Asset
+
+    rng = np.random.default_rng(17)
+    for sr, ch, brate in ((44100, 2, 128), (44100, 1, 96), (22050, 2, 64)):
+        n = int(sr * 0.7) + 313  # not a multiple of the frame size
+        t = np.arange(n)
+        s = 0.4 * np.sin(2 * np.pi * 441 * t / sr) + 0.05 * rng.standard_normal(n)
+        pcm = (np.stack([s] * ch, 1) * 30000).clip(-32768, 32767).astype(np.int16)
+        blob = CR.lame_encode(pcm, sr, brate, mode=1 if ch == 2 else None,
+                              write_vbr_tag=True)
+        pieces = MD.decode_group([Asset(path="x", name="x", ext="mp3",
+                                        data=blob)])
+        f = pieces[0][1].file(0)
+        assert f.err == 0
+        b = MD.gapless_bounds(blob, f.pcm.shape[0])
+        assert b is not None, f"{sr}/{ch}: no tag found"
+        start, length = b
+        assert length == n, f"{sr}/{ch}: trimmed length {length} != input {n}"
+        got = np.asarray(f.pcm[start : start + length, 0])
+        ref = pcm[:, 0].astype(np.float32) / 32768.0
+        # sample alignment: the lag-0 correlation must dominate its
+        # neighbors (codec noise keeps it from being bit-exact)
+        lags = {d: float(np.dot(got[1000 : n - 1000],
+                                ref[1000 + d : n - 1000 + d]))
+                for d in (-2, -1, 0, 1, 2)}
+        assert max(lags, key=lags.get) == 0, lags
+        rms = float(np.sqrt(((got - ref) ** 2).mean()))
+        assert rms < 0.05  # codec noise only, no misalignment blowup
+
+
+def test_gapless_none_without_tag():
+    from audio_decoder_tpu.codecs.mpeg import decoder as MD
+
+    rng = np.random.default_rng(3)
+    s = 0.3 * rng.standard_normal(8000)
+    pcm = (np.stack([s, s], 1) * 30000).clip(-32768, 32767).astype(np.int16)
+    blob = CR.lame_encode(pcm, 44100, 128, mode=1)  # no tag
+    assert MD.gapless_bounds(blob, 100000) is None
