@@ -66,14 +66,31 @@ def render_block(
     is_seq = st.p_kind == PROC_SEQ  # [V, P]
     k = step_num[:, None, :] % jnp.maximum(st.p_period, 1)[:, :, None]
     k = jnp.minimum(k, MAX_STEPS - 1)  # [V, P, F]
-    in_step = jnp.take_along_axis(st.p_stepmask, k, axis=2)
-    chance = jnp.take_along_axis(st.p_chance, k, axis=2)
+    # Step-table lookup as ONE one-hot matmul instead of three element
+    # gathers: HBM gathers on the [V, P, F] grid cost ~12-14 ms each per
+    # 4096-frame block on this chip, while the equivalent one-hot
+    # dot_general over the stacked [V, P, K, 3] table rides the MXU at
+    # ~1 ms for all three lookups (26x; see docs/PERFORMANCE.md).
+    # Bit-exact: each one-hot row holds a single 1.0, so every output
+    # element is 1.0 * table[k] summed with exact zeros.
+    step_tab = jnp.stack(
+        [st.p_stepmask.astype(f32), st.p_chance, st.p_jitter], axis=-1
+    )  # [V, P, K, 3]
+    onehot = (
+        k[..., None] == jnp.arange(MAX_STEPS, dtype=i32)
+    ).astype(f32)  # [V, P, F, K]
+    got = jax.lax.dot_general(
+        onehot, step_tab, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=f32,
+    )  # [V, P, F, 3]
+    in_step = got[..., 0] > 0.5
+    chance = got[..., 1]
     # Per-step trigger jitter (the reference's -j stub, made real): the
     # step's boundary is delayed by floor(u * jitter * interval) frames,
     # u a stable hash of (tempo lane, absolute step number) — identical
     # across block boundaries and shared by group members, like the
     # chance roll.  jitter == 0 reproduces the unjittered grid exactly.
-    jit_k = jnp.take_along_axis(st.p_jitter, k, axis=2)  # [V, P, F]
+    jit_k = got[..., 2]  # [V, P, F]
     seed = jax.random.randint(
         jax.random.fold_in(st.rng_key, 7), (), 0, 2**31 - 1
     ).astype(jnp.uint32)
