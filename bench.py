@@ -312,6 +312,13 @@ def main() -> None:
             noise = [_wav_blob(rng, seconds, rate) for _ in range(n_wav)]
             nbufs_np, nlens_np = pack_bytes(noise)
             extras = {}
+            # warm the transfer-path program once (its first run pays the
+            # compile/handle setup and would land on whichever label goes
+            # first — r2 captures showed music < noise purely from order)
+            pcm, meta = decode_pcm_step(
+                _chunked_h2d(jnp, mbufs_np), jnp.asarray(mlens_np),
+                bits=16, channels=2, max_frames=max_frames, family="wav")
+            float(jnp.sum(meta["n_frames"]))
             for label, src, slens in (("music", mbufs_np, mlens_np),
                                       ("noise", nbufs_np, nlens_np)):
                 t = time.perf_counter()
