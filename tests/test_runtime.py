@@ -547,3 +547,47 @@ def test_piped_eof_with_paused_group_exits_promptly():
     # used to sit out the full drain timeout; now exits on the first
     # post-command snapshot
     assert time.monotonic() - t0 < 20.0
+
+
+def test_speculative_lookahead_bit_identical(monkeypatch):
+    """Speculative render lookahead is a pure latency optimization: with
+    commands landing mid-stream (forcing speculation discards), the sunk
+    audio must be bit-identical at every depth — including depth 0
+    (speculation disabled), the semantics baseline."""
+    from audio_decoder_tpu.runtime import loop as loop_mod
+
+    def run(depth):
+        monkeypatch.setattr(loop_mod, "SPEC_DEPTH", depth)
+        loop, _ = _loop_with_tone()
+        loop.submit("load tone")
+        loop.submit("start -v tone")
+        a = loop.run_blocks(6, collect=True)
+        # mid-stream command: every speculated block beyond the next sunk
+        # one must be discarded, or the velocity change lands D blocks late
+        assert loop.submit("velocity tone 2.0")
+        b = loop.run_blocks(6, collect=True)
+        loop.submit("stop -v tone")
+        c = loop.run_blocks(3, collect=True)
+        return np.concatenate([a, b, c])
+
+    base = run(0)
+    assert np.abs(base).max() > 0.3
+    for depth in (1, 4):
+        assert np.array_equal(run(depth), base), f"depth {depth} diverged"
+
+
+def test_speculative_lookahead_command_latency(monkeypatch):
+    """A command submitted while the lookahead is full still takes effect
+    on the very next sunk block (not SPEC_DEPTH blocks later): the tone
+    must go silent on the first block after `stop`."""
+    from audio_decoder_tpu.runtime import loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "SPEC_DEPTH", 4)
+    loop, _ = _loop_with_tone()
+    loop.submit("load tone")
+    loop.submit("start -v tone")
+    a = loop.run_blocks(4, collect=True)  # lookahead now holds 4 ahead
+    assert np.abs(a[-PERIOD:]).max() > 0.3
+    loop.submit("stop -v tone")
+    b = loop.run_blocks(1, collect=True)
+    assert np.all(b == 0)
