@@ -151,8 +151,12 @@ class CmdProcessor:
             if rest not in self.reg.groups:
                 raise CmdErr(f"no group {rest!r}")
             return TempoSpec("group", ref=self.reg.groups[rest])
+        try:
+            val = float(rest)
+        except ValueError as e:
+            raise CmdErr(f"bad tempo value {rest!r}") from e
         return TempoSpec(
-            "own", interval_samples=convert_interval(kind, float(rest), self.rate)
+            "own", interval_samples=convert_interval(kind, val, self.rate)
         )
 
     def _parse_load(self, args: list[str]) -> Command:
@@ -171,7 +175,10 @@ class CmdProcessor:
                 i += 2
             else:
                 raise CmdErr(f"load: unexpected {args[i]!r}")
-        slot = self.reg.alloc_voice(name)
+        try:
+            slot = self.reg.alloc_voice(name)
+        except RuntimeError as e:
+            raise CmdErr(f"load: {e}") from e
         return Command(
             verb="load", voice=slot, track=self.reg.tracks[name],
             tempo=tempo, name=name,
@@ -230,7 +237,10 @@ class CmdProcessor:
         if not members:
             raise CmdErr("group: -v v1,v2,... required")
         slots = tuple(self._find_voice(m) for m in members)
-        gslot = self.reg.alloc_group(name)
+        try:
+            gslot = self.reg.alloc_group(name)
+        except (KeyError, RuntimeError) as e:
+            raise CmdErr(f"group: {e}") from e
         self.reg.group_members[name] = list(members)
         return Command(
             verb="group", group=gslot, members=slots, tempo=tempo, name=name
@@ -240,8 +250,15 @@ class CmdProcessor:
         if len(args) != 2 or ":" not in args[1]:
             raise CmdErr("tc: expected <name> <unit>:<val>")
         unit, val = args[1].split(":", 1)
-        iv = convert_interval(unit, float(val), self.rate)
-        slot = self.reg.alloc_context(args[0])
+        try:
+            fval = float(val)
+        except ValueError as e:
+            raise CmdErr(f"tc: bad value {val!r}") from e
+        iv = convert_interval(unit, fval, self.rate)
+        try:
+            slot = self.reg.alloc_context(args[0])
+        except (KeyError, RuntimeError) as e:
+            raise CmdErr(f"tc: {e}") from e
         return Command(
             verb="tc", context=slot,
             tempo=TempoSpec("own", interval_samples=iv), name=args[0],

@@ -175,6 +175,16 @@ def test_parser_errors():
     proc.parse("load a")
     with pytest.raises(EC.CmdErr):
         proc.parse("load a")
+    # duplicate group/tc names are CmdErr, not a raw registry KeyError
+    # (submit() only catches CmdErr — anything else kills the REPL)
+    proc.parse("group g1 -v a")
+    with pytest.raises(EC.CmdErr):
+        proc.parse("group g1 -v a")
+    proc.parse("tc t1 s:100")
+    with pytest.raises(EC.CmdErr):
+        proc.parse("tc t1 s:100")
+    with pytest.raises(EC.CmdErr):
+        proc.parse("tc t2 s:nope")
 
 
 def test_tempo_units():

@@ -591,3 +591,34 @@ def test_speculative_lookahead_command_latency(monkeypatch):
     loop.submit("stop -v tone")
     b = loop.run_blocks(1, collect=True)
     assert np.all(b == 0)
+
+
+def test_speculative_lookahead_fuzz_equivalence(monkeypatch):
+    """Randomized command streams (start/stop/velocity/seq/trem/group/
+    tempo, interleaved with render batches of random length) produce
+    bit-identical audio at depth 0 and depth 8 — covers the
+    RNG-dependent paths (seq chance + jitter, trem) where a
+    mis-continued speculation chain would fork the threefry stream."""
+    import random
+    from audio_decoder_tpu.runtime import loop as loop_mod
+
+    rng = random.Random(0xB1A57)
+    cmds = ["load tone", "start -v tone", "tc t s:40",
+            "seq tone -t s:40 -p 4 -s 0,2 -c a:0.7 -j a:0.5",
+            "trem tone -t s:40 -d 0.8", "velocity tone -1.5",
+            "velocity tone 1.0", "group g -v tone", "pause -g g",
+            "resume -g g", "stop -v tone", "start -v tone"]
+    script = [(rng.choice(cmds), rng.randint(1, 5)) for _ in range(40)]
+
+    def run(depth):
+        monkeypatch.setattr(loop_mod, "SPEC_DEPTH", depth)
+        loop, _ = _loop_with_tone()
+        chunks = []
+        for cmd, n in script:
+            loop.submit(cmd)
+            chunks.append(loop.run_blocks(n, collect=True))
+        return np.concatenate(chunks)
+
+    base = run(0)
+    assert np.abs(base).max() > 0  # something actually sounded
+    assert np.array_equal(run(8), base)
