@@ -171,8 +171,9 @@ def cmd_inspect(args) -> int:
         blob = fh.read()
     gl = lame_gapless(blob)
     if gl:
+        nf = f" frames={gl['frames']}" if gl["frames"] is not None else ""
         print(f"LAME tag: delay={gl['delay']} padding={gl['padding']}"
-              f" frames={gl['frames']} (gapless trim available)")
+              f"{nf} (gapless trim available)")
     cur = 0
 
     def show():

@@ -141,18 +141,27 @@ def probe_layer(blob: bytes) -> int:
     return 0
 
 
-def _is_info_frame(blob: bytes, pos: int, h: dict) -> bool:
-    """Xing/Info/VBRI metadata frame detection (first frame of VBR/LAME
-    files): a decoder must skip it — it carries no audio."""
-    if h["layer"] != 1:  # tags live in Layer III streams
-        return False
+def _xing_offset(pos: int, h: dict) -> int:
+    """Byte offset of a Xing/Info tag inside a Layer III frame at `pos`:
+    past the 4-byte header, the optional CRC-16, and the version/channel-
+    sized side info (17/32 for MPEG-1 mono/stereo, 9/17 for LSF).  The
+    single source of this geometry — shared by the info-frame skip and
+    the LAME gapless tag reader so the two can never desynchronize."""
     off = pos + 4 + (2 if h["crc"] else 0)
     if h["version"] == 3:
         side = 17 if h["channels"] == 1 else 32
     else:
         side = 9 if h["channels"] == 1 else 17
-    tag = blob[off + side : off + side + 4]
-    if tag in (b"Xing", b"Info"):
+    return off + side
+
+
+def _is_info_frame(blob: bytes, pos: int, h: dict) -> bool:
+    """Xing/Info/VBRI metadata frame detection (first frame of VBR/LAME
+    files): a decoder must skip it — it carries no audio."""
+    if h["layer"] != 1:  # tags live in Layer III streams
+        return False
+    xo = _xing_offset(pos, h)
+    if blob[xo : xo + 4] in (b"Xing", b"Info"):
         return True
     return blob[pos + 36 : pos + 40] == b"VBRI"
 
@@ -938,22 +947,34 @@ def lame_gapless(blob: bytes) -> dict | None:
     the stream has no LAME tag."""
     i = skip_id3v2(blob)
     n = len(blob)
-    h = None
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
             cand = parse_header(int.from_bytes(blob[i : i + 4], "big"))
             if cand is not None and i + cand["frame_len"] <= n:
-                h = cand
-                break
+                got = _parse_lame_tag(blob, i, cand)
+                if got is not None:
+                    return got
+                # No tag at this candidate: either the real (untagged)
+                # first frame, or a FALSE sync in leading junk that the
+                # decoder's statistical scan would skip right past.  Only
+                # trust it if the next frame header confirms it;
+                # otherwise keep scanning like the decoder does.
+                j = i + cand["frame_len"]
+                if j + 4 <= n and parse_header(
+                    int.from_bytes(blob[j : j + 4], "big")
+                ) is not None:
+                    return None  # confirmed audio frame, stream untagged
         i += 1
-    if h is None or h["layer"] != 1:  # tags live in Layer III streams
+    return None
+
+
+def _parse_lame_tag(blob: bytes, pos: int, h: dict) -> dict | None:
+    """Parse the Xing/Info + LAME extension of the frame at `pos`, or
+    None when the frame carries no gapless tag."""
+    if h["layer"] != 1:  # tags live in Layer III streams
         return None
-    off = i + 4 + (2 if h["crc"] else 0)
-    if h["version"] == 3:
-        side = 17 if h["channels"] == 1 else 32
-    else:
-        side = 9 if h["channels"] == 1 else 17
-    t = blob[off + side : off + side + 160]
+    xo = _xing_offset(pos, h)
+    t = blob[xo : xo + 160]
     if len(t) < 8 or t[:4] not in (b"Xing", b"Info"):
         return None
     flags = int.from_bytes(t[4:8], "big")

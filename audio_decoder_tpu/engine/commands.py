@@ -36,6 +36,7 @@ empty stub (commands.rs:1125-1136); here it works.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,8 @@ class Command:
 def convert_interval(unit: str, val: float, rate: int) -> int:
     """unit:val → samples (≙ TempoState::convert_interval,
     blast_time.rs:151-161)."""
+    if not math.isfinite(val):
+        raise CmdErr(f"tempo value must be finite, got {val!r}")
     if unit == "s":
         iv = int(val)
     elif unit == "m":
@@ -391,11 +394,20 @@ class CmdProcessor:
                     chance[s] = pv
             elif "-" in sel:
                 lo, hi = sel.split("-", 1)
-                for s in range(int(lo), int(hi) + 1):
-                    if s in chance:
+                try:
+                    lo_i, hi_i = int(lo), int(hi)
+                except ValueError as e:
+                    raise CmdErr(f"{what}: bad step range {sel!r}") from e
+                # iterate the (small) -s list, not the user-typed range —
+                # `0-99999999999:1.0` must not spin the REPL thread
+                for s in chance:
+                    if lo_i <= s <= hi_i:
                         chance[s] = pv
             else:
-                s = int(sel)
+                try:
+                    s = int(sel)
+                except ValueError as e:
+                    raise CmdErr(f"{what}: bad step {sel!r}") from e
                 if s not in chance:
                     raise CmdErr(f"{what}: step {s} not in -s list")
                 chance[s] = pv

@@ -82,6 +82,8 @@ def render_block(
     got = jax.lax.dot_general(
         onehot, step_tab, (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16 inputs —
+        # that would round the f32 chance/jitter values and break exactness
     )  # [V, P, F, 3]
     in_step = got[..., 0] > 0.5
     chance = got[..., 1]

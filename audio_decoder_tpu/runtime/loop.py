@@ -47,6 +47,9 @@ PERIOD = 128  # frames per block (≙ runtime.rs:282-284)
 #: a tunneled device, ~µs either way locally attached).  The default is
 #: 2× the reference's buffer depth — the discard bound stays a fraction
 #: of a typist's inter-command gap.  0 disables (tests pin equivalence).
+#: Bursts ramp 1→2→4→…→SPEC_DEPTH across command-free refills and reset
+#: to 1 on every command, so command-per-block input never renders more
+#: than one discarded block per command.
 SPEC_DEPTH = 8
 
 
@@ -75,6 +78,11 @@ class EngineLoop:
         #: continuing the chain from self.state (= state after the last
         #: SUNK block)
         self._spec: "collections.deque" = collections.deque()
+        #: adaptive burst depth: starts at 1 and doubles per command-free
+        #: refill up to SPEC_DEPTH, resetting on every command — so
+        #: command-dense input (piped scripts) renders one block per
+        #: command instead of speculating 8 and discarding 7 each time
+        self._spec_ramp = 1
 
     def submit(self, line: str) -> bool:
         """Parse + enqueue (parse errors surface immediately on the caller's
@@ -130,11 +138,13 @@ class EngineLoop:
                 # the speculated chain (it continued the pre-command
                 # state) and re-render from the committed state
                 self._spec.clear()
+                self._spec_ramp = 1
             if not self._spec:
                 # refill-on-empty: burst-dispatch D chained renders
                 # (async), then fetch all D blocks in ONE transfer —
                 # the round-trip cost amortizes over the whole burst
-                depth = max(SPEC_DEPTH, 1)
+                depth = max(min(self._spec_ramp, SPEC_DEPTH), 1)
+                self._spec_ramp = min(self._spec_ramp * 2, max(SPEC_DEPTH, 1))
                 tail, blks = self.state, []
                 for _ in range(depth):
                     blk, tail = render_block(

@@ -185,6 +185,19 @@ def test_parser_errors():
         proc.parse("tc t1 s:100")
     with pytest.raises(EC.CmdErr):
         proc.parse("tc t2 s:nope")
+    # non-finite and non-integer selectors are CmdErr too, not
+    # ValueError/OverflowError leaking through submit()
+    for bad in [
+        "tc t2 s:inf", "tc t2 m:nan", "tc t2 b:inf",
+        "seq a -p 4 -s 0,2 -c x:0.5", "seq a -p 4 -s 0,2 -c 1-z:0.5",
+        "seq a -t s:100 -p 4 -s 0,2 -j y:0.5",
+    ]:
+        with pytest.raises(EC.CmdErr):
+            proc.parse(bad)
+    # an absurd selector range must not spin the parse thread: the
+    # -s list is iterated, never the user-typed range
+    cmd = proc.parse("seq a -t s:100 -p 4 -s 0,2 -c 0-99999999999:1.0")
+    assert cmd.verb == "seq"
 
 
 def test_tempo_units():

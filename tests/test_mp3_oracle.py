@@ -111,6 +111,25 @@ def test_gapless_trim_recovers_input_exactly():
         assert rms < 0.05  # codec noise only, no misalignment blowup
 
 
+def test_lame_tag_found_past_false_sync():
+    """A junk prefix that PARSES as a valid header (false sync) must not
+    hide the LAME tag: the tag reader resyncs past unconfirmed
+    candidates exactly like the decoder's statistical frame scan."""
+    from audio_decoder_tpu.codecs.mpeg import frontend as FE
+
+    rng = np.random.default_rng(5)
+    s = 0.3 * rng.standard_normal(8000)
+    pcm = (np.stack([s, s], 1) * 30000).clip(-32768, 32767).astype(np.int16)
+    blob = CR.lame_encode(pcm, 44100, 128, mode=1, write_vbr_tag=True)
+    clean = FE.lame_gapless(blob)
+    assert clean is not None
+    # header-shaped junk: the real first header's 4 bytes followed by
+    # zeros — parses as a valid frame, but its Xing offset lands in the
+    # zeros and the "next frame" is not a valid header
+    dirty = blob[:4] + b"\x00" * 61 + blob
+    assert FE.lame_gapless(dirty) == clean
+
+
 def test_gapless_none_without_tag():
     from audio_decoder_tpu.codecs.mpeg import decoder as MD
 

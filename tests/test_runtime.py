@@ -586,11 +586,45 @@ def test_speculative_lookahead_command_latency(monkeypatch):
     loop, _ = _loop_with_tone()
     loop.submit("load tone")
     loop.submit("start -v tone")
-    a = loop.run_blocks(4, collect=True)  # lookahead now holds 4 ahead
+    a = loop.run_blocks(4, collect=True)  # ramp 1→2→4: 3 blocks ahead now
     assert np.abs(a[-PERIOD:]).max() > 0.3
+    assert loop._spec, "lookahead empty — the discard path would not run"
     loop.submit("stop -v tone")
     b = loop.run_blocks(1, collect=True)
     assert np.all(b == 0)
+
+
+def test_speculative_lookahead_ramp_bounds_discards(monkeypatch):
+    """Command-dense input (one command per sunk block — the workload
+    speculation cannot help) must not render SPEC_DEPTH-and-discard
+    every iteration: the burst depth resets to 1 on each command, so
+    the render count stays ~1 per sunk block, while idle streaks still
+    ramp back up to full depth."""
+    from audio_decoder_tpu.runtime import loop as loop_mod
+
+    calls = {"n": 0}
+    real = loop_mod.render_block
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(loop_mod, "render_block", counting)
+    monkeypatch.setattr(loop_mod, "SPEC_DEPTH", 8)
+    loop, _ = _loop_with_tone()
+    loop.submit("load tone")
+    loop.submit("start -v tone")
+    loop.run_blocks(1)
+    calls["n"] = 0
+    for v in (0.5, 1.5, 0.75, 1.25, 1.0, 0.9, 1.1, 0.8):
+        loop.submit(f"velocity tone {v}")
+        loop.run_blocks(1)
+    # one render per sunk block (ramp reset each time), not 8
+    assert calls["n"] == 8, calls
+    # idle streak ramps 1,2,4,8,8... -> 16 blocks cost 5 refills
+    calls["n"] = 0
+    loop.run_blocks(16)
+    assert calls["n"] <= 1 + 2 + 4 + 8 + 8, calls
 
 
 def test_speculative_lookahead_fuzz_equivalence(monkeypatch):
