@@ -215,7 +215,9 @@ def render_block(
     smp = jnp.where(mono, smp[:, :, :1], smp)
 
     w = jnp.where(audible, st.v_gain[:, None] * gain_mult, 0.0)  # [V, F]
-    block = jnp.einsum("vf,vfc->fc", w, smp)
+    block = jnp.einsum(
+        "vf,vfc->fc", w, smp, precision=jax.lax.Precision.HIGHEST
+    )  # TPU default would round the f32 samples to bf16 (~48 dB SNR)
     block = jnp.clip(block, -1.0, 1.0)
 
     # ---- advance state (paused/stopped voices hold position) ----
