@@ -145,6 +145,26 @@ def test_compliance_table(capsys):
             print(f"{sr:>6} {br:>5} {ch:>5} {r1:>11.3e} {r2:>11.3e}")
 
 
+@pytest.mark.skipif(not CR.have_ffdec(), reason="libavcodec unavailable")
+@pytest.mark.parametrize("ch,joint", [(2, None), (1, None), (2, 1)])
+def test_iso_rms_compliance_layer1(ch, joint):
+    """Layer I (incl. intensity stereo) against BOTH oracle families.
+    No system Layer I encoder exists, so streams come from the crafted
+    spec-valid frame writer the mpg123 pinning uses."""
+    from .test_layer12 import _l1_frames
+
+    blob = _l1_frames(np.random.default_rng(31 + ch), 24, ch,
+                      joint_ext=joint)
+    got, gsr = _pipeline_decode(blob)
+    ref, rsr = CR.mpg123_decode(blob)
+    ff, fsr = CR.ffdec_decode(blob)
+    assert gsr == rsr == fsr == 44100
+    r1 = _rms(got, ref[:, : got.shape[1]])
+    r2 = _rms(got, ff[:, : got.shape[1]])
+    assert r1 < ISO_LIMIT, f"L1 ch={ch}: vs mpg123 {r1:.3e}"
+    assert r2 < ISO_LIMIT, f"L1 ch={ch}: vs ffmpeg {r2:.3e}"
+
+
 @pytest.mark.skipif(not (CR.have_twolame() and CR.have_ffdec()),
                     reason="twolame/libavcodec unavailable")
 @pytest.mark.parametrize("sr,br,mode", [
