@@ -180,7 +180,10 @@ def twolame_encode(
 ) -> bytes:
     """Encode [frames, channels] int16 PCM → MPEG Layer II bytes.
 
-    mode: twolame modes — 0 auto, 1 stereo, 2 dual, 3 joint, 4 mono."""
+    mode: twolame's own enum — 0 stereo, 1 joint stereo, 2 dual channel,
+    3 mono; None leaves TWOLAME_AUTO (picks by channel count).  Passing
+    an out-of-range value (twolame prints "invalid mode") silently falls
+    back to AUTO."""
     assert have_twolame()
     L = _twolame
     L.twolame_init.restype = C.c_void_p

@@ -168,8 +168,9 @@ def test_iso_rms_compliance_layer1(ch, joint):
 @pytest.mark.skipif(not (CR.have_twolame() and CR.have_ffdec()),
                     reason="twolame/libavcodec unavailable")
 @pytest.mark.parametrize("sr,br,mode", [
-    (44100, 192, None), (48000, 256, 1), (32000, 128, 4),
-    (22050, 64, None), (24000, 96, 1), (16000, 48, 4),
+    # mode: twolame enum — 1 joint stereo, 3 mono, None auto
+    (44100, 192, None), (48000, 256, 1), (32000, 128, 3),
+    (22050, 64, None), (24000, 96, 1), (16000, 48, 3),
 ])
 def test_iso_rms_compliance_layer2(sr, br, mode):
     """Layer II: the subband pipeline measured against BOTH oracle
@@ -178,7 +179,7 @@ def test_iso_rms_compliance_layer2(sr, br, mode):
     n = int(sr * 0.8)
     t = np.arange(n)
     s = 0.25 * np.sin(2 * np.pi * 550 * t / sr) + 0.1 * rng.standard_normal(n)
-    ch = 1 if mode == 4 else 2
+    ch = 1 if mode == 3 else 2
     if ch == 1:
         pcm16 = np.clip(s[:, None] * 30000, -32768, 32767).astype(np.int16)
     else:

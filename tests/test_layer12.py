@@ -38,9 +38,9 @@ def _sig(sr: int, ch: int, seconds: float = 0.5) -> np.ndarray:
     return np.clip(x * 30000, -32768, 32767).astype(np.int16)
 
 
-L2_CASES = [
-    (44100, 192, None, 2), (48000, 256, 1, 2), (44100, 64, 3, 2),
-    (32000, 128, 4, 1), (22050, 64, None, 2), (16000, 48, 4, 1),
+L2_CASES = [  # mode: twolame enum — 0 stereo, 1 joint, 2 dual, 3 mono
+    (44100, 192, None, 2), (48000, 256, 1, 2), (44100, 64, 0, 2),
+    (32000, 128, 3, 1), (22050, 64, None, 2), (16000, 48, 3, 1),
 ]
 
 

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Extended randomized MP3/MP2 conformance fuzz against mpg123.
+
+The test suite pins fixed seeds; this driver explores the parameter
+space open-endedly: random content (noise, tones, sweeps, transients,
+silence, full-scale), random rate family (all nine MPEG-1/2/2.5 rates),
+random bitrate/mode/quality/reservoir settings, Layer III via lame and
+Layer II via twolame, decoded by the production pipeline (CPU) and
+compared to mpg123 at float32-roundoff tolerance (5e-7 RMS).
+
+Failures are logged with their full parameter tuple to --log so any
+divergence is exactly reproducible.
+
+Usage: python tools/fuzz_conformance.py --minutes 30 [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tests")
+)
+
+import numpy as np
+
+TOL = 5e-7  # float32 round-off, as the pinned suite uses
+
+#: (sample_rate, valid Layer III bitrates)
+L3_FAMILIES = {
+    44100: [32, 48, 64, 96, 128, 160, 192, 256, 320],
+    48000: [32, 48, 64, 96, 128, 160, 192, 256, 320],
+    32000: [32, 48, 64, 96, 128, 160, 192, 256, 320],
+    22050: [8, 16, 24, 32, 48, 64, 96, 128, 160],
+    24000: [8, 16, 24, 32, 48, 64, 96, 128, 160],
+    16000: [8, 16, 24, 32, 48, 64, 96, 128, 160],
+    11025: [8, 16, 24, 32, 48, 64],
+    12000: [8, 16, 24, 32, 48, 64],
+    8000: [8, 16, 24, 32, 48, 64],
+}
+
+L2_CASES = [  # (sr, valid Layer II bitrates)
+    (44100, [64, 96, 128, 192, 256, 384]),
+    (48000, [64, 96, 128, 192, 256, 384]),
+    (32000, [64, 96, 128, 192, 256, 384]),
+    (22050, [32, 48, 64, 96, 128, 160]),
+    (24000, [32, 48, 64, 96, 128, 160]),
+    (16000, [32, 48, 64, 96, 128, 160]),
+]
+
+
+def _content(rng: np.random.Generator, sr: int, ch: int) -> np.ndarray:
+    n = int(sr * float(rng.uniform(0.3, 1.5)))
+    kind = rng.integers(0, 7)
+    t = np.arange(n)
+    if kind == 0:  # noise
+        s = 0.4 * rng.standard_normal(n)
+    elif kind == 1:  # tone(s)
+        s = sum(
+            float(rng.uniform(0.05, 0.3))
+            * np.sin(2 * np.pi * float(rng.uniform(40, sr / 2.2)) * t / sr)
+            for _ in range(int(rng.integers(1, 4)))
+        )
+    elif kind == 2:  # sweep
+        f0, f1 = sorted(rng.uniform(30, sr / 2.2, 2))
+        s = 0.4 * np.sin(2 * np.pi * (f0 + (f1 - f0) * t / n) * t / sr)
+    elif kind == 3:  # transients over quiet noise → short blocks
+        s = 0.02 * rng.standard_normal(n)
+        s[:: int(rng.integers(500, 3000))] = float(rng.uniform(0.7, 0.99))
+    elif kind == 4:  # near-silence
+        s = 1e-4 * rng.standard_normal(n)
+    elif kind == 5:  # full-scale square — clipping pressure
+        s = 0.95 * np.sign(np.sin(2 * np.pi * 200 * t / sr))
+    else:  # mixed
+        s = 0.25 * np.sin(2 * np.pi * 660 * t / sr) + 0.1 * rng.standard_normal(n)
+        s[::1777] = 0.9
+    if ch == 2:
+        other = np.roll(s, int(rng.integers(1, 50))) * float(rng.uniform(0.3, 1.0))
+        x = np.stack([s, other], 1)
+    else:
+        x = s[:, None]
+    return np.clip(x * 30000, -32768, 32767).astype(np.int16)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log", default="/tmp/fuzz_conformance_failures.jsonl")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import codec_refs as CR
+    from audio_decoder_tpu.codecs.mpeg import decoder as MD
+    from audio_decoder_tpu.io.assets import Asset
+
+    assert CR.have_lame() and CR.have_mpg123(), "need lame+mpg123"
+    has_l2 = CR.have_twolame()
+
+    t_end = time.time() + args.minutes * 60.0
+    trial = fails = 0
+    worst = 0.0
+    worst_case = None
+    rng_master = np.random.default_rng(args.seed)
+    while time.time() < t_end:
+        seed = int(rng_master.integers(0, 2**31))
+        rng = np.random.default_rng(seed)
+        layer2 = has_l2 and rng.integers(0, 4) == 0
+        ch = 2 if rng.integers(0, 3) else 1
+        if layer2:
+            sr, brs = L2_CASES[int(rng.integers(0, len(L2_CASES)))]
+            br = int(brs[int(rng.integers(0, len(brs)))])
+            mode = 3 if ch == 1 else int(rng.choice([0, 1]))
+            pcm = _content(rng, sr, ch)
+            try:
+                blob = CR.twolame_encode(pcm, sr, br, mode=mode)
+            except Exception:
+                continue  # encoder rejected the combo; not our bug
+            params = dict(layer=2, sr=sr, br=br, mode=mode, ch=ch, seed=seed)
+        else:
+            sr = int(list(L3_FAMILIES)[int(rng.integers(0, 9))])
+            brs = L3_FAMILIES[sr]
+            br = int(brs[int(rng.integers(0, len(brs)))])
+            mode = None if ch == 1 else int(rng.choice([0, 1]))
+            q = int(rng.integers(0, 10))
+            nores = bool(rng.integers(0, 2))
+            pcm = _content(rng, sr, ch)
+            try:
+                blob = CR.lame_encode(pcm, sr, br, mode=mode, quality=q,
+                                      disable_reservoir=nores)
+            except Exception:
+                continue
+            params = dict(layer=3, sr=sr, br=br, mode=mode, ch=ch,
+                          quality=q, no_reservoir=nores, seed=seed)
+        trial += 1
+        try:
+            ext = "mp2" if layer2 else "mp3"
+            pieces = MD.decode_group(
+                [Asset(path="f", name="f", ext=ext, data=blob)])
+            f = pieces[0][1].file(0)
+            assert f.err == 0, f"err={int(f.err)}"
+            got = np.asarray(f.pcm[:, : f.num_channels])
+            ref, rsr = CR.mpg123_decode(blob)
+            assert int(f.sample_rate) == rsr == sr
+            n = min(len(ref), len(got))
+            assert n > 500
+            rms = float(np.sqrt(((ref[:n, : got.shape[1]] - got[:n]) ** 2).mean()))
+            if rms > worst:
+                worst, worst_case = rms, params
+            ok = rms < TOL
+        except Exception as e:  # decode crash = instant failure
+            ok, rms = False, -1.0
+            params["exception"] = repr(e)
+        if not ok:
+            fails += 1
+            params["rms"] = rms
+            with open(args.log, "a") as fh:
+                fh.write(json.dumps(params) + "\n")
+            print("FAIL", params, flush=True)
+        if trial % 25 == 0:
+            print(f"[{trial} trials, {fails} fails, worst rms {worst:.2e} "
+                  f"{worst_case}]", flush=True)
+    print(f"done: {trial} trials, {fails} failures, worst rms {worst:.3e} "
+          f"({worst_case})")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
