@@ -16,6 +16,7 @@ from .dsp import (
     route_channels,
 )
 from .io.assets import scan_assets
+from .io.stream import stream_decode, stream_file
 
 __version__ = "0.1.0"
 
@@ -27,6 +28,8 @@ __all__ = [
     "decode_dir",
     "decode_paths",
     "scan_assets",
+    "stream_decode",
+    "stream_file",
     "consensus_for",
     "resample_batch",
     "resample_to_consensus",

@@ -558,6 +558,162 @@ def decode_group_hosthuff(
     return pieces
 
 
+class Mp3Stream:
+    """Chunked single-file Layer III decode: bounded memory, static shapes.
+
+    The batch path materializes a whole file's PCM in one program whose
+    shapes scale with file length — fine for asset folders, wrong for a
+    two-hour stream (every new length bucket is a fresh compile and the
+    granule tensors grow without bound).  This decoder walks the file
+    ONCE on the host (the same ``lanes_batch``/``analyze_lanes`` emission
+    the batch path uses), then decodes fixed-size granule windows through
+    the same fused device program, so ONE compiled shape serves any file
+    length and device memory is O(granules_per_chunk).
+
+    Chunk boundaries are made exact with a 2-granule warm-up re-decoded
+    at the head of every chunk (and discarded):
+
+      * the bit reservoir needs no decoded state at all — each lane's
+        absolute bit window into the concatenated main_data already
+        resolves ``main_data_begin``, the chunk just ships the byte
+        slice its windows cover;
+      * hybrid-IMDCT overlap-add is one granule of memory, and the
+        overlap TAIL a granule hands forward is a pure function of that
+        granule's own spectra — so warm-up granule #2 hands the first
+        kept granule its exact overlap;
+      * the polyphase synthesis FIR window spans 16 V-steps < the 18
+        steps one granule pushes, so the kept region's history lies
+        entirely inside correctly-overlapped warm-up output.
+
+    Yields float32 ``[samples, channels]`` host chunks; concatenated
+    output is bit-identical to the one-shot batch decode (pinned by
+    tests/test_mp3_stream.py).  The reference has no streaming decode of
+    any kind (its mpeg.rs stops at framing; playback streams via the
+    ALSA ring, runtime.rs:282-291)."""
+
+    WARMUP = 2
+
+    def __init__(self, data: bytes, granules_per_chunk: int = 512):
+        if frontend.probe_layer(data) != 3:
+            raise E.UnsupportedFormatError(
+                "Mp3Stream decodes Layer III; use decode_group for I/II")
+        if granules_per_chunk < 8:
+            raise ValueError("granules_per_chunk must be >= 8")
+        self.gpc = int(granules_per_chunk)
+        if native.available():
+            p = native.probe(data)
+            E.raise_for_code(int(p["err"]), "mp3 stream probe")
+            ch = int(p["channels"])
+            g_tot = int(p["n_granules"])
+            m_cap = -(-int(p["main_bytes"]) // 32) * 32
+            self._r = native.lanes_batch([data], max(g_tot, 1), m_cap, ch)
+            self._joint = bool(p["joint"])
+        else:
+            ln = frontend.analyze_lanes(data)
+            ch, g_tot = ln.channels, ln.n_granules
+            m_cap = -(-len(ln.main_data) // 32) * 32
+            self._r = _pack_python_lanes([ln], max(g_tot, 1), m_cap, ch)
+            self._joint = bool(ln.joint_stereo)
+        E.raise_for_code(int(self._r["err"][0]), "mp3 stream")
+        self.channels = ch
+        self.n_granules = g_tot
+        self.sample_rate = int(self._r["sample_rate"][0])
+        self.total_samples = g_tot * 576
+        self._gpf = 2 if self.sample_rate >= 32000 else 1
+        self._rate_idx = _rate_idx_arr(self._r["sample_rate"])
+        # One static plan for the WHOLE stream: a per-chunk plan would
+        # recompile the fused program every time its quantized shape
+        # moved; here every chunk shares one (g_cap, m_cap, n_big,
+        # bucket) signature, so the stream costs ONE compile total (the
+        # batch path optimizes per-batch instead — its lanes all run in
+        # the same program anyway).
+        v = self._r["valid"][0] > 0
+        bvs = self._r["big"][0][v]
+        self._n_big = (32 if bvs.size == 0
+                       else min(512, int(-(-int(bvs.max()) // 32) * 32)))
+        g_cap = self.gpc + self.WARMUP
+        need = 64
+        for a in range(0, g_tot, self.gpc):
+            lo, hi = max(a - self.WARMUP, 0), min(a + self.gpc, g_tot)
+            _b, n = self._byte_window(lo, hi)
+            need = max(need, n)
+        self._m_cap = _bucket(need, 1024)
+        self._buckets = ((g_cap * ch, self._n_big, 144),)
+
+    def _byte_window(self, lo: int, hi: int) -> tuple[int, int]:
+        """(byte_lo, byte_count) of main_data covering granules [lo, hi)
+        — every reservoir reach-back and scan row-gather slack included."""
+        r = self._r
+        act = r["valid"][0, lo:hi] > 0
+        if not act.any():
+            return 0, 64
+        bit_lo = int(r["start"][0, lo:hi][act].min())
+        bit_hi = int(max(r["end"][0, lo:hi][act].max(),
+                         r["limit"][0, lo:hi][act].max()))
+        byte_lo = (bit_lo // 8) // 32 * 32
+        return byte_lo, bit_hi // 8 + 1 - byte_lo + 64
+
+    def _chunk_pcm(self, lo: int, hi: int, g_cap: int) -> np.ndarray:
+        """Decode granules [lo, hi) into a [g_cap*576, C] array."""
+        r = self._r
+        g_n = hi - lo
+        ch = self.channels
+        sl = dict(
+            start=np.zeros((1, g_cap, ch), np.int32),
+            end=np.zeros((1, g_cap, ch), np.int32),
+            limit=np.zeros((1, g_cap, ch), np.int32),
+            big=np.zeros((1, g_cap, ch), np.int16),
+            r1=np.zeros((1, g_cap, ch), np.int16),
+            r2=np.zeros((1, g_cap, ch), np.int16),
+            tsel=np.zeros((1, g_cap, ch, 3), np.int8),
+            c1sel=np.zeros((1, g_cap, ch), np.int8),
+            valid=np.zeros((1, g_cap, ch), np.int8),
+            exp_b=np.zeros((1, g_cap, ch, 61), np.int16),
+            cfg=np.zeros((1, g_cap, ch), np.int8),
+            stflags=np.zeros((1, g_cap), np.int8),
+            sfr=np.zeros((1, g_cap, 61), np.int8),
+        )
+        for k in sl:
+            sl[k][0, :g_n] = r[k][0, lo:hi]
+        # rebase the bit windows onto the chunk's main_data byte slice:
+        # the reservoir reaches backward only through these windows, so
+        # covering [min start, max limit/end) bytes is sufficient by
+        # construction (+64 slack for the scan's 8-word row gathers)
+        act = sl["valid"][0, :g_n] > 0
+        for k in ("start", "end", "limit"):  # invalid lanes keep absolute
+            sl[k][0, :g_n][~act] = 0         # offsets — zero, like padding
+        byte_lo, _need = self._byte_window(lo, hi)
+        main = np.zeros((1, self._m_cap), np.uint8)
+        avail = min(self._m_cap, r["main"].shape[1] - byte_lo)
+        main[0, :avail] = r["main"][0, byte_lo : byte_lo + avail]
+        for k in ("start", "end", "limit"):
+            sl[k][0, :g_n][act] -= byte_lo * 8
+        rc = dict(sl, main=main)
+
+        pcm = mp3_decode_fused(
+            *fused_wire_args(rc, self._rate_idx),
+            None,
+            channels=self.channels,
+            joint_stereo=self._joint,
+            granules_per_frame=self._gpf,
+            buckets=self._buckets,
+        )
+        return np.asarray(pcm[0])
+
+    def chunks(self):
+        """Yield float32 [samples, channels] host arrays in stream order."""
+        g_cap = self.gpc + self.WARMUP
+        for a in range(0, self.n_granules, self.gpc):
+            lo = max(a - self.WARMUP, 0)
+            hi = min(a + self.gpc, self.n_granules)
+            pcm = self._chunk_pcm(lo, hi, g_cap)
+            keep = a - lo
+            yield pcm[keep * 576 : (keep + hi - a) * 576, : self.channels]
+
+    def __iter__(self):
+        return self.chunks()
+
+
 #: standard MDCT + synthesis filterbank decoder delay (samples): the
 #: first 529 output samples of any conformant decoder are filter warm-up
 DECODER_DELAY = 529

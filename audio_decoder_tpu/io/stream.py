@@ -66,6 +66,35 @@ def stream_decode(
         stop.set()
 
 
+def stream_file(
+    path: str, granules_per_chunk: int = 512
+) -> Iterator["np.ndarray"]:
+    """Chunked decode of ONE long MPEG Layer III file: yields float32
+    [samples, channels] chunks with bounded device memory and a single
+    compiled shape regardless of file length (codecs.mpeg.decoder
+    .Mp3Stream — concatenated output is bit-identical to the one-shot
+    decode).  For WAV/AIFF — whose decode is O(bytes) with no cross-frame
+    state — the one-shot path is yielded as a single chunk."""
+    import numpy as np  # noqa: F811 (annotation-only above)
+
+    from ..codecs.mpeg.decoder import Mp3Stream
+
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in ("mp3", "mp2", "mp1"):
+        with open(path, "rb") as fh:
+            data = fh.read()
+        yield from Mp3Stream(data, granules_per_chunk=granules_per_chunk)
+        return
+    from ..codecs.registry import decode_assets
+
+    batch = decode_assets(load_assets([path]))
+    f = batch.file(0)
+    from ..core.errors import raise_for_code
+
+    raise_for_code(int(f.err), path)
+    yield np.asarray(f.pcm[:, : f.num_channels])
+
+
 def decode_all(paths: Sequence[str], files_per_batch: int = 16) -> AudioBatch:
     """Stream-decode everything and concatenate into one AudioBatch."""
     import jax.numpy as jnp
