@@ -166,6 +166,10 @@ def main() -> None:
             with open(args.log, "a") as fh:
                 fh.write(json.dumps(params) + "\n")
             print("FAIL", params, flush=True)
+        if trial % 20 == 0:
+            # every trial is a fresh shape; the in-process executable
+            # cache grows without bound and eventually OOMs LLVM
+            jax.clear_caches()
         if trial % 25 == 0:
             print(f"[{trial} trials, {fails} fails, worst rms {worst:.2e} "
                   f"{worst_case}]", flush=True)
