@@ -700,18 +700,140 @@ class Mp3Stream:
         )
         return np.asarray(pcm[0])
 
-    def chunks(self):
-        """Yield float32 [samples, channels] host arrays in stream order."""
+    def chunks(self, start_sample: int = 0):
+        """Yield float32 [samples, channels] host arrays in stream order.
+
+        `start_sample` seeks: output begins exactly at that sample of the
+        one-shot decode (concatenated chunks == ``oneshot[start_sample:]``
+        bit-identically).  Seeking costs nothing extra — the 2-granule
+        warm-up that makes every chunk boundary exact also makes any
+        granule a valid entry point (the reservoir is resolved through
+        absolute byte windows, not decoded state)."""
+        if not 0 <= start_sample <= self.total_samples:
+            raise ValueError(
+                f"start_sample {start_sample} outside [0, {self.total_samples}]")
+        g0 = start_sample // 576
+        trim = start_sample - g0 * 576
         g_cap = self.gpc + self.WARMUP
-        for a in range(0, self.n_granules, self.gpc):
+        for a in range(g0, self.n_granules, self.gpc):
             lo = max(a - self.WARMUP, 0)
             hi = min(a + self.gpc, self.n_granules)
             pcm = self._chunk_pcm(lo, hi, g_cap)
             keep = a - lo
-            yield pcm[keep * 576 : (keep + hi - a) * 576, : self.channels]
+            out = pcm[keep * 576 : (keep + hi - a) * 576, : self.channels]
+            if trim:
+                out, trim = out[trim:], 0
+            yield out
 
     def __iter__(self):
         return self.chunks()
+
+
+class L12Stream:
+    """Chunked single-file Layer I/II streaming decode.
+
+    Layers I/II have NO bit reservoir — every frame's payload is
+    self-contained — so unlike Layer III the host analysis can also be
+    O(chunk): __init__ walks the sync headers once (positions only), and
+    each chunk re-parses just the byte slice its frames occupy.  The only
+    cross-chunk state is the polyphase synthesis FIR history (16
+    V-steps); re-decoding ceil(16 / steps_per_frame) warm-up frames at
+    each chunk head — 1 frame for Layer II (36 steps), 2 for Layer I
+    (12) — reproduces it exactly, so concatenated chunks are
+    bit-identical to the one-shot decode (pinned by
+    tests/test_mp3_stream.py).  The reference has no streaming decode of
+    any kind (mpeg.rs stops at framing)."""
+
+    def __init__(self, data: bytes, layer: int | None = None,
+                 frames_per_chunk: int = 128):
+        from . import layer12 as L12
+
+        if layer is None:
+            layer = frontend.probe_layer(data)
+        if layer not in (1, 2):
+            raise E.UnsupportedFormatError(
+                f"L12Stream decodes Layers I/II (probed layer {layer})")
+        if frames_per_chunk < 2:
+            raise ValueError("frames_per_chunk must be >= 2")
+        code = 3 if layer == 1 else 2  # header layer code
+        frames = [(p, h) for p, h in frontend.find_frames(data)
+                  if h["layer"] == code]
+        if not frames:
+            raise E.InvalidDataError(f"no Layer {'I' * layer} frames")
+        h0 = frames[0][1]
+        # same consistency filter as analyze_l1/l2 so framing matches
+        self._frames = [
+            (p, h) for p, h in frames
+            if h["sr"] == h0["sr"] and h["channels"] == h0["channels"]
+            and h["version"] == h0["version"]
+        ]
+        self._blob = data
+        self._analyze = L12.analyze_l1 if layer == 1 else L12.analyze_l2
+        self.layer = layer
+        self.fpc = int(frames_per_chunk)
+        self.channels = h0["channels"]
+        self.sample_rate = h0["sr"]
+        self.spf = 12 if layer == 1 else 36  # V-steps per frame
+        #: the synthesis FIR window spans 16 V-steps of history
+        self.WARMUP = -(-16 // self.spf)
+        self.n_frames = len(self._frames)
+        self.total_samples = self.n_frames * self.spf * 32
+
+    def chunks(self, start_sample: int = 0):
+        """Yield float32 [samples, channels] host chunks; `start_sample`
+        seeks (output == one-shot ``pcm[start_sample:]`` bit-identically)."""
+        from . import layer12 as L12
+
+        if not 0 <= start_sample <= self.total_samples:
+            raise ValueError(
+                f"start_sample {start_sample} outside [0, {self.total_samples}]")
+        spfr = self.spf * 32  # samples per frame
+        f0 = start_sample // spfr
+        trim = start_sample - f0 * spfr
+        F_cap = self.fpc + self.WARMUP
+        ch = self.channels
+        for a in range(f0, self.n_frames, self.fpc):
+            lo = max(a - self.WARMUP, 0)
+            hi = min(a + self.fpc, self.n_frames)
+            sub = self._frames[lo:hi]
+            b0 = sub[0][0]
+            b1 = sub[-1][0] + sub[-1][1]["frame_len"]
+            an = self._analyze(
+                self._blob[b0:b1], frames=[(p - b0, h) for p, h in sub])
+            n = hi - lo
+            codes = np.zeros((1, F_cap, ch, 32, self.spf), np.int32)
+            cls = np.zeros((1, F_cap, ch, 32), np.int8)
+            sf_idx = np.full((1, F_cap, ch, 32, 3), 63, np.int8)
+            codes[0, :n] = an.codes
+            cls[0, :n] = an.cls
+            sf_idx[0, :n] = an.sf_idx
+            pcm = np.asarray(L12.l12_synthesize(
+                jnp.asarray(codes), jnp.asarray(cls), jnp.asarray(sf_idx),
+                channels=ch, steps=self.spf,
+            )[0])
+            keep = a - lo
+            out = pcm[keep * spfr : (keep + hi - a) * spfr, :ch]
+            if trim:
+                out, trim = out[trim:], 0
+            yield out
+
+    def __iter__(self):
+        return self.chunks()
+
+
+def mpeg_stream(data: bytes, *, granules_per_chunk: int = 512,
+                frames_per_chunk: int = 128):
+    """Streaming decoder for any MPEG audio layer: probes the first valid
+    frame and returns an Mp3Stream (Layer III) or L12Stream (I/II).
+    Both yield float32 [samples, channels] chunks whose concatenation is
+    bit-identical to the one-shot decode, and both seek via
+    ``.chunks(start_sample=N)``."""
+    layer = frontend.probe_layer(data)
+    if layer == 3:
+        return Mp3Stream(data, granules_per_chunk=granules_per_chunk)
+    if layer in (1, 2):
+        return L12Stream(data, layer=layer, frames_per_chunk=frames_per_chunk)
+    raise E.InvalidDataError("no MPEG audio frames found")
 
 
 #: standard MDCT + synthesis filterbank decoder delay (samples): the

@@ -73,8 +73,12 @@ class L12Analysis:
     sf_idx: np.ndarray  # int8 [F, C, 32, 3] scalefactor index (63 silent)
 
 
-def analyze_l2(blob: bytes) -> L12Analysis:
-    frames = [(p, h) for p, h in find_frames(blob) if h["layer"] == 2]
+def analyze_l2(blob: bytes, frames=None) -> L12Analysis:
+    """`frames` (optional): precomputed ``[(pos, header), ...]`` into
+    `blob` — lets a streaming caller re-analyze a byte slice with exact
+    framing instead of re-running the sync walk on the slice."""
+    if frames is None:
+        frames = [(p, h) for p, h in find_frames(blob) if h["layer"] == 2]
     if not frames:
         raise E.InvalidDataError("no Layer II frames")
     h0 = frames[0][1]
@@ -163,8 +167,10 @@ def analyze_l2(blob: bytes) -> L12Analysis:
     )
 
 
-def analyze_l1(blob: bytes) -> L12Analysis:
-    frames = [(p, h) for p, h in find_frames(blob) if h["layer"] == 3]
+def analyze_l1(blob: bytes, frames=None) -> L12Analysis:
+    """`frames`: see analyze_l2 — precomputed framing for slice re-analysis."""
+    if frames is None:
+        frames = [(p, h) for p, h in find_frames(blob) if h["layer"] == 3]
     if not frames:
         raise E.InvalidDataError("no Layer I frames")
     h0 = frames[0][1]

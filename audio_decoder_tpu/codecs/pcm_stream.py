@@ -1,0 +1,243 @@
+"""Chunked single-file WAV/AIFF streaming decode with O(chunk) memory.
+
+The batch decoders (codecs.wav / codecs.aiff) materialize whole files on
+device — right for throughput over many assets, wrong for ONE multi-hour
+PCM file.  ``PcmStream`` memory-maps the file, parses the header once on
+the host (streaming is host IO — the scalar walk mirrors the vmapped
+device walks of wav.py/aiff.py exactly; tests/test_pcm_stream.py pins
+host-vs-device metadata parity), then unpacks fixed-size frame windows
+through the SAME device kernel as the batch path (ops.unpack.unpack_pcm)
+— one compiled shape for any file length, and bit-identical output to
+the one-shot decode because PCM unpacking is stateless per frame.
+
+Seeking is free: ``chunks(start_sample=N)`` starts the byte window at
+frame N (there is no cross-frame state to rebuild, unlike the MPEG
+streams' warm-up granules/frames).
+
+The reference decodes PCM only whole-file, into host Vecs, 16-bit only
+(blast/src/file_parsing/wav.rs:70-72,143-154; aiff.rs:159-170) and has
+no streaming decode of any kind.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import errors as E
+from ..ops.unpack import unpack_pcm
+from . import aiff as _aiff
+from . import wav as _wav
+
+_MAX_CHUNKS = 128  # same walk bound as the device parsers
+
+
+def _u16le(b, p):
+    return int.from_bytes(bytes(b[p : p + 2]), "little")
+
+
+def _u32le(b, p):
+    return int.from_bytes(bytes(b[p : p + 4]), "little")
+
+
+def _u16be(b, p):
+    return int.from_bytes(bytes(b[p : p + 2]), "big")
+
+
+def _u32be(b, p):
+    return int.from_bytes(bytes(b[p : p + 4]), "big")
+
+
+def _tag(b, p):
+    return bytes(b[p : p + 4])
+
+
+def parse_wav_header(mm) -> dict:
+    """Host mirror of codecs.wav._parse_one over a memmap/bytes buffer.
+
+    Returns the same metadata fields as the device walk (META_FIELDS) or
+    raises the DecodeError matching the device error code; semantics —
+    unknown-chunk skip, word-aligned cursor, WAVEFORMATEXTENSIBLE
+    SubFormat promotion, truncated-data EOF, supported-format matrix —
+    are kept identical (pinned by tests/test_pcm_stream.py)."""
+    flen = len(mm)
+    if flen < 12 or _tag(mm, 0) != b"RIFF" or _tag(mm, 8) != b"WAVE":
+        raise E.UnsupportedFormatError("not a RIFF/WAVE file")
+    cursor, it = 12, 0
+    fmt_off = fmt_size = data_off = data_size = -1
+    while cursor + 8 <= flen and it < _MAX_CHUNKS and data_off < 0:
+        cid = _tag(mm, cursor)
+        csize = _u32le(mm, cursor + 4)
+        payload = cursor + 8
+        if cid == b"fmt ":
+            fmt_off, fmt_size = payload, csize
+        elif cid == b"data":
+            if payload + csize > flen:
+                raise E.UnexpectedEofError("truncated data chunk")
+            data_off, data_size = payload, csize
+        cursor = payload + csize + (csize & 1)
+        it += 1
+    if fmt_off < 0 or data_off < 0:
+        raise E.UnexpectedEofError("missing fmt/data chunk")
+    p = fmt_off
+    fmt_code = _u16le(mm, p)
+    channels = _u16le(mm, p + 2)
+    sample_rate = _u32le(mm, p + 4)
+    bits = _u16le(mm, p + 14)
+    cb_size = _u16le(mm, p + 16) if fmt_size >= 18 else 0
+    if fmt_code == _wav.FORMAT_EXTENSIBLE and cb_size >= 22:
+        fmt_code = _u16le(mm, p + 24)
+    supported = (
+        (fmt_code == _wav.FORMAT_PCM and bits in (8, 16, 24, 32))
+        or (fmt_code == _wav.FORMAT_IEEE_FLOAT and bits in (32, 64))
+        or (fmt_code in (_wav.FORMAT_ALAW, _wav.FORMAT_MULAW) and bits == 8)
+    )
+    if not supported:
+        raise E.UnsupportedFormatError(
+            f"WAV format code {fmt_code} at {bits}-bit")
+    if channels <= 0 or bits == 0:
+        raise E.InvalidDataError("bad channel count / sample size")
+    n_frames = data_size // max(channels * (bits // 8), 1)
+    return dict(
+        fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
+        bits=bits, data_off=data_off, data_size=data_size, n_frames=n_frames,
+    )
+
+
+def parse_aiff_header(mm) -> dict:
+    """Host mirror of codecs.aiff._parse_one (FORM walk, AIFC compression
+    types, SSND offset field, COMM-size validation)."""
+    flen = len(mm)
+    form_type = _tag(mm, 8) if flen >= 12 else b""
+    is_aifc = form_type == b"AIFC"
+    if flen < 12 or _tag(mm, 0) != b"FORM" or form_type not in (
+            b"AIFF", b"AIFC"):
+        raise E.UnsupportedFormatError("not a FORM/AIFF file")
+    cursor, it = 12, 0
+    comm_off = comm_size = ssnd_off = ssnd_size = -1
+    while (cursor + 8 <= flen and it < _MAX_CHUNKS
+           and (comm_off < 0 or ssnd_off < 0)):
+        cid = _tag(mm, cursor)
+        csize = _u32be(mm, cursor + 4)
+        payload = cursor + 8
+        if cid == b"COMM":
+            comm_off, comm_size = payload, csize
+            if (comm_size < 22) if is_aifc else (comm_size != 18):
+                raise E.InvalidDataError(f"COMM size {comm_size}")
+        elif cid == b"SSND":
+            if payload + csize > flen:
+                raise E.UnexpectedEofError("truncated SSND chunk")
+            ssnd_off, ssnd_size = payload, csize
+        cursor = payload + csize + (csize & 1)
+        it += 1
+    if comm_off < 0 or ssnd_off < 0:
+        raise E.UnexpectedEofError("missing COMM/SSND chunk")
+    p = comm_off
+    channels = _u16be(mm, p)
+    comm_frames = _u32be(mm, p + 2)
+    bits = _u16be(mm, p + 6)
+    # IEEE 754 80-bit extended sample rate (≙ ops.bytes.read_ieee_extended,
+    # semantics of reference aiff.rs:51-94) — host integer decode
+    se = _u16be(mm, p + 8)
+    mant = int.from_bytes(bytes(mm[p + 10 : p + 18]), "big")
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        rate_f = 0.0
+    elif exp == 0x7FFF:
+        rate_f = float("nan")
+    else:
+        rate_f = mant * 2.0 ** (exp - 16383 - 63)
+        if se & 0x8000:
+            rate_f = -rate_f
+    sample_rate = int(round(rate_f)) if rate_f == rate_f else 0
+    q = ssnd_off
+    offset = _u32be(mm, q)
+    data_off = q + 8 + offset
+    data_size = max(ssnd_size - 8 - offset, 0)
+    comp = _tag(mm, p + 18) if is_aifc else b"NONE"
+    little = comp == b"sowt"
+    f32c = comp in (b"fl32", b"FL32")
+    f64c = comp in (b"fl64", b"FL64")
+    int_ok = bits in (8, 16, 24, 32) and (
+        comp in (b"NONE", b"twos") or little)
+    float_ok = (f32c and bits == 32) or (f64c and bits == 64)
+    if not (int_ok or float_ok):
+        raise E.UnsupportedFormatError(
+            f"AIFC compression {comp!r} at {bits}-bit")
+    if channels <= 0 or sample_rate <= 0:
+        raise E.InvalidDataError("bad channel count / sample rate")
+    n_frames = min(comm_frames, data_size // max(channels * (bits // 8), 1))
+    fmt_code = 3 if f64c else (2 if f32c else int(little))
+    return dict(
+        fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
+        bits=bits, data_off=data_off, data_size=data_size, n_frames=n_frames,
+    )
+
+
+class PcmStream:
+    """Chunked single-file WAV/AIFF decode: fixed frame windows through
+    the batch path's device unpack kernel, O(chunk) host+device memory
+    (the file is memory-mapped when given a path).  Concatenated chunks
+    are bit-identical to the one-shot decode; ``chunks(start_sample=N)``
+    seeks exactly (PCM has no cross-frame state)."""
+
+    def __init__(self, src, *, container: str | None = None,
+                 frames_per_chunk: int = 1 << 17):
+        if frames_per_chunk < 1:
+            raise ValueError("frames_per_chunk must be >= 1")
+        if isinstance(src, str):
+            if container is None:
+                ext = src.rsplit(".", 1)[-1].lower()
+                container = "aiff" if ext in ("aif", "aiff", "aifc") else "wav"
+            try:
+                mm = np.memmap(src, dtype=np.uint8, mode="r")
+            except (OSError, ValueError) as e:
+                raise E.IoError(str(e)) from e
+        else:
+            mm = np.frombuffer(src, dtype=np.uint8)
+            if container is None:
+                container = "aiff" if bytes(mm[:4]) == b"FORM" else "wav"
+        if container not in ("wav", "aiff"):
+            raise ValueError(f"container {container!r}")
+        self._mm = mm
+        self.container = container
+        if container == "wav":
+            meta = parse_wav_header(mm)
+            self._kw = _wav.unpack_args(meta)
+        else:
+            meta = parse_aiff_header(mm)
+            self._kw = _aiff.unpack_args(meta)
+        self.meta = meta
+        self.channels = meta["channels"]
+        self.sample_rate = meta["sample_rate"]
+        self.bits = meta["bits"]
+        self.total_samples = meta["n_frames"]
+        self.fpc = int(frames_per_chunk)
+        self._bpf = self.channels * (self.bits // 8)  # bytes per frame
+
+    def chunks(self, start_sample: int = 0):
+        """Yield float32 [frames, channels] host chunks; `start_sample`
+        seeks (output == one-shot ``pcm[start_sample:]`` bit-exactly)."""
+        if not 0 <= start_sample <= self.total_samples:
+            raise ValueError(
+                f"start_sample {start_sample} outside"
+                f" [0, {self.total_samples}]")
+        span = self.fpc * self._bpf
+        base = self.meta["data_off"]
+        off = jnp.zeros((1,), jnp.int32)
+        for f0 in range(start_sample, self.total_samples, self.fpc):
+            n = min(self.fpc, self.total_samples - f0)
+            b0 = base + f0 * self._bpf
+            raw = np.asarray(self._mm[b0 : b0 + n * self._bpf])
+            if len(raw) < span:  # tail window: zero-pad to the one shape
+                raw = np.concatenate(
+                    [raw, np.zeros(span - len(raw), np.uint8)])
+            pcm = unpack_pcm(
+                jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
+                channels=self.channels, max_frames=self.fpc, **self._kw,
+            )
+            yield np.asarray(pcm[0, :n])
+
+    def __iter__(self):
+        return self.chunks()

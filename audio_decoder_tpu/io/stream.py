@@ -67,32 +67,34 @@ def stream_decode(
 
 
 def stream_file(
-    path: str, granules_per_chunk: int = 512
+    path: str, granules_per_chunk: int = 512, start_sample: int = 0,
+    frames_per_chunk: int = 128, pcm_frames_per_chunk: int = 1 << 17,
 ) -> Iterator["np.ndarray"]:
-    """Chunked decode of ONE long MPEG Layer III file: yields float32
-    [samples, channels] chunks with bounded device memory and a single
-    compiled shape regardless of file length (codecs.mpeg.decoder
-    .Mp3Stream — concatenated output is bit-identical to the one-shot
-    decode).  For WAV/AIFF — whose decode is O(bytes) with no cross-frame
-    state — the one-shot path is yielded as a single chunk."""
-    import numpy as np  # noqa: F811 (annotation-only above)
-
-    from ..codecs.mpeg.decoder import Mp3Stream
+    """Chunked decode of ONE long MPEG audio file (any layer): yields
+    float32 [samples, channels] chunks with bounded device memory and a
+    single compiled shape regardless of file length
+    (codecs.mpeg.decoder.mpeg_stream — Layer III rides Mp3Stream, Layers
+    I/II ride L12Stream; concatenated output is bit-identical to the
+    one-shot decode).  `start_sample` seeks: output begins exactly at
+    that sample of the one-shot decode.  WAV/AIFF files ride
+    codecs.pcm_stream.PcmStream: the file is memory-mapped and unpacked
+    in fixed frame windows (`pcm_frames_per_chunk`) through the batch
+    path's device kernel, so host AND device memory stay O(chunk) even
+    for multi-hour PCM files."""
+    from ..codecs.mpeg.decoder import mpeg_stream
 
     ext = path.rsplit(".", 1)[-1].lower()
     if ext in ("mp3", "mp2", "mp1"):
         with open(path, "rb") as fh:
             data = fh.read()
-        yield from Mp3Stream(data, granules_per_chunk=granules_per_chunk)
+        st = mpeg_stream(data, granules_per_chunk=granules_per_chunk,
+                         frames_per_chunk=frames_per_chunk)
+        yield from st.chunks(start_sample=start_sample)
         return
-    from ..codecs.registry import decode_assets
+    from ..codecs.pcm_stream import PcmStream
 
-    batch = decode_assets(load_assets([path]))
-    f = batch.file(0)
-    from ..core.errors import raise_for_code
-
-    raise_for_code(int(f.err), path)
-    yield np.asarray(f.pcm[:, : f.num_channels])
+    yield from PcmStream(path, frames_per_chunk=pcm_frames_per_chunk).chunks(
+        start_sample=start_sample)
 
 
 def decode_all(paths: Sequence[str], files_per_batch: int = 16) -> AudioBatch:

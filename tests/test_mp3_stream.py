@@ -99,3 +99,116 @@ def test_stream_rejects_layer2():
 def test_stream_rejects_garbage():
     with pytest.raises(E.DecodeError):
         MD.Mp3Stream(b"\x00" * 4096)
+    with pytest.raises(E.DecodeError):
+        MD.mpeg_stream(b"\x00" * 4096)
+
+
+# ---- sample-exact seek ------------------------------------------------
+
+
+def test_stream_seek_bit_identical():
+    """chunks(start_sample=N) must equal oneshot[N:] bit-exactly for any
+    N — including mid-granule offsets and the empty tail."""
+    blob = CR.lame_encode(_sig(44100, 2, 1.5), 44100, 128, mode=1)
+    whole = _whole(blob)
+    st = MD.Mp3Stream(blob, granules_per_chunk=48)
+    for s in (0, 1, 575, 576, 577, 10000, st.total_samples - 1,
+              st.total_samples):
+        got = list(st.chunks(start_sample=s))
+        got = (np.concatenate(got) if got
+               else np.zeros((0, st.channels), np.float32))
+        assert np.array_equal(got, whole[s:]), f"seek {s}"
+    with pytest.raises(ValueError):
+        next(st.chunks(start_sample=-1))
+    with pytest.raises(ValueError):
+        next(st.chunks(start_sample=st.total_samples + 1))
+
+
+# ---- Layer I/II streaming (L12Stream) + layer-probing factory ---------
+
+
+def _whole_l12(blob: bytes, ext: str) -> np.ndarray:
+    pieces = MD.decode_group([Asset(path="x", name="x", ext=ext, data=blob)])
+    f = pieces[0][1].file(0)
+    assert f.err == 0
+    return np.asarray(f.pcm[:, : f.num_channels])
+
+
+@pytest.mark.parametrize("fpc", [2, 8, 1000])
+def test_layer2_stream_equals_batch(fpc):
+    """L12Stream chunk concatenation == one-shot Layer II decode, at the
+    minimum chunk size (2 frames: warm-up is 1 frame), a small size, and
+    one larger than the stream (single chunk, no warm-up)."""
+    if not CR.have_twolame():
+        pytest.skip("twolame unavailable")
+    blob = CR.twolame_encode(_sig(44100, 2, 1.0), 44100, 192)
+    whole = _whole_l12(blob, "mp2")
+    st = MD.mpeg_stream(blob, frames_per_chunk=fpc)
+    assert isinstance(st, MD.L12Stream)
+    assert st.layer == 2 and st.sample_rate == 44100 and st.channels == 2
+    got = np.concatenate(list(st))
+    assert got.shape == (st.total_samples, 2) == whole.shape
+    assert np.array_equal(got, whole)
+
+
+def test_layer2_stream_seek():
+    if not CR.have_twolame():
+        pytest.skip("twolame unavailable")
+    blob = CR.twolame_encode(_sig(44100, 2, 1.0), 44100, 192)
+    whole = _whole_l12(blob, "mp2")
+    st = MD.L12Stream(blob, frames_per_chunk=8)
+    for s in (1, 1151, 1152, 1153, st.total_samples):
+        got = list(st.chunks(start_sample=s))
+        got = np.concatenate(got) if got else np.zeros((0, 2), np.float32)
+        assert np.array_equal(got, whole[s:]), f"seek {s}"
+    with pytest.raises(ValueError):
+        next(st.chunks(start_sample=st.total_samples + 1))
+
+
+def test_layer1_stream_equals_batch():
+    """Layer I: 12 V-steps/frame → 2-frame warm-up (FIR history is 16
+    steps); crafted spec-valid frames (no system Layer I encoder)."""
+    from .test_layer12 import _l1_frames
+
+    blob = _l1_frames(np.random.default_rng(7), 16, 2)
+    whole = _whole_l12(blob, "mp1")
+    st = MD.mpeg_stream(blob, frames_per_chunk=4)
+    assert isinstance(st, MD.L12Stream)
+    assert st.layer == 1 and st.WARMUP == 2
+    got = np.concatenate(list(st))
+    assert np.array_equal(got, whole)
+    mid = np.concatenate(list(st.chunks(start_sample=777)))
+    assert np.array_equal(mid, whole[777:])
+
+
+def test_factory_routes_layer3():
+    blob = CR.lame_encode(_sig(44100, 2, 0.5), 44100, 128, mode=1)
+    st = MD.mpeg_stream(blob, granules_per_chunk=32)
+    assert isinstance(st, MD.Mp3Stream)
+
+
+def test_stream_file_layer2_and_seek(tmp_path):
+    """io.stream.stream_file routes .mp2 to L12Stream via the factory and
+    honors start_sample for both MPEG and WAV paths."""
+    if not CR.have_twolame():
+        pytest.skip("twolame unavailable")
+    import audio_decoder_tpu as adt
+
+    blob = CR.twolame_encode(_sig(44100, 2, 1.0), 44100, 192)
+    whole = _whole_l12(blob, "mp2")
+    p = tmp_path / "x.mp2"
+    p.write_bytes(blob)
+    got = np.concatenate(list(adt.stream_file(str(p), frames_per_chunk=8)))
+    assert np.array_equal(got, whole)
+    got = np.concatenate(
+        list(adt.stream_file(str(p), frames_per_chunk=8, start_sample=999)))
+    assert np.array_equal(got, whole[999:])
+
+    from .synth import make_wav
+
+    pcm = (np.linspace(-15000, 15000, 441)[:, None]
+           * np.ones((1, 2))).astype(np.int16)
+    w = tmp_path / "y.wav"
+    w.write_bytes(make_wav(pcm, 44100, 16))
+    (chunk,) = list(adt.stream_file(str(w), start_sample=41))
+    assert chunk.shape == (400, 2)
