@@ -35,6 +35,10 @@ _FL32 = fourcc("fl32")
 _FL32U = fourcc("FL32")  # SoundManager emits uppercase variants
 _FL64 = fourcc("fl64")
 _FL64U = fourcc("FL64")
+_ULAW = fourcc("ulaw")
+_ULAWU = fourcc("ULAW")  # SoundManager uppercase variants
+_ALAW = fourcc("alaw")
+_ALAWU = fourcc("ALAW")
 
 _MAX_CHUNKS = 128
 
@@ -112,11 +116,17 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
 
     # AIFC compression type: NONE/twos (big-endian PCM), sowt
     # (little-endian PCM, the common Mac variant), fl32/fl64 (big-endian
-    # IEEE float, both case variants); anything else is unsupported
+    # IEEE float), ulaw/alaw (G.711 companded, 1 byte/sample — COMM's
+    # sampleSize declares the DECODED width, 16, per the AIFC spec, though
+    # some writers put 8); all compression fourccs in both case variants;
+    # anything else is unsupported
     comp = jnp.where(is_aifc, read_tag(buf, p + 18), _NONE)
     little = comp == _SOWT
     f32c = jnp.logical_or(comp == _FL32, comp == _FL32U)
     f64c = jnp.logical_or(comp == _FL64, comp == _FL64U)
+    ulawc = jnp.logical_or(comp == _ULAW, comp == _ULAWU)
+    alawc = jnp.logical_or(comp == _ALAW, comp == _ALAWU)
+    g711 = jnp.logical_or(ulawc, alawc)
     int_ok = jnp.logical_and(
         jnp.logical_or(
             jnp.logical_or(bits == 8, bits == 16),
@@ -129,7 +139,10 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     float_ok = jnp.logical_or(
         jnp.logical_and(f32c, bits == 32), jnp.logical_and(f64c, bits == 64)
     )
-    supported = jnp.logical_or(int_ok, float_ok)
+    g711_ok = jnp.logical_and(
+        g711, jnp.logical_or(bits == 8, bits == 16)
+    )
+    supported = jnp.logical_or(jnp.logical_or(int_ok, float_ok), g711_ok)
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
         i32(E.ERR_UNSUPPORTED),
@@ -140,11 +153,18 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         jnp.logical_and(err == E.ERR_OK, bad_geom), i32(E.ERR_INVALID), err
     )
 
-    denom = jnp.maximum(channels * (bits // 8), 1)
+    # companded samples are stored 1 byte each regardless of COMM's
+    # (decoded) sampleSize
+    bps = jnp.where(g711, i32(1), bits // 8)
+    denom = jnp.maximum(channels * bps, 1)
     n_frames = jnp.minimum(comm_frames, data_size // denom)
-    # fmt_code: 0 BE PCM, 1 sowt LE PCM, 2 fl32, 3 fl64
+    # fmt_code: 0 BE PCM, 1 sowt LE PCM, 2 fl32, 3 fl64, 4 ulaw, 5 alaw
     fmt_code = jnp.where(
-        f64c, i32(3), jnp.where(f32c, i32(2), little.astype(i32))
+        alawc, i32(5), jnp.where(
+            ulawc, i32(4), jnp.where(
+                f64c, i32(3), jnp.where(f32c, i32(2), little.astype(i32))
+            )
+        )
     )
     return dict(
         err=err,
@@ -167,12 +187,16 @@ def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
 
 def unpack_args(meta_host: dict) -> dict:
     """Static unpack config: AIFF is big-endian signed PCM at all depths;
-    AIFC 'sowt' flips to little-endian (fmt_code 1) and fl32/fl64
-    (fmt_code 2/3) are big-endian IEEE float."""
+    AIFC 'sowt' flips to little-endian (fmt_code 1), fl32/fl64
+    (fmt_code 2/3) are big-endian IEEE float, and ulaw/alaw (fmt_code
+    4/5) are G.711 companded bytes expanded by the same device LUTs as
+    the WAV format codes."""
     code = int(meta_host["fmt_code"])
+    g711 = code in (4, 5)
     return dict(
-        bits=int(meta_host["bits"]),
+        bits=8 if g711 else int(meta_host["bits"]),
         big_endian=code != 1,
         unsigned8=False,  # AIFF 8-bit is signed (unlike WAV)
         is_float=code in (2, 3),
+        companded=("ulaw" if code == 4 else "alaw") if g711 else None,
     )

@@ -159,16 +159,22 @@ def parse_aiff_header(mm) -> dict:
     little = comp == b"sowt"
     f32c = comp in (b"fl32", b"FL32")
     f64c = comp in (b"fl64", b"FL64")
+    ulawc = comp in (b"ulaw", b"ULAW")
+    alawc = comp in (b"alaw", b"ALAW")
+    g711 = ulawc or alawc
     int_ok = bits in (8, 16, 24, 32) and (
         comp in (b"NONE", b"twos") or little)
     float_ok = (f32c and bits == 32) or (f64c and bits == 64)
-    if not (int_ok or float_ok):
+    g711_ok = g711 and bits in (8, 16)
+    if not (int_ok or float_ok or g711_ok):
         raise E.UnsupportedFormatError(
             f"AIFC compression {comp!r} at {bits}-bit")
     if channels <= 0 or sample_rate <= 0:
         raise E.InvalidDataError("bad channel count / sample rate")
-    n_frames = min(comm_frames, data_size // max(channels * (bits // 8), 1))
-    fmt_code = 3 if f64c else (2 if f32c else int(little))
+    bps = 1 if g711 else bits // 8  # companded: 1 stored byte/sample
+    n_frames = min(comm_frames, data_size // max(channels * bps, 1))
+    fmt_code = (5 if alawc else 4 if ulawc
+                else 3 if f64c else (2 if f32c else int(little)))
     return dict(
         fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
         bits=bits, data_off=data_off, data_size=data_size, n_frames=n_frames,
@@ -214,7 +220,10 @@ class PcmStream:
         self.bits = meta["bits"]
         self.total_samples = meta["n_frames"]
         self.fpc = int(frames_per_chunk)
-        self._bpf = self.channels * (self.bits // 8)  # bytes per frame
+        # bytes per frame follows the STORED width (the unpack config's
+        # bits), not COMM's decoded sampleSize — AIFC ulaw/alaw store one
+        # byte per sample while declaring 16
+        self._bpf = self.channels * (self._kw["bits"] // 8)
 
     def chunks(self, start_sample: int = 0):
         """Yield float32 [frames, channels] host chunks; `start_sample`

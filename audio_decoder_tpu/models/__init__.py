@@ -49,7 +49,7 @@ MODELS = {
         bit_exact=True,
     ),
     "aiff": CodecModel(
-        name="aiff", extensions=("aif", "aiff"),
+        name="aiff", extensions=("aif", "aiff", "aifc"),
         decode_group=functools.partial(_registry.decode_pcm_family, "aiff"),
         bit_exact=True,
     ),

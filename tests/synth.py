@@ -118,15 +118,21 @@ def make_aiff(
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
     comm_size: int | None = None,
     compression: bytes | None = None,
+    data_override: bytes | None = None,
+    frames_override: int | None = None,
 ) -> bytes:
     """Build a FORM/AIFF blob from [frames, channels] integer PCM.
 
     compression: AIFC compression fourcc (b"NONE", b"sowt", ...) — emits
     an AIFC form with FVER + extended COMM; b"sowt" stores the samples
-    little-endian."""
+    little-endian.  ``data_override`` substitutes raw SSND sample bytes
+    (companded formats); pair it with ``frames_override`` since COMM
+    carries the frame count explicitly."""
     frames, channels = pcm.shape
+    if frames_override is not None:
+        frames = frames_override
     little = compression == b"sowt"
-    data = pcm_to_bytes(
+    data = data_override if data_override is not None else pcm_to_bytes(
         pcm, bits, big_endian=not little,
         float32=compression in (b"fl32", b"FL32"),
         float64=compression in (b"fl64", b"FL64"),

@@ -142,6 +142,36 @@ def test_aifc_none_and_sowt():
         np.testing.assert_array_equal(np.asarray(f.pcm), ref)
 
 
+def test_aifc_g711_companded_decode():
+    """AIFF-C 'ulaw'/'alaw' (G.711, 1 stored byte per sample while COMM
+    declares the decoded 16-bit width): expansion matches the stdlib
+    audioop tables exactly, through the same device LUTs as the WAV
+    format codes.  The reference predates AIFC (aiff.rs:99-183)."""
+    import audioop  # stdlib oracle (py3.12)
+
+    from audio_decoder_tpu.codecs.registry import decode_assets
+    from audio_decoder_tpu.io.assets import Asset
+    from .synth import make_aiff
+
+    raw = bytes(range(256)) * 4  # every code point, stereo frames
+    assets = []
+    for comp in (b"alaw", b"ULAW"):  # both case variants in one pass
+        blob = make_aiff(
+            np.zeros((0, 2), np.int16), 8000, bits=16, compression=comp,
+            data_override=raw, frames_override=len(raw) // 2,
+        )
+        assets.append(Asset(path=comp.decode(), name=comp.decode(),
+                            ext="aifc", data=blob))
+    batch = decode_assets(assets)
+    for i, conv in enumerate((audioop.alaw2lin, audioop.ulaw2lin)):
+        f = batch.file(i)
+        assert f.err == 0 and f.num_channels == 2
+        assert f.bits_per_sample == 16  # COMM's decoded width is reported
+        ref = np.frombuffer(conv(raw, 2), "<i2").astype(np.float32) / 32768.0
+        got = np.asarray(f.pcm[: len(raw) // 2]).reshape(-1)
+        np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
 def test_model_registry_is_the_dispatch_surface():
     """Every model carries a REAL decode_group callable (no None
     capability stubs) and decoding through the registry entry matches

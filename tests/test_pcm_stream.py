@@ -68,6 +68,15 @@ AIFF_BLOBS = {
     "offset": make_aiff(_pcm(306, 2, 16), 44100, 16, ssnd_offset=12),
     "chunky": make_aiff(_pcm(307, 2, 16), 32000, 16,
                         extra_chunks=[(b"ANNO", b"hi there!")]),
+    # G.711: one stored byte per sample, COMM declares the decoded width
+    "ulaw": make_aiff(np.zeros((0, 1), np.int64), 8000, 16,
+                      compression=b"ulaw",
+                      data_override=bytes(range(256)) * 3,
+                      frames_override=768),
+    "alaw": make_aiff(np.zeros((0, 2), np.int64), 8000, 16,
+                      compression=b"ALAW",
+                      data_override=bytes(range(256)) * 3,
+                      frames_override=384),
 }
 
 
@@ -138,7 +147,8 @@ def test_wav_stream_equals_batch(name, ext):
     assert np.array_equal(got, whole)
 
 
-@pytest.mark.parametrize("name", ["be16", "sowt", "fl64", "offset"])
+@pytest.mark.parametrize("name", ["be16", "sowt", "fl64", "offset", "ulaw",
+                                  "alaw"])
 def test_aiff_stream_equals_batch(name):
     blob = AIFF_BLOBS[name]
     whole = _whole(blob, "aif")
