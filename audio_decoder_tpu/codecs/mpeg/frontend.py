@@ -127,11 +127,51 @@ def skip_id3v2(blob: bytes, i: int = 0) -> int:
     return i
 
 
+def scan_end(blob: bytes) -> int:
+    """Byte length of ``blob`` with trailing metadata tags stripped:
+    ID3v1 ('TAG', 128 B), ID3v1 Enhanced ('TAG+', 227 B before the ID3v1
+    tag), APEv2 (32-byte 'APETAGEX' footer carrying the tag size), and
+    Lyrics3v2 ('LYRICS200' end marker preceded by a 6-digit size).  Tags
+    can stack (APE/Lyrics3 sit before ID3v1), so strip to a fixed point.
+
+    Tag payloads are free-form text/binary that can contain spurious
+    valid-looking frame syncs; bounding the frame walk here keeps a
+    low-bitrate false sync inside a comment field from appending a
+    garbage frame (the reference's statistical scan, mpeg.rs:17-50, scans
+    tag bytes too — mpg123/real decoders strip these)."""
+    n = len(blob)
+    while True:
+        if n >= 128 and blob[n - 128 : n - 125] == b"TAG":
+            n -= 128
+            # the Enhanced tag is a 227-byte extension written directly
+            # before its ID3v1 tag; only valid paired with one
+            if n >= 227 and blob[n - 227 : n - 223] == b"TAG+":
+                n -= 227
+            continue
+        if n >= 32 and blob[n - 32 : n - 24] == b"APETAGEX":
+            size = int.from_bytes(blob[n - 20 : n - 16], "little")
+            flags = int.from_bytes(blob[n - 12 : n - 8], "little")
+            # size covers footer + items; bit 31 says a 32-byte header
+            # precedes them
+            total = size + (32 if flags & 0x80000000 else 0)
+            if 32 <= total <= n:
+                n -= total
+                continue
+        if n >= 15 and blob[n - 9 : n] == b"LYRICS200":
+            six = blob[n - 15 : n - 9]
+            if six.isdigit():
+                total = int(six) + 15  # size excludes the size+end fields
+                if total <= n:
+                    n -= total
+                    continue
+        return n
+
+
 def probe_layer(blob: bytes) -> int:
     """Layer of the first valid frame: 1 (header code 3), 2, or 3 — or 0
     when no frame is found.  Routes Layer I/II streams to layer12.py."""
     i = skip_id3v2(blob)
-    n = len(blob)
+    n = scan_end(blob)
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
             h = parse_header(int.from_bytes(blob[i : i + 4], "big"))
@@ -204,7 +244,7 @@ def _free_format_base(blob: bytes, i: int, h: dict) -> int:
     """Measure a free-format stream's base frame size: distance from the
     frame at ``i`` to the next sync with matching header fields, minus
     this frame's padding slot."""
-    n = len(blob)
+    n = scan_end(blob)
     step = 1 if h["layer"] != 3 else 4  # Layer I slots are 4 bytes
     j = i + 16
     while j + 4 <= n and j - i < 8192:
@@ -226,10 +266,11 @@ def find_frames(blob: bytes) -> list[tuple[int, dict]]:
     """Sequential sync walk with resync-on-junk (robust form of the
     reference's statistical scan, mpeg.rs:17-121).  A leading Xing/Info/
     VBRI metadata frame is dropped; free-format (bitrate_index 0) frame
-    lengths are measured from sync spacing."""
+    lengths are measured from sync spacing; trailing ID3v1/APE/Lyrics3
+    tags are excluded from the scan (``scan_end``)."""
     frames = []
     i = skip_id3v2(blob)
-    n = len(blob)
+    n = scan_end(blob)
     free_base = 0
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:

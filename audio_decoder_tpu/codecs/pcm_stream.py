@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import errors as E
-from ..ops.unpack import unpack_pcm
+from ..ops.unpack import unpack_ima_adpcm, unpack_pcm
 from . import aiff as _aiff
 from . import wav as _wav
 
@@ -66,12 +66,15 @@ def parse_wav_header(mm) -> dict:
         raise E.UnsupportedFormatError("not a RIFF/WAVE file")
     cursor, it = 12, 0
     fmt_off = fmt_size = data_off = data_size = -1
+    fact_val = 0
     while cursor + 8 <= flen and it < _MAX_CHUNKS and data_off < 0:
         cid = _tag(mm, cursor)
         csize = _u32le(mm, cursor + 4)
         payload = cursor + 8
         if cid == b"fmt ":
             fmt_off, fmt_size = payload, csize
+        elif cid == b"fact" and csize >= 4:
+            fact_val = _u32le(mm, payload)
         elif cid == b"data":
             if payload + csize > flen:
                 raise E.UnexpectedEofError("truncated data chunk")
@@ -84,6 +87,7 @@ def parse_wav_header(mm) -> dict:
     fmt_code = _u16le(mm, p)
     channels = _u16le(mm, p + 2)
     sample_rate = _u32le(mm, p + 4)
+    block_align = _u16le(mm, p + 12)
     bits = _u16le(mm, p + 14)
     cb_size = _u16le(mm, p + 16) if fmt_size >= 18 else 0
     if fmt_code == _wav.FORMAT_EXTENSIBLE and cb_size >= 22:
@@ -92,16 +96,34 @@ def parse_wav_header(mm) -> dict:
         (fmt_code == _wav.FORMAT_PCM and bits in (8, 16, 24, 32))
         or (fmt_code == _wav.FORMAT_IEEE_FLOAT and bits in (32, 64))
         or (fmt_code in (_wav.FORMAT_ALAW, _wav.FORMAT_MULAW) and bits == 8)
+        or (fmt_code == _wav.FORMAT_IMA_ADPCM and bits == 4)
     )
     if not supported:
         raise E.UnsupportedFormatError(
             f"WAV format code {fmt_code} at {bits}-bit")
     if channels <= 0 or bits == 0:
         raise E.InvalidDataError("bad channel count / sample size")
-    n_frames = data_size // max(channels * (bits // 8), 1)
+    if fmt_code == _wav.FORMAT_IMA_ADPCM:
+        # same geometry rules + frame math as the device walk
+        w = (block_align - 4 * channels) // max(4 * channels, 1)
+        spb_decl = _u16le(mm, p + 18)
+        if (block_align <= 4 * channels
+                or block_align % max(4 * channels, 1)
+                or spb_decl != 1 + 8 * w):
+            raise E.InvalidDataError(
+                f"bad IMA ADPCM geometry (block_align {block_align})")
+        full, rem = divmod(data_size, max(block_align, 1))
+        partial = (1 + ((rem - 4 * channels) // max(4 * channels, 1)) * 8
+                   if rem >= 4 * channels else 0)
+        n_frames = full * (1 + 8 * w) + partial
+        if fact_val > 0:
+            n_frames = min(n_frames, fact_val)
+    else:
+        n_frames = data_size // max(channels * (bits // 8), 1)
     return dict(
         fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
-        bits=bits, data_off=data_off, data_size=data_size, n_frames=n_frames,
+        bits=bits, data_off=data_off, data_size=data_size,
+        n_frames=n_frames, block_align=block_align,
     )
 
 
@@ -220,10 +242,21 @@ class PcmStream:
         self.bits = meta["bits"]
         self.total_samples = meta["n_frames"]
         self.fpc = int(frames_per_chunk)
-        # bytes per frame follows the STORED width (the unpack config's
-        # bits), not COMM's decoded sampleSize — AIFC ulaw/alaw store one
-        # byte per sample while declaring 16
-        self._bpf = self.channels * (self._kw["bits"] // 8)
+        self._adpcm = bool(self._kw.pop("adpcm", None))
+        if self._adpcm:
+            ba = self._kw.pop("block_align")
+            for k in ("bits", "big_endian", "unsigned8", "is_float",
+                      "companded"):
+                self._kw.pop(k, None)
+            self._kw["block_align"] = ba
+            w = (ba - 4 * self.channels) // (4 * self.channels)
+            self._spb = 1 + 8 * w  # frames per block (the seek quantum)
+            self._bpf = None       # no fixed bytes-per-frame
+        else:
+            # bytes per frame follows the STORED width (the unpack
+            # config's bits), not COMM's decoded sampleSize — AIFC
+            # ulaw/alaw store one byte per sample while declaring 16
+            self._bpf = self.channels * (self._kw["bits"] // 8)
 
     def chunks(self, start_sample: int = 0):
         """Yield float32 [frames, channels] host chunks; `start_sample`
@@ -232,6 +265,9 @@ class PcmStream:
             raise ValueError(
                 f"start_sample {start_sample} outside"
                 f" [0, {self.total_samples}]")
+        if self._adpcm:
+            yield from self._adpcm_chunks(start_sample)
+            return
         span = self.fpc * self._bpf
         base = self.meta["data_off"]
         off = jnp.zeros((1,), jnp.int32)
@@ -247,6 +283,35 @@ class PcmStream:
                 channels=self.channels, max_frames=self.fpc, **self._kw,
             )
             yield np.asarray(pcm[0, :n])
+
+    def _adpcm_chunks(self, start_sample: int):
+        """IMA ADPCM streaming: blocks are self-contained, so chunks step
+        in whole blocks through the batch kernel and seeks decode from
+        the enclosing block (the in-block prefix is trimmed — blocks are
+        the seek quantum, like the MPEG streams' warm-up granules)."""
+        ba = self._kw["block_align"]
+        spb = self._spb
+        bpc = max(self.fpc // spb, 1)           # blocks per chunk
+        base = self.meta["data_off"]
+        off = jnp.zeros((1,), jnp.int32)
+        span = bpc * ba
+        trim = start_sample % spb
+        for f0 in range(start_sample - trim, self.total_samples, bpc * spb):
+            n = min(bpc * spb, self.total_samples - f0)
+            b0 = base + (f0 // spb) * ba
+            raw = np.asarray(self._mm[b0 : b0 + span])
+            if len(raw) < span:  # tail window: zero-pad to the one shape
+                raw = np.concatenate(
+                    [raw, np.zeros(span - len(raw), np.uint8)])
+            pcm = unpack_ima_adpcm(
+                jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
+                channels=self.channels, block_align=ba,
+                max_frames=bpc * spb,
+            )
+            out = np.asarray(pcm[0, :n])
+            if trim:
+                out, trim = out[trim:], 0
+            yield out
 
     def __iter__(self):
         return self.chunks()

@@ -24,7 +24,7 @@ import numpy as np
 from ..core import errors as E
 from ..core.batch import AudioBatch, concat_batches
 from ..io.assets import Asset, load_assets, pack_bytes, scan_assets
-from ..ops.unpack import unpack_pcm
+from ..ops.unpack import unpack_ima_adpcm, unpack_pcm
 from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import wav as wav_codec
@@ -84,7 +84,8 @@ def decode_pcm_family(
         cfg = unpack_args_fn(row)
         key = (cfg["bits"], int(row["channels"]), cfg["is_float"],
                cfg["unsigned8"], cfg.get("companded"),
-               cfg.get("big_endian", big_endian))
+               cfg.get("big_endian", big_endian),
+               cfg.get("adpcm"), cfg.get("block_align"))
         groups.setdefault(key, []).append(i)
 
     pieces: list[tuple[list[int], AudioBatch]] = []
@@ -100,23 +101,32 @@ def decode_pcm_family(
             )
         )
 
-    for (bits, channels, is_float, unsigned8, companded, be), idxs in (
-        groups.items()
-    ):
+    for (bits, channels, is_float, unsigned8, companded, be, adpcm,
+         block_align), idxs in groups.items():
         sel = np.asarray(idxs, np.int32)
         max_frames = _bucket_frames(int(meta_host["n_frames"][sel].max()))
-        pcm = unpack_pcm(
-            bufs[sel],
-            jnp.asarray(meta_host["data_off"][sel]),
-            jnp.asarray(meta_host["n_frames"][sel]),
-            bits=bits,
-            channels=channels,
-            big_endian=be,
-            unsigned8=unsigned8,
-            is_float=is_float,
-            companded=companded,
-            max_frames=max_frames,
-        )
+        if adpcm == "ima":
+            pcm = unpack_ima_adpcm(
+                bufs[sel],
+                jnp.asarray(meta_host["data_off"][sel]),
+                jnp.asarray(meta_host["n_frames"][sel]),
+                channels=channels,
+                block_align=block_align,
+                max_frames=max_frames,
+            )
+        else:
+            pcm = unpack_pcm(
+                bufs[sel],
+                jnp.asarray(meta_host["data_off"][sel]),
+                jnp.asarray(meta_host["n_frames"][sel]),
+                bits=bits,
+                channels=channels,
+                big_endian=be,
+                unsigned8=unsigned8,
+                is_float=is_float,
+                companded=companded,
+                max_frames=max_frames,
+            )
         batch = AudioBatch(
             pcm=pcm,
             sample_rate=jnp.asarray(meta_host["sample_rate"][sel]),

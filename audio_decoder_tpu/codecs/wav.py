@@ -35,12 +35,14 @@ _RIFF = fourcc("RIFF")
 _WAVE = fourcc("WAVE")
 _FMT = fourcc("fmt ")
 _DATA = fourcc("data")
+_FACT = fourcc("fact")
 
-# Format codes (≙ wav.rs:7-15).
+# Format codes (≙ wav.rs:7-15; IMA ADPCM is beyond the reference's enum).
 FORMAT_PCM = 0x0001
 FORMAT_IEEE_FLOAT = 0x0003
 FORMAT_ALAW = 0x0006
 FORMAT_MULAW = 0x0007
+FORMAT_IMA_ADPCM = 0x0011
 FORMAT_EXTENSIBLE = 0xFFFE
 
 _MAX_CHUNKS = 128
@@ -54,6 +56,7 @@ META_FIELDS = (
     "data_off",
     "data_size",
     "n_frames",
+    "block_align",
 )
 
 
@@ -67,14 +70,15 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         jnp.logical_and(read_tag(buf, i32(0)) == _RIFF, read_tag(buf, i32(8)) == _WAVE),
     )
 
-    # state: cursor, iter, fmt_off, fmt_size, data_off, data_size, err
+    # state: cursor, iter, fmt_off, fmt_size, data_off, data_size,
+    # fact_val, err
     def cond(s):
-        cursor, it, fmt_off, fmt_size, data_off, data_size, err = s
+        cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val, err = s
         more = jnp.logical_and(cursor + 8 <= flen, it < _MAX_CHUNKS)
         return jnp.logical_and(jnp.logical_and(more, data_off < 0), err == E.ERR_OK)
 
     def body(s):
-        cursor, it, fmt_off, fmt_size, data_off, data_size, err = s
+        cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val, err = s
         cid = read_tag(buf, cursor)
         csize = read_u32le(buf, cursor + 4).astype(i32)
         payload = cursor + 8
@@ -82,6 +86,12 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         is_data = cid == _DATA
         fmt_off = jnp.where(is_fmt, payload, fmt_off)
         fmt_size = jnp.where(is_fmt, csize, fmt_size)
+        # fact: dwSampleLength — the exact frame count for compressed
+        # formats (the data/block math alone over-counts a padded tail)
+        is_fact = jnp.logical_and(cid == _FACT, csize >= 4)
+        fact_val = jnp.where(
+            is_fact, read_u32le(buf, payload).astype(i32), fact_val
+        )
         # Truncated data chunk → UnexpectedEof (≙ wav.rs:143-151 EOF checks).
         trunc = jnp.logical_and(is_data, payload + csize > flen)
         err = jnp.where(trunc, i32(E.ERR_EOF), err)
@@ -89,11 +99,13 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         data_size = jnp.where(is_data, csize, data_size)
         # RIFF chunks are word-aligned: odd sizes carry a pad byte.
         cursor = payload + csize + (csize & 1)
-        return cursor, it + 1, fmt_off, fmt_size, data_off, data_size, err
+        return (cursor, it + 1, fmt_off, fmt_size, data_off, data_size,
+                fact_val, err)
 
-    init = (i32(12), i32(0), i32(-1), i32(0), i32(-1), i32(0), i32(E.ERR_OK))
-    cursor, _, fmt_off, fmt_size, data_off, data_size, err = lax.while_loop(
-        cond, body, init
+    init = (i32(12), i32(0), i32(-1), i32(0), i32(-1), i32(0), i32(0),
+            i32(E.ERR_OK))
+    cursor, _, fmt_off, fmt_size, data_off, data_size, fact_val, err = (
+        lax.while_loop(cond, body, init)
     )
 
     err = jnp.where(ok_magic, err, i32(E.ERR_UNSUPPORTED))
@@ -106,6 +118,7 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     fmt_code = read_u16le(buf, p).astype(i32)
     channels = read_u16le(buf, p + 2).astype(i32)
     sample_rate = read_u32le(buf, p + 4).astype(i32)
+    block_align = read_u16le(buf, p + 12).astype(i32)
     bits = read_u16le(buf, p + 14).astype(i32)
     # WAVEFORMATEXTENSIBLE: effective format is the SubFormat GUID's
     # leading u16 (≙ wav.rs:111-129, with the intended 14-byte GUID tail).
@@ -133,6 +146,10 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
             bits == 8,
         ),
     )
+    is_adpcm = fmt_code == FORMAT_IMA_ADPCM
+    supported = jnp.logical_or(
+        supported, jnp.logical_and(is_adpcm, bits == 4)
+    )
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
         i32(E.ERR_UNSUPPORTED),
@@ -143,8 +160,46 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         jnp.logical_and(err == E.ERR_OK, bad_geom), i32(E.ERR_INVALID), err
     )
 
+    # IMA ADPCM geometry: blocks hold a 4-byte header per channel plus
+    # 4-byte nibble groups interleaved per channel, so block_align must
+    # be a positive multiple of 4·channels beyond the headers, and the
+    # declared wSamplesPerBlock (at p+18 — the same offset in the plain
+    # cbSize=2 form and EXTENSIBLE's Samples union) must match the
+    # block's actual capacity 1 + 8·W.
+    adpcm_w = (block_align - 4 * channels) // jnp.maximum(4 * channels, 1)
+    spb_decl = read_u16le(buf, p + 18).astype(i32)
+    adpcm_ok = jnp.logical_and(
+        jnp.logical_and(
+            block_align > 4 * channels,
+            (block_align % jnp.maximum(4 * channels, 1)) == 0,
+        ),
+        spb_decl == 1 + 8 * adpcm_w,
+    )
+    err = jnp.where(
+        jnp.logical_and(
+            err == E.ERR_OK,
+            jnp.logical_and(is_adpcm, jnp.logical_not(adpcm_ok)),
+        ),
+        i32(E.ERR_INVALID),
+        err,
+    )
+
     denom = jnp.maximum(channels * (bits // 8), 1)
-    n_frames = data_size // denom
+    # IMA frame count: full blocks at 1+8W frames each, plus a partial
+    # tail block's complete nibble groups, capped by fact's
+    # dwSampleLength when present (the exact count for padded tails)
+    full = data_size // jnp.maximum(block_align, 1)
+    rem = data_size - full * jnp.maximum(block_align, 1)
+    partial = jnp.where(
+        rem >= 4 * channels,
+        1 + ((rem - 4 * channels) // jnp.maximum(4 * channels, 1)) * 8,
+        0,
+    )
+    nf_adpcm = full * (1 + 8 * adpcm_w) + partial
+    nf_adpcm = jnp.where(
+        fact_val > 0, jnp.minimum(nf_adpcm, fact_val), nf_adpcm
+    )
+    n_frames = jnp.where(is_adpcm, nf_adpcm, data_size // denom)
     return dict(
         err=err,
         fmt_code=fmt_code,
@@ -154,6 +209,7 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         data_off=data_off,
         data_size=data_size,
         n_frames=n_frames,
+        block_align=block_align,
     )
 
 
@@ -169,6 +225,12 @@ def unpack_args(meta_host: dict) -> dict:
     (used by the registry to group files into identically-typed batches)."""
     bits = int(meta_host["bits"])
     code = int(meta_host["fmt_code"])
+    if code == FORMAT_IMA_ADPCM:
+        return dict(
+            bits=4, big_endian=False, unsigned8=False, is_float=False,
+            companded=None, adpcm="ima",
+            block_align=int(meta_host["block_align"]),
+        )
     return dict(
         bits=bits,
         big_endian=False,

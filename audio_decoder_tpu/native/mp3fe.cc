@@ -291,15 +291,62 @@ static int free_format_base(const uint8_t* blob, int64_t n, int64_t i,
   return 0;
 }
 
+// Scan bound with trailing metadata tags stripped: ID3v1 ("TAG", 128 B),
+// ID3v1 Enhanced ("TAG+", 227 B before the ID3v1 tag), APEv2 (32-byte
+// "APETAGEX" footer carrying the tag size) and Lyrics3v2 ("LYRICS200"
+// end marker preceded by a 6-digit size).  Tags stack, so strip to a
+// fixed point.  Exact mirror of frontend.scan_end (parity fuzzed).
+static int64_t scan_end(const uint8_t* blob, int64_t n) {
+  for (;;) {
+    if (n >= 128 && blob[n - 128] == 'T' && blob[n - 127] == 'A' &&
+        blob[n - 126] == 'G') {
+      n -= 128;
+      if (n >= 227 && blob[n - 227] == 'T' && blob[n - 226] == 'A' &&
+          blob[n - 225] == 'G' && blob[n - 224] == '+')
+        n -= 227;
+      continue;
+    }
+    if (n >= 32 && memcmp(blob + n - 32, "APETAGEX", 8) == 0) {
+      uint32_t size = (uint32_t)blob[n - 20] | ((uint32_t)blob[n - 19] << 8) |
+                      ((uint32_t)blob[n - 18] << 16) |
+                      ((uint32_t)blob[n - 17] << 24);
+      uint32_t flags = (uint32_t)blob[n - 12] | ((uint32_t)blob[n - 11] << 8) |
+                       ((uint32_t)blob[n - 10] << 16) |
+                       ((uint32_t)blob[n - 9] << 24);
+      int64_t total = (int64_t)size + ((flags & 0x80000000u) ? 32 : 0);
+      if (total >= 32 && total <= n) {
+        n -= total;
+        continue;
+      }
+    }
+    if (n >= 15 && memcmp(blob + n - 9, "LYRICS200", 9) == 0) {
+      bool digits = true;
+      int64_t sz = 0;
+      for (int k = 0; k < 6; k++) {
+        uint8_t c = blob[n - 15 + k];
+        if (c < '0' || c > '9') { digits = false; break; }
+        sz = sz * 10 + (c - '0');
+      }
+      if (digits && sz + 15 <= n) {
+        n -= sz + 15;
+        continue;
+      }
+    }
+    return n;
+  }
+}
+
 // Sequential sync walk with resync-on-junk (robust form of mpeg.rs:17-121).
-// A leading ID3v2 tag (synchsafe size) and a leading Xing/Info/VBRI
-// metadata frame are skipped; free-format frame lengths are measured.
+// A leading ID3v2 tag (synchsafe size), trailing ID3v1/APE/Lyrics3 tags,
+// and a leading Xing/Info/VBRI metadata frame are skipped; free-format
+// frame lengths are measured.
 // Total find_frames invocations — exported for tests that pin the
 // single-walk contract of the session API (one walk per blob).
 static std::atomic<int64_t> g_frame_walks{0};
 
 static void find_frames(const uint8_t* blob, int64_t n, std::vector<Frame>* out) {
   g_frame_walks.fetch_add(1, std::memory_order_relaxed);
+  n = scan_end(blob, n);
   int64_t i = 0;
   if (n >= 10 && blob[0] == 'I' && blob[1] == 'D' && blob[2] == '3') {
     int64_t size = ((int64_t)(blob[6] & 0x7F) << 21) |

@@ -138,12 +138,11 @@ def sharded_decode_fn(mesh: Mesh, **static):
 
     data = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
-    meta_shard = dict(
-        err=data, fmt_code=data, channels=data, sample_rate=data, bits=data,
-        data_off=data, data_size=data, n_frames=data,
-    )
+    # the meta dict's keys are family-specific (wav carries block_align);
+    # a sharding LEAF is a valid pytree prefix — every [B] meta array
+    # shards over 'data' without enumerating keys here
     return jax.jit(
         step,
         in_shardings=(data, data),
-        out_shardings=(data, meta_shard, rep, rep),
+        out_shardings=(data, data, rep, rep),
     )

@@ -7,6 +7,7 @@
 
 #include <libavcodec/avcodec.h>
 #include <libavutil/frame.h>
+#include <libavutil/mem.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -71,5 +72,47 @@ int64_t ffdec_decode(const uint8_t* data, int64_t len, float* out,
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);
   av_parser_close(parser);
+  return written;
+}
+
+// Decode WAV-layout IMA ADPCM (AV_CODEC_ID_ADPCM_IMA_WAV) — independent
+// oracle for ops.unpack.unpack_ima_adpcm / tests/ima_ref.py.  Feeds one
+// packet per block (the decoder requires block_align-sized packets);
+// out is interleaved [frames, ch] in [-1, 1) int16 scale.
+int64_t ffdec_decode_adpcm(const uint8_t* data, int64_t len, int block_align,
+                           int channels, int rate, float* out,
+                           int64_t max_frames, int* channels_out) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_ADPCM_IMA_WAV);
+  if (!codec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!ctx) return -2;
+  ctx->block_align = block_align;
+  ctx->sample_rate = rate;
+  ctx->bits_per_coded_sample = 4;
+  av_channel_layout_default(&ctx->ch_layout, channels);
+  if (avcodec_open2(ctx, codec, NULL) < 0) return -3;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  int ch = 0;
+  for (int64_t pos = 0; pos < len; pos += block_align) {
+    int n = (int)((len - pos < block_align) ? (len - pos) : block_align);
+    uint8_t* buf = av_malloc(n + AV_INPUT_BUFFER_PADDING_SIZE);
+    memcpy(buf, data + pos, n);
+    memset(buf + n, 0, AV_INPUT_BUFFER_PADDING_SIZE);
+    av_packet_from_data(pkt, buf, n);
+    if (avcodec_send_packet(ctx, pkt) == 0) {
+      while (avcodec_receive_frame(ctx, frame) == 0)
+        copy_frame(ctx, frame, out, max_frames, &written, &ch);
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(ctx, NULL);
+  while (avcodec_receive_frame(ctx, frame) == 0)
+    copy_frame(ctx, frame, out, max_frames, &written, &ch);
+  *channels_out = ch;
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
   return written;
 }

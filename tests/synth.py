@@ -66,12 +66,17 @@ def make_wav(
     extra_chunks: list[tuple[bytes, bytes]] | None = None,
     data_override: bytes | None = None,
     fmt_code_override: int | None = None,
+    block_align_override: int | None = None,
+    fmt_tail: bytes | None = None,
+    valid_bits_override: int | None = None,
 ) -> bytes:
     """Build a RIFF/WAVE blob from [frames, channels] integer PCM.
 
     ``extra_chunks`` inserts (id, payload) chunks before "data" to exercise
     the chunk walk.  ``data_override`` substitutes raw data-chunk bytes.
-    """
+    ``fmt_tail`` appends bytes after the 16-byte fmt base (cbSize + extra
+    fields — compressed formats); ``block_align_override`` sets
+    nBlockAlign directly (ADPCM block size)."""
     frames, channels = pcm.shape
     data = (
         data_override
@@ -79,22 +84,29 @@ def make_wav(
         else pcm_to_bytes(pcm, bits, big_endian=False, unsigned8=bits == 8,
                           float32=float32, float64=float64)
     )
-    block_align = channels * (bits // 8)
+    block_align = (channels * (bits // 8) if block_align_override is None
+                   else block_align_override)
     byte_rate = sample_rate * block_align
     fmt_code = fmt_code_override or (3 if (float32 or float64) else 1)
 
     if extensible:
         guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+        # the Samples union at offset 18: wValidBitsPerSample for PCM,
+        # wSamplesPerBlock for compressed formats (ADPCM)
+        samples_field = (bits if valid_bits_override is None
+                         else valid_bits_override)
         fmt = struct.pack(
             "<HHIIHHHHI",
             0xFFFE, channels, sample_rate, byte_rate, block_align, bits,
-            22, bits, (1 << channels) - 1,
+            22, samples_field, (1 << channels) - 1,
         ) + struct.pack("<H", fmt_code) + guid_tail
     else:
         fmt = struct.pack(
             "<HHIIHH", fmt_code, channels, sample_rate, byte_rate,
             block_align, bits,
         )
+        if fmt_tail is not None:
+            fmt += fmt_tail
 
     chunks = [(b"fmt ", fmt)]
     for cid, payload in extra_chunks or []:

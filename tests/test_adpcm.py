@@ -1,0 +1,185 @@
+"""WAV IMA ADPCM (format 0x11): device kernel vs reference oracles.
+
+The device decoder (ops.unpack.unpack_ima_adpcm) must match the
+clear-room NumPy reference (tests/ima_ref.py) bit-exactly, and the NumPy
+reference itself is cross-checked against libavcodec's adpcm_ima_wav —
+two independent implementations, like the MP3 dual-oracle suite.  The
+reference decodes no compressed WAV at all (wav.rs:9-28 enumerates
+format codes and decodes only PCM); IMA ADPCM is a beyond-reference
+capability chosen because its block structure maps onto the TPU the
+same way the MP3 Huffman lanes do (sequential within a block, blocks
+data-parallel).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from audio_decoder_tpu.codecs.registry import decode_assets
+from audio_decoder_tpu.core import errors as E
+from audio_decoder_tpu.io.assets import Asset
+
+from . import codec_refs as CR
+from . import ima_ref as IR
+from .synth import make_wav
+
+
+def _signal(rng, frames: int, ch: int) -> np.ndarray:
+    """Tonal + noise content (exercises both small and large steps)."""
+    t = np.arange(frames)
+    s = 12000 * np.sin(2 * np.pi * 220 * t / 44100)
+    s = s[:, None] * (1.0 - 0.3 * np.arange(ch)[None, :])
+    s = s + rng.normal(0, 900, size=(frames, ch))
+    return np.clip(s, -32768, 32767).astype(np.int16)
+
+
+def _spb(ba: int, ch: int) -> int:
+    return 1 + 8 * ((ba - 4 * ch) // (4 * ch))
+
+
+def _blob(data: bytes, ch: int, ba: int, rate: int = 44100,
+          fact: int | None = None, extensible: bool = False) -> bytes:
+    spb = _spb(ba, ch)
+    extra = ([(b"fact", struct.pack("<I", fact))]
+             if fact is not None else None)
+    if extensible:
+        return make_wav(
+            np.zeros((0, ch), np.int16), rate, 4, extensible=True,
+            fmt_code_override=0x11, data_override=data,
+            block_align_override=ba, valid_bits_override=spb,
+            extra_chunks=extra)
+    return make_wav(
+        np.zeros((0, ch), np.int16), rate, 4, fmt_code_override=0x11,
+        data_override=data, block_align_override=ba,
+        fmt_tail=struct.pack("<HH", 2, spb), extra_chunks=extra)
+
+
+def _decode_one(data: bytes):
+    batch = decode_assets(
+        [Asset(path="a.wav", name="a", ext="wav", data=data)])
+    return batch.file(0)
+
+
+@pytest.mark.parametrize("ch,ba", [(1, 256), (2, 256), (2, 2048), (1, 1024)])
+def test_ima_device_matches_numpy_oracle(rng, ch, ba):
+    pcm = _signal(rng, 3 * _spb(ba, ch) + 7, ch)  # non-block-multiple
+    data = IR.encode(pcm, ba)
+    f = _decode_one(_blob(data, ch, ba))
+    assert f.err == 0 and f.num_channels == ch and f.bits_per_sample == 4
+    ref = IR.decode(data, ch, ba)  # padded to whole blocks, like the file
+    assert f.pcm.shape[0] == ref.shape[0]
+    got = np.asarray(f.pcm)
+    np.testing.assert_array_equal(
+        np.round(got * 32768.0).astype(np.int16), ref)
+
+
+def test_ima_fact_chunk_trims_padded_tail(rng):
+    ch, ba = 2, 512
+    frames = 2 * _spb(ba, ch) + 11
+    pcm = _signal(rng, frames, ch)
+    data = IR.encode(pcm, ba)
+    f = _decode_one(_blob(data, ch, ba, fact=frames))
+    assert f.err == 0
+    assert f.pcm.shape[0] == frames  # fact wins over block math
+    ref = IR.decode(data, ch, ba, n_frames=frames)
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16), ref)
+
+
+def test_ima_extensible_container(rng):
+    ch, ba = 2, 256
+    pcm = _signal(rng, 2 * _spb(ba, ch), ch)
+    data = IR.encode(pcm, ba)
+    plain = _decode_one(_blob(data, ch, ba))
+    ext = _decode_one(_blob(data, ch, ba, extensible=True))
+    assert ext.err == 0
+    np.testing.assert_array_equal(np.asarray(ext.pcm), np.asarray(plain.pcm))
+
+
+def test_ima_partial_tail_block(rng):
+    """A truncated final block decodes its complete nibble groups."""
+    ch, ba = 2, 256
+    pcm = _signal(rng, 2 * _spb(ba, ch), ch)
+    data = IR.encode(pcm, ba)
+    cut = len(data) - ba + 4 * ch + 2 * (4 * ch)  # header + 2 word groups
+    f = _decode_one(_blob(data[:cut], ch, ba))
+    assert f.err == 0
+    expect = _spb(ba, ch) + 1 + 2 * 8
+    assert f.pcm.shape[0] == expect
+    ref = IR.decode(data[:cut], ch, ba)
+    assert ref.shape[0] == expect
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16), ref)
+
+
+def test_ima_bad_geometry_is_invalid(rng):
+    ch, ba = 2, 256
+    data = IR.encode(_signal(rng, _spb(ba, ch), ch), ba)
+    spb = _spb(ba, ch)
+    # wrong wSamplesPerBlock
+    blob = make_wav(
+        np.zeros((0, ch), np.int16), 44100, 4, fmt_code_override=0x11,
+        data_override=data, block_align_override=ba,
+        fmt_tail=struct.pack("<HH", 2, spb + 1))
+    assert _decode_one(blob).err == E.ERR_INVALID
+    # block smaller than the per-channel headers
+    blob = make_wav(
+        np.zeros((0, ch), np.int16), 44100, 4, fmt_code_override=0x11,
+        data_override=data, block_align_override=8,
+        fmt_tail=struct.pack("<HH", 2, spb))
+    assert _decode_one(blob).err == E.ERR_INVALID
+    # wrong coded bit width
+    blob = make_wav(
+        np.zeros((0, ch), np.int16), 44100, 8, fmt_code_override=0x11,
+        data_override=data, block_align_override=ba,
+        fmt_tail=struct.pack("<HH", 2, spb))
+    assert _decode_one(blob).err == E.ERR_UNSUPPORTED
+
+
+@pytest.mark.parametrize("ch,ba", [(1, 512), (2, 1024)])
+def test_numpy_oracle_close_to_libavcodec(rng, ch, ba):
+    """Cross-check vs ffmpeg's independent decoder.
+
+    IMA decoders split into two families: the IMA spec's bit-test
+    difference approximation (step>>3 + conditional step/step>>1/step>>2
+    — what we, libsndfile and Windows ACM implement) and ffmpeg's exact
+    form ((2·n+1)·step >> 3).  Each nibble can differ by the shifts'
+    truncated fraction (< 4 units) and the difference feeds back through
+    the predictor WITHIN a block, but every block re-syncs exactly at
+    its verbatim header sample — so the families agree exactly at block
+    heads and within a small tolerance elsewhere (same shape as the MP3
+    suite's inter-oracle RMS bound)."""
+    if not CR.have_ffdec():
+        pytest.skip("libavcodec unavailable")
+    spb = _spb(ba, ch)
+    pcm = _signal(rng, 4 * spb, ch)
+    data = IR.encode(pcm, ba)
+    ours = IR.decode(data, ch, ba).astype(np.float32) / 32768.0
+    ff = CR.ffdec_decode_adpcm(data, ba, ch)
+    assert ff.shape == ours.shape
+    np.testing.assert_array_equal(ff[::spb], ours[::spb])  # block heads
+    assert float(np.abs(ff - ours).max()) < 2e-3
+    assert float(np.sqrt(((ff - ours) ** 2).mean())) < 5e-4
+
+
+def test_ima_stream_equals_batch_and_seeks(rng):
+    from audio_decoder_tpu.codecs.pcm_stream import PcmStream
+
+    ch, ba = 2, 256
+    spb = _spb(ba, ch)
+    pcm = _signal(rng, 5 * spb, ch)
+    blob = _blob(IR.encode(pcm, ba), ch, ba)
+    f = _decode_one(blob)
+    whole = np.asarray(f.pcm)
+    st = PcmStream(blob, frames_per_chunk=2 * spb + 3)
+    assert st.total_samples == whole.shape[0]
+    got = np.concatenate(list(st))
+    np.testing.assert_array_equal(got, whole)
+    for s in (1, spb - 1, spb, spb + 1, 3 * spb + 17, st.total_samples):
+        parts = list(st.chunks(start_sample=s))
+        got = (np.concatenate(parts) if parts
+               else np.zeros((0, ch), np.float32))
+        np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")

@@ -341,3 +341,65 @@ def test_native_python_frontend_agreement_on_corrupt_streams():
             nat_valid.astype(bool), py_valid.astype(bool),
             err_msg=f"valid-mask divergence on trial {trial}",
         )
+
+
+def test_trailing_tags_bound_the_frame_walk():
+    """Trailing ID3v1 / Enhanced TAG+ / APEv2 / Lyrics3v2 tags are
+    stripped before the sync walk (frontend.scan_end, mirrored in
+    mp3fe.cc): a crafted VALID low-bitrate frame planted inside a tag
+    payload must not append a garbage frame.  The benign-trailer case is
+    test_id3v1_trailer_and_aifc_twos; this is the hostile one (tag text
+    is free-form, and 8 kbps MPEG-2.5 frames are only 52 bytes — they
+    fit inside a 128-byte ID3v1 comment)."""
+    import struct
+
+    from audio_decoder_tpu.codecs.mpeg import frontend as FE
+    from audio_decoder_tpu.codecs.mpeg import native as NA
+
+    if not CR.have_lame():
+        pytest.skip("lame unavailable")
+    rng = np.random.default_rng(23)
+    pcm = np.clip(rng.standard_normal((4410, 2)) * 8000,
+                  -32768, 32767).astype(np.int16)
+    blob = CR.lame_encode(pcm, 44100, 128, mode=1)
+    frames0 = FE.find_frames(blob)
+    assert frames0
+
+    # a fully valid 8 kbps MPEG-2.5 Layer III header: 52-byte frames
+    hostile = b"\xff\xe3\x10\x00" + bytes(60)
+    assert FE.parse_header(int.from_bytes(hostile[:4], "big"))["frame_len"] == 52
+    id3v1 = (b"TAG" + hostile + bytes(125))[:128]
+    tagplus = (b"TAG+" + hostile + bytes(250))[:227]
+    size = len(hostile) + 32
+    footer = (b"APETAGEX" + struct.pack("<III", 2000, size, 1)
+              + struct.pack("<I", 0x80000000) + bytes(8))
+    header = (b"APETAGEX" + struct.pack("<III", 2000, size, 1)
+              + struct.pack("<I", 0xA0000000) + bytes(8))
+    ape = header + hostile + footer
+    ly_body = b"LYRICSBEGIN" + hostile
+    lyrics = ly_body + (b"%06d" % len(ly_body)) + b"LYRICS200"
+
+    combos = {
+        "id3v1": id3v1,
+        "tag+": tagplus + id3v1,
+        "ape": ape,
+        "ape+id3v1": ape + id3v1,
+        "lyrics3+id3v1": lyrics + id3v1,
+        "ape+lyrics3+id3v1": ape + lyrics + id3v1,
+    }
+    ref = _decode_one("p", "mp3", blob)
+    for label, tail in combos.items():
+        tagged = blob + tail
+        assert FE.find_frames(tagged) == frames0, label
+        f = _decode_one(label, "mp3", tagged)
+        assert f.err == 0, label
+        assert f.pcm.shape[0] == ref.pcm.shape[0], label
+        np.testing.assert_array_equal(
+            np.asarray(f.pcm), np.asarray(ref.pcm), err_msg=label)
+        if NA.available():  # C++ front-end strips the same bytes
+            assert (NA.probe(tagged)["n_granules"]
+                    == NA.probe(blob)["n_granules"]), label
+
+    # a blob that is ONLY tags has no frames (clean error, no crash)
+    f = _decode_one("only", "mp3", ape + lyrics + id3v1)
+    assert f.err != 0

@@ -9,6 +9,8 @@ Two contracts:
     this pins the byte-window arithmetic).
 """
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -54,6 +56,12 @@ WAV_BLOBS = {
     "ulaw": make_wav(np.zeros((0, 1), np.int64), 8000, 8,
                      data_override=bytes(range(256)) * 3,
                      fmt_code_override=7),
+    # IMA ADPCM: block-structured, fact chunk caps the frame count
+    "adpcm": make_wav(np.zeros((0, 2), np.int64), 22050, 4,
+                      data_override=bytes(256) + bytes(100),
+                      fmt_code_override=0x11, block_align_override=256,
+                      fmt_tail=struct.pack("<HH", 2, 249),
+                      extra_chunks=[(b"fact", struct.pack("<I", 300))]),
 }
 
 AIFF_BLOBS = {
@@ -87,7 +95,7 @@ def test_wav_host_meta_matches_device(name):
     assert dev["err"] == E.ERR_OK
     host = PS.parse_wav_header(np.frombuffer(blob, np.uint8))
     for k in ("fmt_code", "channels", "sample_rate", "bits", "data_off",
-              "data_size", "n_frames"):
+              "data_size", "n_frames", "block_align"):
         assert host[k] == dev[k], (k, host[k], dev[k])
 
 
