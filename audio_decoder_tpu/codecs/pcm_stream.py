@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import errors as E
-from ..ops.unpack import unpack_ima_adpcm, unpack_pcm
+from ..ops.unpack import unpack_ima_adpcm, unpack_ms_adpcm, unpack_pcm
 from . import aiff as _aiff
 from . import wav as _wav
 
@@ -96,26 +96,38 @@ def parse_wav_header(mm) -> dict:
         (fmt_code == _wav.FORMAT_PCM and bits in (8, 16, 24, 32))
         or (fmt_code == _wav.FORMAT_IEEE_FLOAT and bits in (32, 64))
         or (fmt_code in (_wav.FORMAT_ALAW, _wav.FORMAT_MULAW) and bits == 8)
-        or (fmt_code == _wav.FORMAT_IMA_ADPCM and bits == 4)
+        or (fmt_code in (_wav.FORMAT_IMA_ADPCM, _wav.FORMAT_MS_ADPCM)
+            and bits == 4)
     )
     if not supported:
         raise E.UnsupportedFormatError(
             f"WAV format code {fmt_code} at {bits}-bit")
     if channels <= 0 or bits == 0:
         raise E.InvalidDataError("bad channel count / sample size")
-    if fmt_code == _wav.FORMAT_IMA_ADPCM:
+    if fmt_code in (_wav.FORMAT_IMA_ADPCM, _wav.FORMAT_MS_ADPCM):
         # same geometry rules + frame math as the device walk
-        w = (block_align - 4 * channels) // max(4 * channels, 1)
         spb_decl = _u16le(mm, p + 18)
-        if (block_align <= 4 * channels
-                or block_align % max(4 * channels, 1)
-                or spb_decl != 1 + 8 * w):
+        if fmt_code == _wav.FORMAT_IMA_ADPCM:
+            w = (block_align - 4 * channels) // max(4 * channels, 1)
+            spb = 1 + 8 * w
+            ok = (block_align > 4 * channels
+                  and block_align % max(4 * channels, 1) == 0
+                  and spb_decl == spb)
+        else:
+            spb = 2 + (block_align - 7 * channels) * 2 // max(channels, 1)
+            ok = (block_align > 7 * channels and channels <= 2
+                  and spb_decl == spb)
+        if not ok:
             raise E.InvalidDataError(
-                f"bad IMA ADPCM geometry (block_align {block_align})")
+                f"bad ADPCM geometry (block_align {block_align})")
         full, rem = divmod(data_size, max(block_align, 1))
-        partial = (1 + ((rem - 4 * channels) // max(4 * channels, 1)) * 8
-                   if rem >= 4 * channels else 0)
-        n_frames = full * (1 + 8 * w) + partial
+        if fmt_code == _wav.FORMAT_IMA_ADPCM:
+            partial = (1 + ((rem - 4 * channels) // max(4 * channels, 1)) * 8
+                       if rem >= 4 * channels else 0)
+        else:
+            partial = (2 + (rem - 7 * channels) * 2 // max(channels, 1)
+                       if rem > 7 * channels else 0)
+        n_frames = full * spb + partial
         if fact_val > 0:
             n_frames = min(n_frames, fact_val)
     else:
@@ -242,16 +254,19 @@ class PcmStream:
         self.bits = meta["bits"]
         self.total_samples = meta["n_frames"]
         self.fpc = int(frames_per_chunk)
-        self._adpcm = bool(self._kw.pop("adpcm", None))
+        self._adpcm = self._kw.pop("adpcm", None)
         if self._adpcm:
             ba = self._kw.pop("block_align")
             for k in ("bits", "big_endian", "unsigned8", "is_float",
                       "companded"):
                 self._kw.pop(k, None)
             self._kw["block_align"] = ba
-            w = (ba - 4 * self.channels) // (4 * self.channels)
-            self._spb = 1 + 8 * w  # frames per block (the seek quantum)
-            self._bpf = None       # no fixed bytes-per-frame
+            if self._adpcm == "ima":
+                w = (ba - 4 * self.channels) // (4 * self.channels)
+                self._spb = 1 + 8 * w  # frames/block (the seek quantum)
+            else:  # ms
+                self._spb = 2 + (ba - 7 * self.channels) * 2 // self.channels
+            self._bpf = None           # no fixed bytes-per-frame
         else:
             # bytes per frame follows the STORED width (the unpack
             # config's bits), not COMM's decoded sampleSize — AIFC
@@ -303,7 +318,9 @@ class PcmStream:
             if len(raw) < span:  # tail window: zero-pad to the one shape
                 raw = np.concatenate(
                     [raw, np.zeros(span - len(raw), np.uint8)])
-            pcm = unpack_ima_adpcm(
+            kern = (unpack_ima_adpcm if self._adpcm == "ima"
+                    else unpack_ms_adpcm)
+            pcm = kern(
                 jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
                 channels=self.channels, block_align=ba,
                 max_frames=bpc * spb,

@@ -24,7 +24,7 @@ import numpy as np
 from ..core import errors as E
 from ..core.batch import AudioBatch, concat_batches
 from ..io.assets import Asset, load_assets, pack_bytes, scan_assets
-from ..ops.unpack import unpack_ima_adpcm, unpack_pcm
+from ..ops.unpack import unpack_ima_adpcm, unpack_ms_adpcm, unpack_pcm
 from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import wav as wav_codec
@@ -105,8 +105,9 @@ def decode_pcm_family(
          block_align), idxs in groups.items():
         sel = np.asarray(idxs, np.int32)
         max_frames = _bucket_frames(int(meta_host["n_frames"][sel].max()))
-        if adpcm == "ima":
-            pcm = unpack_ima_adpcm(
+        if adpcm is not None:
+            kern = unpack_ima_adpcm if adpcm == "ima" else unpack_ms_adpcm
+            pcm = kern(
                 bufs[sel],
                 jnp.asarray(meta_host["data_off"][sel]),
                 jnp.asarray(meta_host["n_frames"][sel]),

@@ -37,8 +37,9 @@ _FMT = fourcc("fmt ")
 _DATA = fourcc("data")
 _FACT = fourcc("fact")
 
-# Format codes (≙ wav.rs:7-15; IMA ADPCM is beyond the reference's enum).
+# Format codes (≙ wav.rs:7-15; the ADPCMs are beyond the reference's enum).
 FORMAT_PCM = 0x0001
+FORMAT_MS_ADPCM = 0x0002
 FORMAT_IEEE_FLOAT = 0x0003
 FORMAT_ALAW = 0x0006
 FORMAT_MULAW = 0x0007
@@ -146,7 +147,9 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
             bits == 8,
         ),
     )
-    is_adpcm = fmt_code == FORMAT_IMA_ADPCM
+    is_ima = fmt_code == FORMAT_IMA_ADPCM
+    is_ms = fmt_code == FORMAT_MS_ADPCM
+    is_adpcm = jnp.logical_or(is_ima, is_ms)
     supported = jnp.logical_or(
         supported, jnp.logical_and(is_adpcm, bits == 4)
     )
@@ -160,21 +163,29 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         jnp.logical_and(err == E.ERR_OK, bad_geom), i32(E.ERR_INVALID), err
     )
 
-    # IMA ADPCM geometry: blocks hold a 4-byte header per channel plus
-    # 4-byte nibble groups interleaved per channel, so block_align must
-    # be a positive multiple of 4·channels beyond the headers, and the
-    # declared wSamplesPerBlock (at p+18 — the same offset in the plain
-    # cbSize=2 form and EXTENSIBLE's Samples union) must match the
-    # block's actual capacity 1 + 8·W.
-    adpcm_w = (block_align - 4 * channels) // jnp.maximum(4 * channels, 1)
+    # ADPCM geometry (the declared wSamplesPerBlock sits at p+18 — the
+    # same offset in the plain cbSize≥2 form and EXTENSIBLE's Samples
+    # union — and must match the block's actual capacity):
+    #   IMA (0x11): 4-byte header/ch + 4-byte nibble groups interleaved
+    #     per channel → block_align a multiple of 4·ch, spb = 1 + 8·W;
+    #   MS (0x02): 7-byte header/ch (predictor, idelta, sample1,
+    #     sample2) + one code per channel per byte → spb = 2 + 2·body/ch.
     spb_decl = read_u16le(buf, p + 18).astype(i32)
-    adpcm_ok = jnp.logical_and(
+    ima_w = (block_align - 4 * channels) // jnp.maximum(4 * channels, 1)
+    ima_ok = jnp.logical_and(
         jnp.logical_and(
             block_align > 4 * channels,
             (block_align % jnp.maximum(4 * channels, 1)) == 0,
         ),
-        spb_decl == 1 + 8 * adpcm_w,
+        spb_decl == 1 + 8 * ima_w,
     )
+    ms_body = block_align - 7 * channels
+    ms_spb = 2 + ms_body * 2 // jnp.maximum(channels, 1)
+    ms_ok = jnp.logical_and(
+        jnp.logical_and(block_align > 7 * channels, channels <= 2),
+        spb_decl == ms_spb,
+    )
+    adpcm_ok = jnp.where(is_ms, ms_ok, ima_ok)
     err = jnp.where(
         jnp.logical_and(
             err == E.ERR_OK,
@@ -185,17 +196,23 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     )
 
     denom = jnp.maximum(channels * (bits // 8), 1)
-    # IMA frame count: full blocks at 1+8W frames each, plus a partial
-    # tail block's complete nibble groups, capped by fact's
-    # dwSampleLength when present (the exact count for padded tails)
+    # ADPCM frame count: full blocks at spb frames each, plus a partial
+    # tail block's complete codes, capped by fact's dwSampleLength when
+    # present (the exact count for padded tails)
     full = data_size // jnp.maximum(block_align, 1)
     rem = data_size - full * jnp.maximum(block_align, 1)
-    partial = jnp.where(
+    ima_partial = jnp.where(
         rem >= 4 * channels,
         1 + ((rem - 4 * channels) // jnp.maximum(4 * channels, 1)) * 8,
         0,
     )
-    nf_adpcm = full * (1 + 8 * adpcm_w) + partial
+    ms_partial = jnp.where(
+        rem > 7 * channels,
+        2 + (rem - 7 * channels) * 2 // jnp.maximum(channels, 1),
+        0,
+    )
+    spb = jnp.where(is_ms, ms_spb, 1 + 8 * ima_w)
+    nf_adpcm = full * spb + jnp.where(is_ms, ms_partial, ima_partial)
     nf_adpcm = jnp.where(
         fact_val > 0, jnp.minimum(nf_adpcm, fact_val), nf_adpcm
     )
@@ -225,10 +242,11 @@ def unpack_args(meta_host: dict) -> dict:
     (used by the registry to group files into identically-typed batches)."""
     bits = int(meta_host["bits"])
     code = int(meta_host["fmt_code"])
-    if code == FORMAT_IMA_ADPCM:
+    if code in (FORMAT_IMA_ADPCM, FORMAT_MS_ADPCM):
         return dict(
             bits=4, big_endian=False, unsigned8=False, is_float=False,
-            companded=None, adpcm="ima",
+            companded=None,
+            adpcm="ima" if code == FORMAT_IMA_ADPCM else "ms",
             block_align=int(meta_host["block_align"]),
         )
     return dict(

@@ -315,3 +315,104 @@ def unpack_ima_adpcm(
     )
     frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
     return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
+
+
+# MS ADPCM (WAV format 0x02): the 7 standard predictor coefficient pairs
+# and the idelta adaptation table (Microsoft's coding spec; decoders —
+# ffmpeg included — use these built-ins regardless of the fmt chunk's
+# copy, so files with doctored coefficient lists decode identically).
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int32)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int32)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230], np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("channels", "block_align", "max_frames")
+)
+def unpack_ms_adpcm(
+    bufs: jax.Array,      # u8 [B, N] raw file bytes
+    data_off: jax.Array,  # i32 [B] byte offset of the first block
+    n_frames: jax.Array,  # i32 [B] valid frame count per file
+    *,
+    channels: int,
+    block_align: int,
+    max_frames: int,
+) -> jax.Array:
+    """Decode WAV MS ADPCM (format 0x02) → planar f32 [B, max_frames, C].
+
+    Block layout (all per-channel fields interleaved by channel): 1-byte
+    predictor index, int16 LE idelta, int16 LE sample1, int16 LE sample2
+    — 7 bytes per channel — then one 4-bit code per channel per byte
+    (high nibble first).  sample2 then sample1 are the block's first two
+    output frames verbatim, so blocks are independent decode lanes like
+    IMA's; the scan carries (sample1, sample2, idelta) per lane.
+    Arithmetic follows the MS spec exactly: predictor =
+    (s1·coef1 + s2·coef2) / 256 truncated TOWARD ZERO (not a >> 8
+    floor), then + signed_nibble · idelta, clamped to int16; idelta
+    adapts by (ADAPT[nibble] · idelta) >> 8 with a floor of 16."""
+    if channels not in (1, 2):
+        raise ValueError("MS ADPCM: 1 or 2 channels")
+    if block_align <= 7 * channels:
+        raise ValueError(f"bad MS block_align {block_align}")
+    B = bufs.shape[0]
+    body_n = block_align - 7 * channels
+    S = body_n * 2 // channels          # coded samples per channel
+    spb = 2 + S
+    K = -(-max_frames // spb)
+    span = K * block_align
+    pad = jnp.pad(bufs, ((0, 0), (0, span)))
+    region = jax.vmap(
+        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
+    )(pad, data_off.astype(jnp.int32))
+    blocks = region.reshape(B, K, block_align)
+
+    def i16(lo, hi):
+        v = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 8)
+        return jnp.where(v >= 1 << 15, v - (1 << 16), v)
+
+    C = channels
+    hdr = blocks[:, :, : 7 * C]
+    cidx = jnp.clip(hdr[:, :, 0:C].astype(jnp.int32), 0, 6)   # [B,K,C]
+    idelta0 = i16(hdr[:, :, C : 3 * C : 2], hdr[:, :, C + 1 : 3 * C : 2])
+    samp1 = i16(hdr[:, :, 3 * C : 5 * C : 2], hdr[:, :, 3 * C + 1 : 5 * C : 2])
+    samp2 = i16(hdr[:, :, 5 * C : 7 * C : 2], hdr[:, :, 5 * C + 1 : 7 * C : 2])
+
+    body = blocks[:, :, 7 * C :]                              # [B,K,body_n]
+    nib = jnp.stack([body >> 4, body & 0xF], axis=-1)         # hi first
+    # stereo: byte k carries (left, right); mono: two consecutive codes
+    nib = nib.reshape(B, K, S, C).transpose(0, 1, 3, 2)       # [B,K,C,S]
+    nib = nib.reshape(B * K * C, S).T.astype(jnp.int32)       # [S, lanes]
+
+    coef1 = jnp.asarray(_MS_COEF1)[cidx].reshape(-1)
+    coef2 = jnp.asarray(_MS_COEF2)[cidx].reshape(-1)
+    adapt = jnp.asarray(_MS_ADAPT)
+
+    def trunc_div256(x):
+        return jnp.where(x < 0, -((-x) >> 8), x >> 8)
+
+    def step_fn(carry, nb):
+        s1, s2, delta = carry
+        signed = nb - ((nb & 8) << 1)
+        pred = trunc_div256(s1 * coef1 + s2 * coef2) + signed * delta
+        pred = jnp.clip(pred, -32768, 32767)
+        delta = jnp.maximum((adapt[nb] * delta) >> 8, 16)
+        return (pred, s1, delta), pred
+
+    # the header idelta is used RAW for the first code (the 16 floor
+    # applies only after adaptation — ffmpeg/MS-spec behavior)
+    init = (samp1.reshape(-1), samp2.reshape(-1), idelta0.reshape(-1))
+    _, out = lax.scan(step_fn, init, nib)                     # [S, lanes]
+    samples = jnp.concatenate(
+        [samp2.reshape(1, -1), samp1.reshape(1, -1), out], axis=0
+    )                                                         # [spb, lanes]
+    pcm = (
+        samples.reshape(spb, B, K, C)
+        .transpose(1, 2, 0, 3)
+        .reshape(B, K * spb, C)[:, :max_frames]
+        .astype(jnp.float32)
+        * jnp.float32(1.0 / 32768.0)
+    )
+    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
+    return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)

@@ -246,11 +246,12 @@ def have_ffdec() -> bool:
                 C.c_char_p, C.c_int64, C.POINTER(C.c_float), C.c_int64,
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
             ]
-            lib.ffdec_decode_adpcm.restype = C.c_int64
-            lib.ffdec_decode_adpcm.argtypes = [
-                C.c_char_p, C.c_int64, C.c_int, C.c_int, C.c_int,
-                C.POINTER(C.c_float), C.c_int64, C.POINTER(C.c_int),
-            ]
+            for fn in ("ffdec_decode_adpcm", "ffdec_decode_adpcm_ms"):
+                getattr(lib, fn).restype = C.c_int64
+                getattr(lib, fn).argtypes = [
+                    C.c_char_p, C.c_int64, C.c_int, C.c_int, C.c_int,
+                    C.POINTER(C.c_float), C.c_int64, C.POINTER(C.c_int),
+                ]
             _ffdec = lib
         except Exception:
             _ffdec = False
@@ -272,16 +273,18 @@ def ffdec_decode(blob: bytes) -> tuple[np.ndarray, int]:
     return out[: n * c].reshape(n, c).copy(), rate.value
 
 def ffdec_decode_adpcm(data: bytes, block_align: int, channels: int,
-                       rate: int = 44100) -> np.ndarray:
-    """Decode WAV-layout IMA ADPCM blocks via libavcodec → f32 [N, ch]."""
+                       rate: int = 44100, kind: str = "ima") -> np.ndarray:
+    """Decode WAV-layout IMA/MS ADPCM blocks via libavcodec → f32 [N, ch]."""
     assert have_ffdec()
     max_frames = (len(data) // block_align + 1) * (
-        1 + (block_align - 4 * channels) * 2 // channels)
+        2 + (block_align - 4 * channels) * 2 // channels)
     out = np.zeros((max_frames * channels,), np.float32)
     ch = C.c_int(0)
-    n = _ffdec.ffdec_decode_adpcm(
-        data, len(data), block_align, channels, rate,
-        out.ctypes.data_as(C.POINTER(C.c_float)), max_frames, C.byref(ch))
+    fn = (_ffdec.ffdec_decode_adpcm if kind == "ima"
+          else _ffdec.ffdec_decode_adpcm_ms)
+    n = fn(data, len(data), block_align, channels, rate,
+           out.ctypes.data_as(C.POINTER(C.c_float)), max_frames,
+           C.byref(ch))
     assert n >= 0, f"ffdec adpcm error {n}"
     c = max(ch.value, 1)
     return out[: n * c].reshape(n, c).copy()

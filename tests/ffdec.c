@@ -75,14 +75,16 @@ int64_t ffdec_decode(const uint8_t* data, int64_t len, float* out,
   return written;
 }
 
-// Decode WAV-layout IMA ADPCM (AV_CODEC_ID_ADPCM_IMA_WAV) — independent
-// oracle for ops.unpack.unpack_ima_adpcm / tests/ima_ref.py.  Feeds one
-// packet per block (the decoder requires block_align-sized packets);
-// out is interleaved [frames, ch] in [-1, 1) int16 scale.
-int64_t ffdec_decode_adpcm(const uint8_t* data, int64_t len, int block_align,
-                           int channels, int rate, float* out,
-                           int64_t max_frames, int* channels_out) {
-  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_ADPCM_IMA_WAV);
+// Decode WAV-layout block ADPCM — independent oracle for
+// ops.unpack.unpack_ima_adpcm / unpack_ms_adpcm (tests/ima_ref.py,
+// tests/ms_ref.py).  Feeds one packet per block (these decoders require
+// block_align-sized packets); out is interleaved [frames, ch] in [-1, 1)
+// int16 scale.
+static int64_t adpcm_decode_common(enum AVCodecID id, const uint8_t* data,
+                                   int64_t len, int block_align,
+                                   int channels, int rate, float* out,
+                                   int64_t max_frames, int* channels_out) {
+  const AVCodec* codec = avcodec_find_decoder(id);
   if (!codec) return -1;
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   if (!ctx) return -2;
@@ -115,4 +117,20 @@ int64_t ffdec_decode_adpcm(const uint8_t* data, int64_t len, int block_align,
   av_packet_free(&pkt);
   avcodec_free_context(&ctx);
   return written;
+}
+
+int64_t ffdec_decode_adpcm(const uint8_t* data, int64_t len, int block_align,
+                           int channels, int rate, float* out,
+                           int64_t max_frames, int* channels_out) {
+  return adpcm_decode_common(AV_CODEC_ID_ADPCM_IMA_WAV, data, len,
+                             block_align, channels, rate, out, max_frames,
+                             channels_out);
+}
+
+int64_t ffdec_decode_adpcm_ms(const uint8_t* data, int64_t len,
+                              int block_align, int channels, int rate,
+                              float* out, int64_t max_frames,
+                              int* channels_out) {
+  return adpcm_decode_common(AV_CODEC_ID_ADPCM_MS, data, len, block_align,
+                             channels, rate, out, max_frames, channels_out);
 }

@@ -183,3 +183,96 @@ def test_ima_stream_equals_batch_and_seeks(rng):
         got = (np.concatenate(parts) if parts
                else np.zeros((0, ch), np.float32))
         np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")
+
+
+# ------------------------------------------------------------------ MS ADPCM
+
+from . import ms_ref as MR  # noqa: E402
+
+
+def _ms_spb(ba: int, ch: int) -> int:
+    return 2 + (ba - 7 * ch) * 2 // ch
+
+
+def _ms_blob(data: bytes, ch: int, ba: int, rate: int = 44100,
+             fact: int | None = None) -> bytes:
+    extra = ([(b"fact", struct.pack("<I", fact))]
+             if fact is not None else None)
+    # cbSize=32: wSamplesPerBlock + wNumCoef + the 7 standard pairs
+    tail = struct.pack("<HHH", 32, _ms_spb(ba, ch), 7)
+    for c1, c2 in zip(MR.COEF1, MR.COEF2):
+        tail += struct.pack("<hh", c1, c2)
+    return make_wav(
+        np.zeros((0, ch), np.int16), rate, 4, fmt_code_override=0x02,
+        data_override=data, block_align_override=ba, fmt_tail=tail,
+        extra_chunks=extra)
+
+
+@pytest.mark.parametrize("ch,ba", [(1, 256), (2, 256), (2, 1024)])
+def test_ms_device_matches_numpy_oracle(rng, ch, ba):
+    pcm = _signal(rng, 3 * _ms_spb(ba, ch) + 5, ch)
+    data = MR.encode(pcm, ba)
+    f = _decode_one(_ms_blob(data, ch, ba))
+    assert f.err == 0 and f.num_channels == ch
+    ref = MR.decode(data, ch, ba)
+    assert f.pcm.shape[0] == ref.shape[0]
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16), ref)
+
+
+@pytest.mark.parametrize("ch,ba", [(1, 512), (2, 512)])
+def test_ms_oracle_matches_libavcodec_exactly(rng, ch, ba):
+    """MS ADPCM has ONE decode formula family — ffmpeg matches our
+    oracle (and hence the device kernel) bit-exactly, unlike IMA's two
+    truncation variants."""
+    if not CR.have_ffdec():
+        pytest.skip("libavcodec unavailable")
+    pcm = _signal(rng, 4 * _ms_spb(ba, ch), ch)
+    data = MR.encode(pcm, ba)
+    ours = MR.decode(data, ch, ba).astype(np.float32) / 32768.0
+    ff = CR.ffdec_decode_adpcm(data, ba, ch, kind="ms")
+    assert ff.shape == ours.shape
+    np.testing.assert_array_equal(ff, ours)
+
+
+def test_ms_fact_trim_partial_tail_and_bad_geometry(rng):
+    ch, ba = 2, 256
+    spb = _ms_spb(ba, ch)
+    frames = 2 * spb + 9
+    pcm = _signal(rng, frames, ch)
+    data = MR.encode(pcm, ba)
+    f = _decode_one(_ms_blob(data, ch, ba, fact=frames))
+    assert f.err == 0 and f.pcm.shape[0] == frames
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16),
+        MR.decode(data, ch, ba, n_frames=frames))
+    # partial tail: header + 10 code bytes
+    cut = len(data) - ba + 7 * ch + 10  # 2 full blocks + header + 10 codes
+    f = _decode_one(_ms_blob(data[:cut], ch, ba))
+    assert f.err == 0
+    assert f.pcm.shape[0] == 2 * spb + 2 + 10 * 2 // ch
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16),
+        MR.decode(data[:cut], ch, ba))
+    # wrong wSamplesPerBlock → invalid
+    blob = make_wav(np.zeros((0, ch), np.int16), 44100, 4,
+                    fmt_code_override=0x02, data_override=data,
+                    block_align_override=ba,
+                    fmt_tail=struct.pack("<HH", 2, spb + 1))
+    assert _decode_one(blob).err == E.ERR_INVALID
+
+
+def test_ms_stream_equals_batch_and_seeks(rng):
+    from audio_decoder_tpu.codecs.pcm_stream import PcmStream
+
+    ch, ba = 2, 256
+    spb = _ms_spb(ba, ch)
+    pcm = _signal(rng, 4 * spb, ch)
+    blob = _ms_blob(MR.encode(pcm, ba), ch, ba)
+    whole = np.asarray(_decode_one(blob).pcm)
+    st = PcmStream(blob, frames_per_chunk=spb + 19)
+    assert st.total_samples == whole.shape[0]
+    np.testing.assert_array_equal(np.concatenate(list(st)), whole)
+    for s in (1, spb, 2 * spb + 13, st.total_samples - 1):
+        got = np.concatenate(list(st.chunks(start_sample=s)))
+        np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")
