@@ -30,3 +30,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xB1A57)
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: the guard is a no-op
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    """Keep the process under vm.max_map_count (65530 default).
+
+    Every live XLA:CPU executable holds r-xp/r--p/rw-p anonymous map
+    TRIPLES for its JIT code — a full-suite process accumulates tens of
+    thousands (measured 41k+ two-thirds in) and then mmap fails inside
+    the next executable deserialization, which segfaults the
+    interpreter (observed repeatedly at tests/test_mp3_tpu.py on a
+    65530-limit host; single files pass because fresh processes start
+    near zero).  Dropping JAX's compiled-program caches releases the
+    mappings (measured 1213 → 502 across 60 jits); later tests re-load
+    from the persistent disk cache, so the cost is deserialization, not
+    recompilation."""
+    yield
+    if _map_count() > 35_000:
+        jax.clear_caches()
