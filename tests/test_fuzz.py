@@ -21,6 +21,10 @@ def _decode_one(name, ext, data):
     return batch.file(0)
 
 
+#: fixture key → asset extension (ADPCM variants live in .wav containers)
+_EXT = {"aiff": "aif", "adpcm": "wav", "msadpcm": "wav"}
+
+
 @pytest.fixture(scope="module")
 def blobs():
     rng = np.random.default_rng(99)
@@ -30,13 +34,42 @@ def blobs():
     out = {
         "wav": make_wav(pcm, 44100),
         "aiff": make_aiff(pcm, 44100),
+        "adpcm": _ima_blob(pcm),
+        "msadpcm": _ms_blob_fuzz(pcm),
     }
     if CR.have_lame():
         out["mp3"] = CR.lame_encode(pcm, 44100, 128, mode=1)
     return out
 
 
-@pytest.mark.parametrize("ext", ["wav", "aiff", "mp3"])
+def _ima_blob(pcm) -> bytes:
+    import struct
+
+    from . import ima_ref as IR
+
+    ba, ch = 256, pcm.shape[1]
+    spb = 1 + 8 * ((ba - 4 * ch) // (4 * ch))
+    return make_wav(np.zeros((0, ch), np.int16), 44100, 4,
+                    fmt_code_override=0x11, data_override=IR.encode(pcm, ba),
+                    block_align_override=ba,
+                    fmt_tail=struct.pack("<HH", 2, spb))
+
+
+def _ms_blob_fuzz(pcm) -> bytes:
+    import struct
+
+    from . import ms_ref as MR
+
+    ba, ch = 256, pcm.shape[1]
+    spb = 2 + (ba - 7 * ch) * 2 // ch
+    return make_wav(np.zeros((0, ch), np.int16), 44100, 4,
+                    fmt_code_override=0x02, data_override=MR.encode(pcm, ba),
+                    block_align_override=ba,
+                    fmt_tail=struct.pack("<HH", 2, spb))
+
+
+@pytest.mark.parametrize(
+    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm"])
 def test_truncations_never_crash(blobs, ext):
     if ext not in blobs:
         pytest.skip("lame unavailable")
@@ -47,7 +80,7 @@ def test_truncations_never_crash(blobs, ext):
         + list(rng.integers(0, len(blob), 12))
     ))
     for cut in cuts:
-        f = _decode_one("t", ext if ext != "aiff" else "aif", blob[:cut])
+        f = _decode_one("t", _EXT.get(ext, ext), blob[:cut])
         # either a clean per-file error code or a valid (possibly shorter)
         # decode — never an exception
         assert f.err in (0, 1, 2, 3, 4)
@@ -55,7 +88,8 @@ def test_truncations_never_crash(blobs, ext):
             assert f.pcm.shape[0] >= 0
 
 
-@pytest.mark.parametrize("ext", ["wav", "aiff", "mp3"])
+@pytest.mark.parametrize(
+    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm"])
 def test_byte_corruptions_never_crash(blobs, ext):
     if ext not in blobs:
         pytest.skip("lame unavailable")
@@ -65,7 +99,7 @@ def test_byte_corruptions_never_crash(blobs, ext):
         i = int(rng.integers(0, len(blob)))
         mut = bytearray(blob)
         mut[i] ^= int(rng.integers(1, 256))
-        f = _decode_one("c", ext if ext != "aiff" else "aif", bytes(mut))
+        f = _decode_one("c", _EXT.get(ext, ext), bytes(mut))
         assert f.err in (0, 1, 2, 3, 4)
 
 
