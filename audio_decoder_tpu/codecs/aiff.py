@@ -39,6 +39,7 @@ _ULAW = fourcc("ulaw")
 _ULAWU = fourcc("ULAW")  # SoundManager uppercase variants
 _ALAW = fourcc("alaw")
 _ALAWU = fourcc("ALAW")
+_IMA4 = fourcc("ima4")  # Apple/QuickTime IMA: 34-byte 64-sample packets
 
 _MAX_CHUNKS = 128
 
@@ -142,7 +143,11 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     g711_ok = jnp.logical_and(
         g711, jnp.logical_or(bits == 8, bits == 16)
     )
-    supported = jnp.logical_or(jnp.logical_or(int_ok, float_ok), g711_ok)
+    ima4 = comp == _IMA4
+    ima4_ok = jnp.logical_and(ima4, bits == 16)
+    supported = jnp.logical_or(
+        jnp.logical_or(jnp.logical_or(int_ok, float_ok), g711_ok), ima4_ok
+    )
     err = jnp.where(
         jnp.logical_and(err == E.ERR_OK, jnp.logical_not(supported)),
         i32(E.ERR_UNSUPPORTED),
@@ -157,12 +162,21 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     # (decoded) sampleSize
     bps = jnp.where(g711, i32(1), bits // 8)
     denom = jnp.maximum(channels * bps, 1)
-    n_frames = jnp.minimum(comm_frames, data_size // denom)
-    # fmt_code: 0 BE PCM, 1 sowt LE PCM, 2 fl32, 3 fl64, 4 ulaw, 5 alaw
+    # ima4: whole 34·C-byte packet groups of 64 frames each
+    n_ima4 = (data_size // jnp.maximum(34 * channels, 1)) * 64
+    n_frames = jnp.minimum(
+        comm_frames,
+        jnp.where(ima4, n_ima4, data_size // denom),
+    )
+    # fmt_code: 0 BE PCM, 1 sowt LE PCM, 2 fl32, 3 fl64, 4 ulaw, 5 alaw,
+    # 6 ima4
     fmt_code = jnp.where(
-        alawc, i32(5), jnp.where(
-            ulawc, i32(4), jnp.where(
-                f64c, i32(3), jnp.where(f32c, i32(2), little.astype(i32))
+        ima4, i32(6), jnp.where(
+            alawc, i32(5), jnp.where(
+                ulawc, i32(4), jnp.where(
+                    f64c, i32(3),
+                    jnp.where(f32c, i32(2), little.astype(i32))
+                )
             )
         )
     )
@@ -188,11 +202,18 @@ def parse_meta_batch(bufs: jax.Array, lens: jax.Array):
 def unpack_args(meta_host: dict) -> dict:
     """Static unpack config: AIFF is big-endian signed PCM at all depths;
     AIFC 'sowt' flips to little-endian (fmt_code 1), fl32/fl64
-    (fmt_code 2/3) are big-endian IEEE float, and ulaw/alaw (fmt_code
-    4/5) are G.711 companded bytes expanded by the same device LUTs as
-    the WAV format codes."""
+    (fmt_code 2/3) are big-endian IEEE float, ulaw/alaw (fmt_code 4/5)
+    are G.711 companded bytes expanded by the same device LUTs as the
+    WAV format codes, and ima4 (fmt_code 6) is Apple/QuickTime IMA
+    decoded by the block-parallel scan kernel (34·C-byte groups)."""
     code = int(meta_host["fmt_code"])
     g711 = code in (4, 5)
+    if code == 6:
+        return dict(
+            bits=4, big_endian=True, unsigned8=False, is_float=False,
+            companded=None, adpcm="ima4",
+            block_align=34 * int(meta_host["channels"]),
+        )
     return dict(
         bits=8 if g711 else int(meta_host["bits"]),
         big_endian=code != 1,

@@ -26,7 +26,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core import errors as E
-from ..ops.unpack import unpack_ima_adpcm, unpack_ms_adpcm, unpack_pcm
+from ..ops.unpack import (
+    unpack_ima4,
+    unpack_ima_adpcm,
+    unpack_ms_adpcm,
+    unpack_pcm,
+)
 from . import aiff as _aiff
 from . import wav as _wav
 
@@ -196,18 +201,23 @@ def parse_aiff_header(mm) -> dict:
     ulawc = comp in (b"ulaw", b"ULAW")
     alawc = comp in (b"alaw", b"ALAW")
     g711 = ulawc or alawc
+    ima4 = comp == b"ima4"
     int_ok = bits in (8, 16, 24, 32) and (
         comp in (b"NONE", b"twos") or little)
     float_ok = (f32c and bits == 32) or (f64c and bits == 64)
     g711_ok = g711 and bits in (8, 16)
-    if not (int_ok or float_ok or g711_ok):
+    if not (int_ok or float_ok or g711_ok or (ima4 and bits == 16)):
         raise E.UnsupportedFormatError(
             f"AIFC compression {comp!r} at {bits}-bit")
     if channels <= 0 or sample_rate <= 0:
         raise E.InvalidDataError("bad channel count / sample rate")
     bps = 1 if g711 else bits // 8  # companded: 1 stored byte/sample
-    n_frames = min(comm_frames, data_size // max(channels * bps, 1))
-    fmt_code = (5 if alawc else 4 if ulawc
+    if ima4:  # whole 34·C-byte packet groups of 64 frames each
+        n_frames = min(
+            comm_frames, (data_size // max(34 * channels, 1)) * 64)
+    else:
+        n_frames = min(comm_frames, data_size // max(channels * bps, 1))
+    fmt_code = (6 if ima4 else 5 if alawc else 4 if ulawc
                 else 3 if f64c else (2 if f32c else int(little)))
     return dict(
         fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
@@ -264,8 +274,10 @@ class PcmStream:
             if self._adpcm == "ima":
                 w = (ba - 4 * self.channels) // (4 * self.channels)
                 self._spb = 1 + 8 * w  # frames/block (the seek quantum)
-            else:  # ms
+            elif self._adpcm == "ms":
                 self._spb = 2 + (ba - 7 * self.channels) * 2 // self.channels
+            else:  # ima4: 34-byte packets per channel, 64 frames
+                self._spb = 64
             self._bpf = None           # no fixed bytes-per-frame
         else:
             # bytes per frame follows the STORED width (the unpack
@@ -318,12 +330,13 @@ class PcmStream:
             if len(raw) < span:  # tail window: zero-pad to the one shape
                 raw = np.concatenate(
                     [raw, np.zeros(span - len(raw), np.uint8)])
-            kern = (unpack_ima_adpcm if self._adpcm == "ima"
-                    else unpack_ms_adpcm)
+            kern = {"ima": unpack_ima_adpcm, "ms": unpack_ms_adpcm,
+                    "ima4": unpack_ima4}[self._adpcm]
+            kw = ({} if self._adpcm == "ima4"
+                  else dict(block_align=ba))
             pcm = kern(
                 jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
-                channels=self.channels, block_align=ba,
-                max_frames=bpc * spb,
+                channels=self.channels, max_frames=bpc * spb, **kw,
             )
             out = np.asarray(pcm[0, :n])
             if trim:

@@ -24,7 +24,12 @@ import numpy as np
 from ..core import errors as E
 from ..core.batch import AudioBatch, concat_batches
 from ..io.assets import Asset, load_assets, pack_bytes, scan_assets
-from ..ops.unpack import unpack_ima_adpcm, unpack_ms_adpcm, unpack_pcm
+from ..ops.unpack import (
+    unpack_ima4,
+    unpack_ima_adpcm,
+    unpack_ms_adpcm,
+    unpack_pcm,
+)
 from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import wav as wav_codec
@@ -106,14 +111,16 @@ def decode_pcm_family(
         sel = np.asarray(idxs, np.int32)
         max_frames = _bucket_frames(int(meta_host["n_frames"][sel].max()))
         if adpcm is not None:
-            kern = unpack_ima_adpcm if adpcm == "ima" else unpack_ms_adpcm
+            kern = {"ima": unpack_ima_adpcm, "ms": unpack_ms_adpcm,
+                    "ima4": unpack_ima4}[adpcm]
+            kw = {} if adpcm == "ima4" else dict(block_align=block_align)
             pcm = kern(
                 bufs[sel],
                 jnp.asarray(meta_host["data_off"][sel]),
                 jnp.asarray(meta_host["n_frames"][sel]),
                 channels=channels,
-                block_align=block_align,
                 max_frames=max_frames,
+                **kw,
             )
         else:
             pcm = unpack_pcm(

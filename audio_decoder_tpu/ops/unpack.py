@@ -317,6 +317,76 @@ def unpack_ima_adpcm(
     return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("channels", "max_frames")
+)
+def unpack_ima4(
+    bufs: jax.Array,      # u8 [B, N] raw file bytes
+    data_off: jax.Array,  # i32 [B] byte offset of the first packet group
+    n_frames: jax.Array,  # i32 [B] valid frame count per file
+    *,
+    channels: int,
+    max_frames: int,
+) -> jax.Array:
+    """Decode AIFF-C 'ima4' (Apple/QuickTime IMA) → f32 [B, max_frames, C].
+
+    Fixed 34-byte packets per channel, interleaved by channel per
+    64-sample group: a 2-byte BIG-endian header packs the running
+    predictor's top 9 bits (sign-extended) with the 7-bit step index,
+    then 32 bytes of nibbles (LOW nibble first).  Every packet carries
+    its own state header, so packets are independent decode lanes —
+    unlike WAV IMA there is no verbatim first sample (all 64 outputs
+    come from the nibble scan seeded by the 9-bit predictor)."""
+    B = bufs.shape[0]
+    group = 34 * channels            # bytes per 64-frame channel group
+    K = -(-max_frames // 64)
+    span = K * group
+    pad = jnp.pad(bufs, ((0, 0), (0, span)))
+    region = jax.vmap(
+        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
+    )(pad, data_off.astype(jnp.int32))
+    pkts = region.reshape(B, K, channels, 34)
+
+    hdr = (pkts[..., 0].astype(jnp.int32) << 8) | pkts[..., 1].astype(
+        jnp.int32)
+    pred0 = hdr & 0xFF80
+    pred0 = jnp.where(pred0 >= 1 << 15, pred0 - (1 << 16), pred0)
+    idx0 = jnp.clip(hdr & 0x7F, 0, 88)
+
+    body = pkts[..., 2:]                                  # [B,K,C,32]
+    nib = jnp.stack([body & 0xF, body >> 4], axis=-1)     # low first
+    nib = nib.reshape(B * K * channels, 64).T.astype(jnp.int32)
+
+    steps = jnp.asarray(_IMA_STEPS)
+    itab = jnp.asarray(_IMA_INDEX)
+
+    def step_fn(carry, delta):
+        pred, idx = carry
+        step = steps[idx]
+        vpdiff = (
+            (step >> 3)
+            + jnp.where(delta & 4, step, 0)
+            + jnp.where(delta & 2, step >> 1, 0)
+            + jnp.where(delta & 1, step >> 2, 0)
+        )
+        pred = jnp.clip(
+            pred + jnp.where(delta & 8, -vpdiff, vpdiff), -32768, 32767
+        )
+        idx = jnp.clip(idx + itab[delta], 0, 88)
+        return (pred, idx), pred
+
+    _, out = lax.scan(step_fn, (pred0.reshape(-1), idx0.reshape(-1)), nib)
+    pcm = (
+        out.reshape(64, B, K, channels)
+        .transpose(1, 2, 0, 3)
+        .reshape(B, K * 64, channels)[:, :max_frames]
+        .astype(jnp.float32)
+        * jnp.float32(1.0 / 32768.0)
+    )
+    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
+    return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
+
+
 # MS ADPCM (WAV format 0x02): the 7 standard predictor coefficient pairs
 # and the idelta adaptation table (Microsoft's coding spec; decoders —
 # ffmpeg included — use these built-ins regardless of the fmt chunk's

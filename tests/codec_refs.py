@@ -246,7 +246,8 @@ def have_ffdec() -> bool:
                 C.c_char_p, C.c_int64, C.POINTER(C.c_float), C.c_int64,
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
             ]
-            for fn in ("ffdec_decode_adpcm", "ffdec_decode_adpcm_ms"):
+            for fn in ("ffdec_decode_adpcm", "ffdec_decode_adpcm_ms",
+                       "ffdec_decode_adpcm_ima_qt"):
                 getattr(lib, fn).restype = C.c_int64
                 getattr(lib, fn).argtypes = [
                     C.c_char_p, C.c_int64, C.c_int, C.c_int, C.c_int,
@@ -280,8 +281,9 @@ def ffdec_decode_adpcm(data: bytes, block_align: int, channels: int,
         2 + (block_align - 4 * channels) * 2 // channels)
     out = np.zeros((max_frames * channels,), np.float32)
     ch = C.c_int(0)
-    fn = (_ffdec.ffdec_decode_adpcm if kind == "ima"
-          else _ffdec.ffdec_decode_adpcm_ms)
+    fn = {"ima": _ffdec.ffdec_decode_adpcm,
+          "ms": _ffdec.ffdec_decode_adpcm_ms,
+          "ima_qt": _ffdec.ffdec_decode_adpcm_ima_qt}[kind]
     n = fn(data, len(data), block_align, channels, rate,
            out.ctypes.data_as(C.POINTER(C.c_float)), max_frames,
            C.byref(ch))

@@ -134,3 +134,12 @@ int64_t ffdec_decode_adpcm_ms(const uint8_t* data, int64_t len,
   return adpcm_decode_common(AV_CODEC_ID_ADPCM_MS, data, len, block_align,
                              channels, rate, out, max_frames, channels_out);
 }
+
+int64_t ffdec_decode_adpcm_ima_qt(const uint8_t* data, int64_t len,
+                                  int block_align, int channels, int rate,
+                                  float* out, int64_t max_frames,
+                                  int* channels_out) {
+  return adpcm_decode_common(AV_CODEC_ID_ADPCM_IMA_QT, data, len,
+                             block_align, channels, rate, out, max_frames,
+                             channels_out);
+}

@@ -136,3 +136,65 @@ def decode(data: bytes, channels: int, block_align: int,
     if n_frames is not None:
         pcm = pcm[:n_frames]
     return pcm
+
+
+# ------------------------------------------------------- Apple ima4 (AIFC)
+
+def encode_ima4(pcm: np.ndarray) -> bytes:
+    """Encode [frames, channels] int16 → AIFC 'ima4' packets (34 bytes /
+    64 samples per channel, interleaved per channel; the 2-byte BE
+    header packs the running predictor's top 9 bits with the step
+    index).  State persists across packets like Apple's encoder."""
+    frames, ch = pcm.shape
+    out = bytearray()
+    pred = [0] * ch
+    idx = [0] * ch
+    for b0 in range(0, frames, 64):
+        blk = np.zeros((64, ch), np.int64)
+        real = pcm[b0 : b0 + 64]
+        blk[: len(real)] = real
+        for c in range(ch):
+            hdr = (pred[c] & 0xFF80) | idx[c]
+            out += int(hdr & 0xFFFF).to_bytes(2, "big")
+            # the decoder will seed from the 9-bit header predictor;
+            # mirror that so encoder state == decoder state
+            p = hdr & 0xFF80
+            pred[c] = p - 0x10000 if p >= 0x8000 else p
+            nibs = []
+            for k in range(64):
+                nib, pred[c], idx[c] = _encode_nibble(
+                    int(blk[k, c]), pred[c], idx[c])
+                nibs.append(nib)
+            for k in range(0, 64, 2):
+                out.append(nibs[k] | (nibs[k + 1] << 4))
+    return bytes(out)
+
+
+def decode_ima4(data: bytes, channels: int,
+                n_frames: int | None = None) -> np.ndarray:
+    """Decode AIFC 'ima4' packets → [frames, channels] int16 (whole
+    34·C-byte groups only, like the package parsers)."""
+    ch = channels
+    groups = len(data) // (34 * ch)
+    frames = []
+    for g in range(groups):
+        outs = []
+        for c in range(ch):
+            pkt = data[(g * ch + c) * 34 : (g * ch + c + 1) * 34]
+            hdr = int.from_bytes(pkt[:2], "big")
+            p = hdr & 0xFF80
+            pred = p - 0x10000 if p >= 0x8000 else p
+            idx = min(hdr & 0x7F, 88)
+            vals = []
+            for byte in pkt[2:]:
+                for nib in (byte & 0xF, byte >> 4):
+                    pred, idx = _decode_nibble(nib, pred, idx)
+                    vals.append(pred)
+            outs.append(vals)
+        frames.append(np.stack(
+            [np.asarray(o, np.int16) for o in outs], 1))
+    pcm = (np.concatenate(frames) if frames
+           else np.zeros((0, ch), np.int16))
+    if n_frames is not None:
+        pcm = pcm[:n_frames]
+    return pcm

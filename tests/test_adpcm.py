@@ -276,3 +276,74 @@ def test_ms_stream_equals_batch_and_seeks(rng):
     for s in (1, spb, 2 * spb + 13, st.total_samples - 1):
         got = np.concatenate(list(st.chunks(start_sample=s)))
         np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")
+
+
+# ------------------------------------------------------------ AIFC ima4
+
+from .synth import make_aiff  # noqa: E402
+
+
+def _ima4_blob(data: bytes, ch: int, frames: int,
+               rate: int = 44100) -> bytes:
+    return make_aiff(np.zeros((0, ch), np.int16), rate, 16,
+                     compression=b"ima4", data_override=data,
+                     frames_override=frames)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ima4_device_matches_numpy_oracle(rng, ch):
+    frames = 5 * 64 + 17  # non-packet-multiple: COMM trims the pad
+    pcm = _signal(rng, frames, ch)
+    data = IR.encode_ima4(pcm)
+    f = _decode_one_aifc(_ima4_blob(data, ch, frames))
+    assert f.err == 0 and f.num_channels == ch
+    assert f.pcm.shape[0] == frames  # COMM's frame count wins
+    ref = IR.decode_ima4(data, ch, n_frames=frames)
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16), ref)
+
+
+def _decode_one_aifc(data: bytes):
+    batch = decode_assets(
+        [Asset(path="a.aifc", name="a", ext="aifc", data=data)])
+    return batch.file(0)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_ima4_oracle_vs_libavcodec(rng, ch):
+    """ffmpeg's adpcm_ima_qt keeps the classic bit-test IMA formula (for
+    QuickTime compatibility), so the FIRST packet matches bit-exactly.
+    From packet 2 on, ffmpeg/QuickTime carry the running FULL-precision
+    predictor across packets while the header stores only its top 9
+    bits; we seed every packet from its header — the header's documented
+    purpose, what every decoder does on seek, and what makes packets
+    independent parallel lanes.  The step INDEX transfers exactly and
+    the predictor difference enters linearly (vpdiff never depends on
+    the predictor), so the deviation is bounded by the 7 dropped
+    predictor bits per packet boundary: |diff| < 128/32768 absent
+    clamping (measured 124 max)."""
+    if not CR.have_ffdec():
+        pytest.skip("libavcodec unavailable")
+    pcm = _signal(rng, 6 * 64, ch)
+    data = IR.encode_ima4(pcm)
+    ours = IR.decode_ima4(data, ch).astype(np.float32) / 32768.0
+    ff = CR.ffdec_decode_adpcm(data, 34 * ch, ch, kind="ima_qt")
+    assert ff.shape == ours.shape
+    np.testing.assert_array_equal(ff[:64], ours[:64])  # first packet
+    assert float(np.abs(ff - ours).max()) < 128.0 / 32768.0
+
+
+def test_ima4_stream_equals_batch_and_seeks(rng):
+    from audio_decoder_tpu.codecs.pcm_stream import PcmStream
+
+    ch = 2
+    frames = 7 * 64
+    pcm = _signal(rng, frames, ch)
+    blob = _ima4_blob(IR.encode_ima4(pcm), ch, frames)
+    whole = np.asarray(_decode_one_aifc(blob).pcm)
+    st = PcmStream(blob, frames_per_chunk=150)
+    assert st.total_samples == whole.shape[0]
+    np.testing.assert_array_equal(np.concatenate(list(st)), whole)
+    for s in (1, 63, 64, 65, 3 * 64 + 7, st.total_samples - 1):
+        got = np.concatenate(list(st.chunks(start_sample=s)))
+        np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")

@@ -131,7 +131,7 @@ def test_aifc_none_and_sowt():
         Asset(path="s", name="s", ext="aif",
               data=make_aiff(pcm, 44100, compression=b"sowt")),
         Asset(path="x", name="x", ext="aif",
-              data=make_aiff(pcm, 44100, compression=b"ima4")),
+              data=make_aiff(pcm, 44100, compression=b"MAC3")),
     ])
     errs = np.asarray(batch.err)
     assert tuple(errs) == (0, 0, 0, E.ERR_UNSUPPORTED)
