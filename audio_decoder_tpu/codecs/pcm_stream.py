@@ -67,25 +67,38 @@ def parse_wav_header(mm) -> dict:
     SubFormat promotion, truncated-data EOF, supported-format matrix —
     are kept identical (pinned by tests/test_pcm_stream.py)."""
     flen = len(mm)
-    if flen < 12 or _tag(mm, 0) != b"RIFF" or _tag(mm, 8) != b"WAVE":
+    magic = _tag(mm, 0) if flen >= 12 else b""
+    is_64 = magic in (b"RF64", b"BW64")  # EBU/ITU 64-bit RIFF
+    if flen < 12 or magic not in (b"RIFF", b"RF64", b"BW64") or (
+            _tag(mm, 8) != b"WAVE"):
         raise E.UnsupportedFormatError("not a RIFF/WAVE file")
     cursor, it = 12, 0
     fmt_off = fmt_size = data_off = data_size = -1
     fact_val = 0
+    ds64_data = ds64_count = 0  # true 64-bit sizes (host ints: exact)
     while cursor + 8 <= flen and it < _MAX_CHUNKS and data_off < 0:
         cid = _tag(mm, cursor)
         csize = _u32le(mm, cursor + 4)
         payload = cursor + 8
         if cid == b"fmt ":
             fmt_off, fmt_size = payload, csize
+        elif cid == b"ds64" and csize >= 24:
+            ds64_data = int.from_bytes(bytes(mm[payload + 8 : payload + 16]),
+                                       "little")
+            ds64_count = int.from_bytes(
+                bytes(mm[payload + 16 : payload + 24]), "little")
         elif cid == b"fact" and csize >= 4:
             fact_val = _u32le(mm, payload)
         elif cid == b"data":
+            if is_64 and csize == 0xFFFFFFFF:  # RF64 size sentinel
+                csize = ds64_data
             if payload + csize > flen:
                 raise E.UnexpectedEofError("truncated data chunk")
             data_off, data_size = payload, csize
         cursor = payload + csize + (csize & 1)
         it += 1
+    if fact_val == 0 and is_64:
+        fact_val = ds64_count  # ds64's sampleCount plays fact's role
     if fmt_off < 0 or data_off < 0:
         raise E.UnexpectedEofError("missing fmt/data chunk")
     p = fmt_off

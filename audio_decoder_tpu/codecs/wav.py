@@ -32,10 +32,13 @@ from ..core import errors as E
 from ..ops.bytes import fourcc, read_tag, read_u16le, read_u32le
 
 _RIFF = fourcc("RIFF")
+_RF64 = fourcc("RF64")  # EBU 64-bit RIFF (data > 4 GB); sizes in ds64
+_BW64 = fourcc("BW64")  # ITU-R BS.2088 synonym
 _WAVE = fourcc("WAVE")
 _FMT = fourcc("fmt ")
 _DATA = fourcc("data")
 _FACT = fourcc("fact")
+_DS64 = fourcc("ds64")
 
 # Format codes (≙ wav.rs:7-15; the ADPCMs are beyond the reference's enum).
 FORMAT_PCM = 0x0001
@@ -66,20 +69,31 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     flen = flen.astype(jnp.int32)
     i32 = jnp.int32
 
+    magic = read_tag(buf, i32(0))
+    is_64 = jnp.logical_or(magic == _RF64, magic == _BW64)
     ok_magic = jnp.logical_and(
         flen >= 12,
-        jnp.logical_and(read_tag(buf, i32(0)) == _RIFF, read_tag(buf, i32(8)) == _WAVE),
+        jnp.logical_and(
+            jnp.logical_or(magic == _RIFF, is_64),
+            read_tag(buf, i32(8)) == _WAVE,
+        ),
     )
 
     # state: cursor, iter, fmt_off, fmt_size, data_off, data_size,
-    # fact_val, err
+    # fact_val, ds64_data, ds64_count, err.  RF64/BW64 files put the
+    # real 64-bit sizes in a ds64 chunk and write 0xFFFFFFFF (-1 as
+    # int32) in the data header; a device buffer is int32-indexed, so
+    # only the low words are read — a file too large for the low word
+    # can't be in the buffer anyway and fails the truncation check.
     def cond(s):
-        cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val, err = s
+        (cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val,
+         ds64_data, ds64_count, err) = s
         more = jnp.logical_and(cursor + 8 <= flen, it < _MAX_CHUNKS)
         return jnp.logical_and(jnp.logical_and(more, data_off < 0), err == E.ERR_OK)
 
     def body(s):
-        cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val, err = s
+        (cursor, it, fmt_off, fmt_size, data_off, data_size, fact_val,
+         ds64_data, ds64_count, err) = s
         cid = read_tag(buf, cursor)
         csize = read_u32le(buf, cursor + 4).astype(i32)
         payload = cursor + 8
@@ -87,31 +101,51 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
         is_data = cid == _DATA
         fmt_off = jnp.where(is_fmt, payload, fmt_off)
         fmt_size = jnp.where(is_fmt, csize, fmt_size)
+        # ds64: riffSize u64, dataSize u64, sampleCount u64 (low words)
+        is_ds64 = jnp.logical_and(cid == _DS64, csize >= 24)
+        ds64_data = jnp.where(
+            is_ds64, read_u32le(buf, payload + 8).astype(i32), ds64_data
+        )
+        ds64_count = jnp.where(
+            is_ds64, read_u32le(buf, payload + 16).astype(i32), ds64_count
+        )
         # fact: dwSampleLength — the exact frame count for compressed
         # formats (the data/block math alone over-counts a padded tail)
         is_fact = jnp.logical_and(cid == _FACT, csize >= 4)
         fact_val = jnp.where(
             is_fact, read_u32le(buf, payload).astype(i32), fact_val
         )
-        # Truncated data chunk → UnexpectedEof (≙ wav.rs:143-151 EOF checks).
-        trunc = jnp.logical_and(is_data, payload + csize > flen)
+        # RF64: the data header's size field is the 0xFFFFFFFF sentinel
+        csize = jnp.where(
+            jnp.logical_and(jnp.logical_and(is_data, is_64), csize == -1),
+            ds64_data, csize,
+        )
+        # Truncated data chunk → UnexpectedEof (≙ wav.rs:143-151 EOF
+        # checks); a negative (wrapped) size is equally undecodable.
+        trunc = jnp.logical_and(
+            is_data,
+            jnp.logical_or(payload + csize > flen, csize < 0),
+        )
         err = jnp.where(trunc, i32(E.ERR_EOF), err)
         data_off = jnp.where(is_data, payload, data_off)
         data_size = jnp.where(is_data, csize, data_size)
         # RIFF chunks are word-aligned: odd sizes carry a pad byte.
         cursor = payload + csize + (csize & 1)
         return (cursor, it + 1, fmt_off, fmt_size, data_off, data_size,
-                fact_val, err)
+                fact_val, ds64_data, ds64_count, err)
 
     init = (i32(12), i32(0), i32(-1), i32(0), i32(-1), i32(0), i32(0),
-            i32(E.ERR_OK))
-    cursor, _, fmt_off, fmt_size, data_off, data_size, fact_val, err = (
-        lax.while_loop(cond, body, init)
-    )
+            i32(0), i32(0), i32(E.ERR_OK))
+    (cursor, _, fmt_off, fmt_size, data_off, data_size, fact_val,
+     ds64_data, ds64_count, err) = lax.while_loop(cond, body, init)
 
     err = jnp.where(ok_magic, err, i32(E.ERR_UNSUPPORTED))
     missing = jnp.logical_or(fmt_off < 0, data_off < 0)
     err = jnp.where(jnp.logical_and(err == E.ERR_OK, missing), i32(E.ERR_EOF), err)
+    # ds64's sampleCount plays fact's role when no fact chunk is present
+    fact_val = jnp.where(
+        jnp.logical_and(fact_val == 0, is_64), ds64_count, fact_val
+    )
 
     # fmt payload fields (≙ wav.rs:95-129). Reads are clamped; garbage on
     # errored files is masked by `err` downstream.

@@ -69,6 +69,8 @@ def make_wav(
     block_align_override: int | None = None,
     fmt_tail: bytes | None = None,
     valid_bits_override: int | None = None,
+    rf64: bool = False,
+    rf64_sample_count: int = 0,
 ) -> bytes:
     """Build a RIFF/WAVE blob from [frames, channels] integer PCM.
 
@@ -112,6 +114,19 @@ def make_wav(
     for cid, payload in extra_chunks or []:
         chunks.append((cid, payload))
     chunks.append((b"data", data))
+
+    if rf64:
+        # EBU RF64: ds64 leads with the true 64-bit sizes; the data
+        # chunk header carries the 0xFFFFFFFF sentinel
+        body = b"WAVE"
+        ds64 = struct.pack("<QQQI", 0, len(data), rf64_sample_count, 0)
+        body += b"ds64" + struct.pack("<I", len(ds64)) + ds64
+        for cid, payload in chunks:
+            size = 0xFFFFFFFF if cid == b"data" else len(payload)
+            body += cid + struct.pack("<I", size) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RF64" + struct.pack("<I", 0xFFFFFFFF) + body
 
     body = b"WAVE"
     for cid, payload in chunks:

@@ -208,3 +208,58 @@ def test_stream_file_memmap_path(tmp_path):
 
     with pytest.raises(E.IoError):
         PS.PcmStream(str(tmp_path / "missing.wav"))
+
+
+def test_rf64_pcm_and_adpcm():
+    """RF64/BW64 (EBU 64-bit RIFF): the data header carries the
+    0xFFFFFFFF sentinel and real sizes live in ds64; decode must equal
+    the plain-RIFF encoding of the same content, host and device parsers
+    agree, streaming matches, and ds64's sampleCount plays fact's role
+    for block-coded content."""
+    import struct as _st
+
+    from . import ima_ref as IR
+
+    rng = np.random.default_rng(0xB1A57)
+    pcm = np.clip(rng.standard_normal((700, 2)) * 9000,
+                  -32768, 32767).astype(np.int16)
+    plain = make_wav(pcm, 44100, 16)
+    rf64 = make_wav(pcm, 44100, 16, rf64=True)
+    for magic in (b"RF64", b"BW64"):
+        blob = magic + rf64[4:]
+        dev = _device_meta(blob, WV.parse_meta_batch)
+        assert dev["err"] == E.ERR_OK
+        host = PS.parse_wav_header(np.frombuffer(blob, np.uint8))
+        for k in ("fmt_code", "channels", "sample_rate", "bits",
+                  "data_off", "data_size", "n_frames", "block_align"):
+            assert host[k] == dev[k], (magic, k, host[k], dev[k])
+        got = _whole(blob, "wav")
+        np.testing.assert_array_equal(got, _whole(plain, "wav"))
+        st = PS.PcmStream(blob, frames_per_chunk=128)
+        np.testing.assert_array_equal(np.concatenate(list(st)), got)
+
+    # IMA ADPCM inside RF64: no fact chunk — ds64 sampleCount trims
+    ba, ch = 256, 2
+    spb = 1 + 8 * ((ba - 4 * ch) // (4 * ch))
+    frames = 2 * spb + 9
+    data = IR.encode(np.clip(rng.standard_normal((frames, ch)) * 9000,
+                             -32768, 32767).astype(np.int16), ba)
+    blob = make_wav(np.zeros((0, ch), np.int16), 44100, 4,
+                    fmt_code_override=0x11, data_override=data,
+                    block_align_override=ba,
+                    fmt_tail=_st.pack("<HH", 2, spb),
+                    rf64=True, rf64_sample_count=frames)
+    dev = _device_meta(blob, WV.parse_meta_batch)
+    host = PS.parse_wav_header(np.frombuffer(blob, np.uint8))
+    assert dev["err"] == E.ERR_OK
+    assert host["n_frames"] == dev["n_frames"] == frames
+    got = _whole(blob, "wav")
+    ref = IR.decode(data, ch, ba, n_frames=frames)
+    np.testing.assert_array_equal(
+        np.round(got * 32768.0).astype(np.int16), ref)
+
+    # a truncated RF64 (ds64 claims more data than present) is EOF
+    cut = rf64[: len(rf64) - 100]
+    assert _device_meta(cut, WV.parse_meta_batch)["err"] == E.ERR_EOF
+    with pytest.raises(E.UnexpectedEofError):
+        PS.parse_wav_header(np.frombuffer(cut, np.uint8))
