@@ -33,6 +33,7 @@ from ..ops.unpack import (
     unpack_pcm,
 )
 from . import aiff as _aiff
+from . import au as _au
 from . import wav as _wav
 
 _MAX_CHUNKS = 128  # same walk bound as the device parsers
@@ -238,12 +239,43 @@ def parse_aiff_header(mm) -> dict:
     )
 
 
+def parse_au_header(mm) -> dict:
+    """Host mirror of codecs.au._parse_one (fixed big-endian header)."""
+    flen = len(mm)
+    if flen < 24 or _tag(mm, 0) != b".snd":
+        raise E.UnsupportedFormatError("not a Sun AU / NeXT SND file")
+    data_off = _u32be(mm, 4)
+    data_size = _u32be(mm, 8)
+    enc = _u32be(mm, 12)
+    sample_rate = _u32be(mm, 16)
+    channels = _u32be(mm, 20)
+    if enc not in _au.ENCODINGS:
+        raise E.UnsupportedFormatError(f"AU encoding {enc}")
+    if channels <= 0 or sample_rate <= 0 or data_off < 24:
+        raise E.InvalidDataError("bad AU header geometry")
+    if data_off > flen:
+        raise E.UnexpectedEofError("AU data offset past EOF")
+    bits, _is_float, companded = _au.ENCODINGS[enc]
+    avail = max(flen - data_off, 0)
+    if data_size == 0xFFFFFFFF:  # unknown-size convention: read to EOF
+        data_size = avail
+    data_size = min(data_size, avail)
+    bps = 1 if companded else bits // 8
+    n_frames = data_size // max(channels * bps, 1)
+    return dict(
+        fmt_code=enc, channels=channels, sample_rate=sample_rate,
+        bits=bits, data_off=data_off, data_size=data_size,
+        n_frames=n_frames,
+    )
+
+
 class PcmStream:
-    """Chunked single-file WAV/AIFF decode: fixed frame windows through
-    the batch path's device unpack kernel, O(chunk) host+device memory
-    (the file is memory-mapped when given a path).  Concatenated chunks
-    are bit-identical to the one-shot decode; ``chunks(start_sample=N)``
-    seeks exactly (PCM has no cross-frame state)."""
+    """Chunked single-file WAV/AIFF/AU decode: fixed frame windows
+    through the batch path's device unpack kernel, O(chunk) host+device
+    memory (the file is memory-mapped when given a path).  Concatenated
+    chunks are bit-identical to the one-shot decode;
+    ``chunks(start_sample=N)`` seeks exactly (PCM has no cross-frame
+    state; block codecs seek at their block quantum)."""
 
     def __init__(self, src, *, container: str | None = None,
                  frames_per_chunk: int = 1 << 17):
@@ -252,7 +284,8 @@ class PcmStream:
         if isinstance(src, str):
             if container is None:
                 ext = src.rsplit(".", 1)[-1].lower()
-                container = "aiff" if ext in ("aif", "aiff", "aifc") else "wav"
+                container = ("aiff" if ext in ("aif", "aiff", "aifc")
+                             else "au" if ext in ("au", "snd") else "wav")
             try:
                 mm = np.memmap(src, dtype=np.uint8, mode="r")
             except (OSError, ValueError) as e:
@@ -260,14 +293,19 @@ class PcmStream:
         else:
             mm = np.frombuffer(src, dtype=np.uint8)
             if container is None:
-                container = "aiff" if bytes(mm[:4]) == b"FORM" else "wav"
-        if container not in ("wav", "aiff"):
+                magic = bytes(mm[:4])
+                container = ("aiff" if magic == b"FORM"
+                             else "au" if magic == b".snd" else "wav")
+        if container not in ("wav", "aiff", "au"):
             raise ValueError(f"container {container!r}")
         self._mm = mm
         self.container = container
         if container == "wav":
             meta = parse_wav_header(mm)
             self._kw = _wav.unpack_args(meta)
+        elif container == "au":
+            meta = parse_au_header(mm)
+            self._kw = _au.unpack_args(meta)
         else:
             meta = parse_aiff_header(mm)
             self._kw = _aiff.unpack_args(meta)

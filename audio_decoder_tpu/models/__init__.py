@@ -12,6 +12,8 @@ Families:
          bit + IEEE float + A/µ-law), little-endian (codecs/wav.py).
   aiff — FORM/AIFF: big-endian PCM + IEEE-80 rates, AIFF-C codecs
          (codecs/aiff.py).
+  au   — Sun AU / NeXT SND: fixed BE header, G.711 + PCM + float
+         encodings (codecs/au.py).
   mp3  — MPEG-1/2/2.5 Layers I/II/III: host frame/side-info walk (C++
          mp3fe or pure Python) + full on-device entropy decode and
          synthesis (codecs/mpeg/) — the reference's decode TODO,
@@ -51,6 +53,11 @@ MODELS = {
     "aiff": CodecModel(
         name="aiff", extensions=("aif", "aiff", "aifc"),
         decode_group=functools.partial(_registry.decode_pcm_family, "aiff"),
+        bit_exact=True,
+    ),
+    "au": CodecModel(
+        name="au", extensions=("au", "snd"),
+        decode_group=functools.partial(_registry.decode_pcm_family, "au"),
         bit_exact=True,
     ),
     "mp3": CodecModel(

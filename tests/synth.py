@@ -186,3 +186,29 @@ def make_aiff(
         if len(payload) & 1:
             body += b"\x00"
     return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def make_au(
+    pcm: np.ndarray,
+    sample_rate: int = 44100,
+    encoding: int = 3,
+    *,
+    data_override: bytes | None = None,
+    data_size_override: int | None = None,
+    data_offset: int = 28,
+) -> bytes:
+    """Build a Sun AU / NeXT SND blob (fixed big-endian header).
+
+    encoding: 1 µ-law, 2 int8, 3 int16, 4 int24, 5 int32, 6 f32, 7 f64,
+    27 A-law; PCM/float data comes from ``pcm`` (big-endian), companded
+    data via ``data_override``.  ``data_size_override`` lets tests write
+    the 0xFFFFFFFF unknown-size sentinel."""
+    frames, channels = pcm.shape
+    bits = {2: 8, 3: 16, 4: 24, 5: 32, 6: 32, 7: 64}.get(encoding, 8)
+    data = (data_override if data_override is not None else pcm_to_bytes(
+        pcm, bits, big_endian=True,
+        float32=encoding == 6, float64=encoding == 7))
+    size = len(data) if data_size_override is None else data_size_override
+    hdr = struct.pack(">4sIIIII", b".snd", data_offset, size,
+                      encoding, sample_rate, channels)
+    return hdr + b"\x00" * (data_offset - 24) + data
