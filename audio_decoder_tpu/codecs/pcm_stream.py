@@ -34,6 +34,7 @@ from ..ops.unpack import (
 )
 from . import aiff as _aiff
 from . import au as _au
+from . import caf as _caf
 from . import wav as _wav
 
 _MAX_CHUNKS = 128  # same walk bound as the device parsers
@@ -269,6 +270,74 @@ def parse_au_header(mm) -> dict:
     )
 
 
+def parse_caf_header(mm) -> dict:
+    """Host mirror of codecs.caf._parse_one — with exact int64 chunk
+    sizes, so true > 4 GB 'data' chunks (and the -1 to-EOF convention)
+    stream correctly."""
+    import struct as _st
+
+    flen = len(mm)
+    if flen < 8 or _tag(mm, 0) != b"caff" or _u16be(mm, 4) != 1:
+        raise E.UnsupportedFormatError("not a CAF file")
+    cursor, it = 8, 0
+    desc_off = data_off = -1
+    data_size = 0
+    while cursor + 12 <= flen and it < _MAX_CHUNKS and data_off < 0:
+        cid = _tag(mm, cursor)
+        csize = int.from_bytes(bytes(mm[cursor + 4 : cursor + 12]),
+                               "big", signed=True)
+        payload = cursor + 12
+        if csize == -1:  # "to EOF" (legal on the last chunk)
+            csize = flen - payload
+        if cid in (b"desc", b"data") and (csize < 0
+                                          or payload + csize > flen):
+            raise E.UnexpectedEofError(f"truncated {cid.decode()} chunk")
+        if cid == b"desc":
+            desc_off = payload
+        elif cid == b"data":
+            data_off = payload + 4  # past the u32 edit count
+            data_size = max(csize - 4, 0)
+        cursor = payload + csize
+        it += 1
+    if desc_off < 0 or data_off < 0:
+        raise E.UnexpectedEofError("missing desc/data chunk")
+    p = desc_off
+    rate_f = _st.unpack(">d", bytes(mm[p : p + 8]))[0]
+    sample_rate = int(rate_f) if rate_f == rate_f and rate_f > 0 else 0
+    codec = _tag(mm, p + 8)
+    flags = _u32be(mm, p + 12)
+    bytes_pp = _u32be(mm, p + 16)
+    frames_pp = _u32be(mm, p + 20)
+    channels = _u32be(mm, p + 24)
+    bits = _u32be(mm, p + 28)
+    is_float = codec == b"lpcm" and bool(flags & _caf._FLAG_FLOAT)
+    lpcm_ok = (codec == b"lpcm"
+               and (bits in (32, 64) if is_float
+                    else bits in (8, 16, 24, 32))
+               and frames_pp == 1 and bytes_pp == channels * (bits // 8))
+    g711 = codec in (b"ulaw", b"alaw")
+    g711_ok = g711 and bytes_pp == channels and frames_pp == 1
+    ima4_ok = (codec == b"ima4" and bytes_pp == 34 * channels
+               and frames_pp == 64)
+    if not (lpcm_ok or g711_ok or ima4_ok):
+        raise E.UnsupportedFormatError(
+            f"CAF codec {codec!r} ({bits}-bit, {bytes_pp}B/packet)")
+    if channels <= 0 or sample_rate <= 0:
+        raise E.InvalidDataError("bad CAF desc geometry")
+    bps = 1 if g711 else bits // 8
+    if codec == b"ima4":
+        n_frames = (data_size // max(34 * channels, 1)) * 64
+    else:
+        n_frames = data_size // max(channels * bps, 1)
+    fmt_code = (6 if codec == b"ima4" else 5 if codec == b"alaw"
+                else 4 if codec == b"ulaw" else int(is_float))
+    return dict(
+        fmt_code=fmt_code, channels=channels, sample_rate=sample_rate,
+        bits=bits, data_off=data_off, data_size=data_size,
+        n_frames=n_frames, flags=flags,
+    )
+
+
 class PcmStream:
     """Chunked single-file WAV/AIFF/AU decode: fixed frame windows
     through the batch path's device unpack kernel, O(chunk) host+device
@@ -285,7 +354,8 @@ class PcmStream:
             if container is None:
                 ext = src.rsplit(".", 1)[-1].lower()
                 container = ("aiff" if ext in ("aif", "aiff", "aifc")
-                             else "au" if ext in ("au", "snd") else "wav")
+                             else "au" if ext in ("au", "snd")
+                             else "caf" if ext == "caf" else "wav")
             try:
                 mm = np.memmap(src, dtype=np.uint8, mode="r")
             except (OSError, ValueError) as e:
@@ -295,8 +365,9 @@ class PcmStream:
             if container is None:
                 magic = bytes(mm[:4])
                 container = ("aiff" if magic == b"FORM"
-                             else "au" if magic == b".snd" else "wav")
-        if container not in ("wav", "aiff", "au"):
+                             else "au" if magic == b".snd"
+                             else "caf" if magic == b"caff" else "wav")
+        if container not in ("wav", "aiff", "au", "caf"):
             raise ValueError(f"container {container!r}")
         self._mm = mm
         self.container = container
@@ -306,6 +377,9 @@ class PcmStream:
         elif container == "au":
             meta = parse_au_header(mm)
             self._kw = _au.unpack_args(meta)
+        elif container == "caf":
+            meta = parse_caf_header(mm)
+            self._kw = _caf.unpack_args(meta)
         else:
             meta = parse_aiff_header(mm)
             self._kw = _aiff.unpack_args(meta)

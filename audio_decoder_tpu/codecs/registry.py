@@ -33,6 +33,7 @@ from ..ops.unpack import (
 from ..utils.trace import TRACE
 from . import aiff as aiff_codec
 from . import au as au_codec
+from . import caf as caf_codec
 from . import wav as wav_codec
 
 # family name → (vectorized header parser, unpack-config fn, big_endian)
@@ -42,6 +43,7 @@ _PARSERS = {
     "wav": (wav_codec.parse_meta_batch, wav_codec.unpack_args, False),
     "aiff": (aiff_codec.parse_meta_batch, aiff_codec.unpack_args, True),
     "au": (au_codec.parse_meta_batch, au_codec.unpack_args, True),
+    "caf": (caf_codec.parse_meta_batch, caf_codec.unpack_args, True),
 }
 
 

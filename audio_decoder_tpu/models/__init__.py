@@ -60,6 +60,11 @@ MODELS = {
         decode_group=functools.partial(_registry.decode_pcm_family, "au"),
         bit_exact=True,
     ),
+    "caf": CodecModel(
+        name="caf", extensions=("caf",),
+        decode_group=functools.partial(_registry.decode_pcm_family, "caf"),
+        bit_exact=True,
+    ),
     "mp3": CodecModel(
         name="mp3", extensions=("mp3", "mp2", "mp1"),
         decode_group=_mpeg.decode_group,

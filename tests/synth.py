@@ -212,3 +212,50 @@ def make_au(
     hdr = struct.pack(">4sIIIII", b".snd", data_offset, size,
                       encoding, sample_rate, channels)
     return hdr + b"\x00" * (data_offset - 24) + data
+
+
+def make_caf(
+    pcm: np.ndarray,
+    sample_rate: int = 44100,
+    codec: bytes = b"lpcm",
+    bits: int = 16,
+    *,
+    little: bool = False,
+    float_: bool = False,
+    data_override: bytes | None = None,
+    data_size_to_eof: bool = False,
+    extra_chunks: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Build an Apple CAF blob (int64 BE chunk sizes, f64 rate).
+
+    codec: b"lpcm" (bits + little/float_ flags), b"ulaw"/b"alaw"
+    (data_override carries the companded bytes), b"ima4"
+    (data_override carries 34-byte packets).  ``data_size_to_eof``
+    writes the -1 unknown-size convention on the data chunk."""
+    frames, channels = pcm.shape
+    if codec == b"lpcm":
+        data = (data_override if data_override is not None else
+                pcm_to_bytes(pcm, bits, big_endian=not little,
+                             float32=float_ and bits == 32,
+                             float64=float_ and bits == 64))
+        flags = (1 if float_ else 0) | (2 if little else 0)
+        bytes_pp, frames_pp = channels * (bits // 8), 1
+    elif codec in (b"ulaw", b"alaw"):
+        data = data_override
+        flags, bytes_pp, frames_pp, bits = 0, channels, 1, 16
+    elif codec == b"ima4":
+        data = data_override
+        flags, bytes_pp, frames_pp, bits = 0, 34 * channels, 64, 16
+    else:
+        data = data_override or b""
+        flags, bytes_pp, frames_pp = 0, 0, 0
+    desc = struct.pack(">d4sIIIII", float(sample_rate), codec, flags,
+                       bytes_pp, frames_pp, channels, bits)
+    out = b"caff" + struct.pack(">HH", 1, 0)
+    out += b"desc" + struct.pack(">q", len(desc)) + desc
+    for cid, payload in extra_chunks or []:
+        out += cid + struct.pack(">q", len(payload)) + payload
+    body = struct.pack(">I", 0) + data  # u32 edit count + audio
+    size = -1 if data_size_to_eof else len(body)
+    out += b"data" + struct.pack(">q", size) + body
+    return out
