@@ -125,18 +125,20 @@ def parse_wav_header(mm) -> dict:
     if channels <= 0 or bits == 0:
         raise E.InvalidDataError("bad channel count / sample size")
     if fmt_code in (_wav.FORMAT_IMA_ADPCM, _wav.FORMAT_MS_ADPCM):
-        # same geometry rules + frame math as the device walk
+        # same geometry rules + frame math as the device walk (a short
+        # fmt without wSamplesPerBlock derives the count instead)
+        spb_absent = fmt_size < 20
         spb_decl = _u16le(mm, p + 18)
         if fmt_code == _wav.FORMAT_IMA_ADPCM:
             w = (block_align - 4 * channels) // max(4 * channels, 1)
             spb = 1 + 8 * w
             ok = (block_align > 4 * channels
                   and block_align % max(4 * channels, 1) == 0
-                  and spb_decl == spb)
+                  and (spb_absent or spb_decl == spb))
         else:
             spb = 2 + (block_align - 7 * channels) * 2 // max(channels, 1)
             ok = (block_align > 7 * channels and channels <= 2
-                  and spb_decl == spb)
+                  and (spb_absent or spb_decl == spb))
         if not ok:
             raise E.InvalidDataError(
                 f"bad ADPCM geometry (block_align {block_align})")
@@ -303,7 +305,11 @@ def parse_caf_header(mm) -> dict:
         raise E.UnexpectedEofError("missing desc/data chunk")
     p = desc_off
     rate_f = _st.unpack(">d", bytes(mm[p : p + 8]))[0]
-    sample_rate = int(rate_f) if rate_f == rate_f and rate_f > 0 else 0
+    # exact mirror of the device decode (_read_f64be_int): NaN/inf/
+    # negative → 0 (rejected below), finite values rounded and clamped
+    if rate_f != rate_f or rate_f in (float("inf"), float("-inf")):
+        rate_f = 0.0
+    sample_rate = int(round(min(max(rate_f, 0.0), float(2**31 - 128))))
     codec = _tag(mm, p + 8)
     flags = _u32be(mm, p + 12)
     bytes_pp = _u32be(mm, p + 16)
@@ -466,7 +472,8 @@ class PcmStream:
             out = np.asarray(pcm[0, :n])
             if trim:
                 out, trim = out[trim:], 0
-            yield out
+            if out.shape[0]:  # a seek to EOF mid-block yields nothing
+                yield out
 
     def __iter__(self):
         return self.chunks()

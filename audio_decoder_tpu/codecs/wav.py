@@ -204,6 +204,11 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
     #     per channel → block_align a multiple of 4·ch, spb = 1 + 8·W;
     #   MS (0x02): 7-byte header/ch (predictor, idelta, sample1,
     #     sample2) + one code per channel per byte → spb = 2 + 2·body/ch.
+    # a fmt chunk too short to carry wSamplesPerBlock (no cbSize/extra
+    # field — some writers omit it) derives the count from block_align
+    # instead of being rejected; when the field IS present it must match
+    # (a mismatch would mis-position every block boundary)
+    spb_absent = fmt_size < 20
     spb_decl = read_u16le(buf, p + 18).astype(i32)
     ima_w = (block_align - 4 * channels) // jnp.maximum(4 * channels, 1)
     ima_ok = jnp.logical_and(
@@ -211,13 +216,13 @@ def _parse_one(buf: jax.Array, flen: jax.Array):
             block_align > 4 * channels,
             (block_align % jnp.maximum(4 * channels, 1)) == 0,
         ),
-        spb_decl == 1 + 8 * ima_w,
+        jnp.logical_or(spb_absent, spb_decl == 1 + 8 * ima_w),
     )
     ms_body = block_align - 7 * channels
     ms_spb = 2 + ms_body * 2 // jnp.maximum(channels, 1)
     ms_ok = jnp.logical_and(
         jnp.logical_and(block_align > 7 * channels, channels <= 2),
-        spb_decl == ms_spb,
+        jnp.logical_or(spb_absent, spb_decl == ms_spb),
     )
     adpcm_ok = jnp.where(is_ms, ms_ok, ima_ok)
     err = jnp.where(

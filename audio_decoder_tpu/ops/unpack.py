@@ -216,6 +216,43 @@ def unpack_pcm(
     return jnp.where(mask, pcm, 0.0)
 
 
+def _slice_region(bufs: jax.Array, data_off: jax.Array, span: int):
+    """Per-file contiguous ``span``-byte window from ``data_off`` as ONE
+    dynamic slice per file (same rationale as unpack_pcm's prologue:
+    affine gathers are the TPU's worst op class; padding by a full span
+    keeps dynamic_slice from shifting in-range starts)."""
+    pad = jnp.pad(bufs, ((0, 0), (0, span)))
+    return jax.vmap(
+        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
+    )(pad, data_off.astype(jnp.int32))
+
+
+def _ima_scan(pred0: jax.Array, idx0: jax.Array, nib: jax.Array):
+    """The IMA ADPCM nibble recurrence over [S, lanes] codes (shared by
+    the WAV-IMA and Apple-ima4 kernels — one place to fix the
+    arithmetic).  Returns the decoded samples, same shape as ``nib``."""
+    steps = jnp.asarray(_IMA_STEPS)
+    itab = jnp.asarray(_IMA_INDEX)
+
+    def step_fn(carry, delta):
+        pred, idx = carry
+        step = steps[idx]
+        vpdiff = (
+            (step >> 3)
+            + jnp.where(delta & 4, step, 0)
+            + jnp.where(delta & 2, step >> 1, 0)
+            + jnp.where(delta & 1, step >> 2, 0)
+        )
+        pred = jnp.clip(
+            pred + jnp.where(delta & 8, -vpdiff, vpdiff), -32768, 32767
+        )
+        idx = jnp.clip(idx + itab[delta], 0, 88)
+        return (pred, idx), pred
+
+    _, out = lax.scan(step_fn, (pred0, idx0), nib)
+    return out
+
+
 # IMA/DVI ADPCM step-size and index-adaptation tables (IMA ADPCM
 # reference algorithm; WAV format code 0x11).
 _IMA_STEPS = np.array([
@@ -262,11 +299,7 @@ def unpack_ima_adpcm(
     spb = 1 + 8 * W                                     # samples/ch/block
     K = -(-max_frames // spb)                           # blocks
     span = K * block_align
-    pad = jnp.pad(bufs, ((0, 0), (0, span)))
-    region = jax.vmap(
-        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
-    )(pad, data_off.astype(jnp.int32))                  # [B, span]
-    blocks = region.reshape(B, K, block_align)
+    blocks = _slice_region(bufs, data_off, span).reshape(B, K, block_align)
 
     hdr = blocks[:, :, : 4 * channels].reshape(B, K, channels, 4)
     pred0 = (
@@ -283,26 +316,7 @@ def unpack_ima_adpcm(
     nib = nib.transpose(0, 1, 3, 2, 4, 5).reshape(B * K * channels, 8 * W)
     nib = nib.T.astype(jnp.int32)                       # [S, lanes]
 
-    steps = jnp.asarray(_IMA_STEPS)
-    itab = jnp.asarray(_IMA_INDEX)
-
-    def step_fn(carry, delta):
-        pred, idx = carry
-        step = steps[idx]
-        vpdiff = (
-            (step >> 3)
-            + jnp.where(delta & 4, step, 0)
-            + jnp.where(delta & 2, step >> 1, 0)
-            + jnp.where(delta & 1, step >> 2, 0)
-        )
-        pred = jnp.clip(
-            pred + jnp.where(delta & 8, -vpdiff, vpdiff), -32768, 32767
-        )
-        idx = jnp.clip(idx + itab[delta], 0, 88)
-        return (pred, idx), pred
-
-    init = (pred0.reshape(-1), idx0.reshape(-1))
-    _, out = lax.scan(step_fn, init, nib)               # [S, lanes]
+    out = _ima_scan(pred0.reshape(-1), idx0.reshape(-1), nib)
     samples = jnp.concatenate(
         [pred0.reshape(1, -1), out], axis=0
     )                                                   # [spb, lanes]
@@ -341,11 +355,7 @@ def unpack_ima4(
     group = 34 * channels            # bytes per 64-frame channel group
     K = -(-max_frames // 64)
     span = K * group
-    pad = jnp.pad(bufs, ((0, 0), (0, span)))
-    region = jax.vmap(
-        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
-    )(pad, data_off.astype(jnp.int32))
-    pkts = region.reshape(B, K, channels, 34)
+    pkts = _slice_region(bufs, data_off, span).reshape(B, K, channels, 34)
 
     hdr = (pkts[..., 0].astype(jnp.int32) << 8) | pkts[..., 1].astype(
         jnp.int32)
@@ -357,25 +367,7 @@ def unpack_ima4(
     nib = jnp.stack([body & 0xF, body >> 4], axis=-1)     # low first
     nib = nib.reshape(B * K * channels, 64).T.astype(jnp.int32)
 
-    steps = jnp.asarray(_IMA_STEPS)
-    itab = jnp.asarray(_IMA_INDEX)
-
-    def step_fn(carry, delta):
-        pred, idx = carry
-        step = steps[idx]
-        vpdiff = (
-            (step >> 3)
-            + jnp.where(delta & 4, step, 0)
-            + jnp.where(delta & 2, step >> 1, 0)
-            + jnp.where(delta & 1, step >> 2, 0)
-        )
-        pred = jnp.clip(
-            pred + jnp.where(delta & 8, -vpdiff, vpdiff), -32768, 32767
-        )
-        idx = jnp.clip(idx + itab[delta], 0, 88)
-        return (pred, idx), pred
-
-    _, out = lax.scan(step_fn, (pred0.reshape(-1), idx0.reshape(-1)), nib)
+    out = _ima_scan(pred0.reshape(-1), idx0.reshape(-1), nib)
     pcm = (
         out.reshape(64, B, K, channels)
         .transpose(1, 2, 0, 3)
@@ -432,11 +424,7 @@ def unpack_ms_adpcm(
     spb = 2 + S
     K = -(-max_frames // spb)
     span = K * block_align
-    pad = jnp.pad(bufs, ((0, 0), (0, span)))
-    region = jax.vmap(
-        lambda buf, off: jax.lax.dynamic_slice(buf, (off,), (span,))
-    )(pad, data_off.astype(jnp.int32))
-    blocks = region.reshape(B, K, block_align)
+    blocks = _slice_region(bufs, data_off, span).reshape(B, K, block_align)
 
     def i16(lo, hi):
         v = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 8)

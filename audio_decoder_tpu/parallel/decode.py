@@ -68,11 +68,21 @@ def decode_pcm_step(
         meta = jax.vmap(wav_codec._parse_one)(bufs, lens)
         big_endian = False
         unsigned8 = bits == 8
+        # only plain integer PCM matches this step's static unpack
+        # config — floats, G.711 and ADPCM (err=OK with their own
+        # bits) must NOT fall through to the integer path
+        fmt_plain = meta["fmt_code"] == wav_codec.FORMAT_PCM
     else:
         meta = jax.vmap(aiff_codec._parse_one)(bufs, lens)
         big_endian = True
         unsigned8 = False
-    geom_ok = jnp.logical_and(meta["bits"] == bits, meta["channels"] == channels)
+        # aiff fmt_code 0 = big-endian integer PCM; 1 (sowt) is
+        # LITTLE-endian and 2+ (floats/G.711/ima4) need other kernels
+        fmt_plain = meta["fmt_code"] == 0
+    geom_ok = jnp.logical_and(
+        fmt_plain,
+        jnp.logical_and(meta["bits"] == bits, meta["channels"] == channels),
+    )
     err = jnp.where(
         jnp.logical_and(meta["err"] == 0, jnp.logical_not(geom_ok)), 3, meta["err"]
     )

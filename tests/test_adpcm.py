@@ -347,3 +347,35 @@ def test_ima4_stream_equals_batch_and_seeks(rng):
     for s in (1, 63, 64, 65, 3 * 64 + 7, st.total_samples - 1):
         got = np.concatenate(list(st.chunks(start_sample=s)))
         np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")
+
+
+def test_ima_spb_field_absent_derives_from_block_align(rng):
+    """A 16-byte fmt chunk (no cbSize/wSamplesPerBlock — some writers)
+    derives the per-block sample count instead of being rejected."""
+    ch, ba = 2, 256
+    pcm = _signal(rng, 2 * _spb(ba, ch), ch)
+    data = IR.encode(pcm, ba)
+    blob = make_wav(np.zeros((0, ch), np.int16), 44100, 4,
+                    fmt_code_override=0x11, data_override=data,
+                    block_align_override=ba)  # NO fmt_tail: bare 16 bytes
+    f = _decode_one(blob)
+    assert f.err == 0
+    np.testing.assert_array_equal(
+        np.round(np.asarray(f.pcm) * 32768.0).astype(np.int16),
+        IR.decode(data, ch, ba))
+    from audio_decoder_tpu.codecs.pcm_stream import parse_wav_header
+    host = parse_wav_header(np.frombuffer(blob, np.uint8))
+    assert host["n_frames"] == f.pcm.shape[0]
+
+
+def test_adpcm_seek_to_eof_yields_no_phantom_chunk(rng):
+    """Seeking exactly to total_samples at a non-block-aligned position
+    must yield nothing (not an empty array)."""
+    from audio_decoder_tpu.codecs.pcm_stream import PcmStream
+
+    ch, ba = 2, 256
+    frames = 2 * _spb(ba, ch) + 9  # fact-trimmed: EOF mid-block
+    data = IR.encode(_signal(rng, frames, ch), ba)
+    st = PcmStream(_blob(data, ch, ba, fact=frames), frames_per_chunk=300)
+    assert st.total_samples == frames
+    assert list(st.chunks(start_sample=frames)) == []

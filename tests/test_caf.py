@@ -57,7 +57,7 @@ def test_caf_lpcm_float(rng, bits):
 
 
 def test_caf_g711_and_ima4(rng):
-    import audioop
+    audioop = pytest.importorskip("audioop")  # removed in py3.13
 
     raw = bytes(range(256)) * 2
     for codec, conv in ((b"ulaw", audioop.ulaw2lin),
@@ -154,3 +154,19 @@ def test_caf_stream_equals_batch_and_seeks(rng, tmp_path):
     np.testing.assert_array_equal(np.concatenate(list(st)), iwhole)
     got = np.concatenate(list(st.chunks(start_sample=70)))
     np.testing.assert_array_equal(got, iwhole[70:])
+
+
+def test_caf_pathological_rates_match_error_taxonomy(rng):
+    """±inf/NaN/negative f64 rates map onto the error taxonomy in BOTH
+    parsers (the host used to raise OverflowError on +inf)."""
+    import struct as _st
+
+    pcm = rng.integers(-128, 128, size=(16, 1)).astype(np.int64)
+    base = make_caf(pcm, 44100, bits=16)
+    for word in (b"\x7f\xf0\x00\x00\x00\x00\x00\x00",   # +inf
+                 b"\x7f\xf8\x00\x00\x00\x00\x00\x01",   # NaN
+                 b"\xc0\xe5\x88\x80\x00\x00\x00\x00"):  # -44100
+        blob = base[:20] + word + base[28:]  # desc payload starts at 20
+        assert _device_meta(blob)["err"] == E.ERR_INVALID, word
+        with pytest.raises(E.InvalidDataError):
+            PS.parse_caf_header(np.frombuffer(blob, np.uint8))

@@ -88,7 +88,7 @@ def test_wav_g711_companded_decode():
     """A-law / mu-law WAV (format codes 6/7): G.711 expansion matches the
     stdlib audioop tables exactly.  The reference enumerates these codes
     but never decodes them (wav.rs:9-28)."""
-    import audioop  # stdlib oracle (py3.12)
+    audioop = pytest.importorskip("audioop")  # removed in py3.13
 
     from audio_decoder_tpu.codecs.registry import decode_assets
     from audio_decoder_tpu.io.assets import Asset
@@ -147,7 +147,7 @@ def test_aifc_g711_companded_decode():
     declares the decoded 16-bit width): expansion matches the stdlib
     audioop tables exactly, through the same device LUTs as the WAV
     format codes.  The reference predates AIFC (aiff.rs:99-183)."""
-    import audioop  # stdlib oracle (py3.12)
+    audioop = pytest.importorskip("audioop")  # removed in py3.13
 
     from audio_decoder_tpu.codecs.registry import decode_assets
     from audio_decoder_tpu.io.assets import Asset

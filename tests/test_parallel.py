@@ -189,3 +189,51 @@ def test_sharded_layer2_matches_single(mesh8, rng):
     for b in range(B):
         np.testing.assert_allclose(
             np.asarray(pcm[b]), np.asarray(single[0]), atol=1e-6)
+
+
+def test_decode_pcm_step_rejects_non_plain_pcm():
+    """The fused step's static config is plain integer PCM; files the
+    parsers now accept with OTHER codings (AIFC ulaw/ima4 declare a
+    16-bit decoded width; sowt is little-endian) must err rather than
+    fall through to the integer unpack (they used to decode as garbage
+    with err=0)."""
+    import sys
+
+    from audio_decoder_tpu.parallel.decode import decode_pcm_step
+    from audio_decoder_tpu.io.assets import pack_bytes
+
+    sys.path.insert(0, "tests")
+    from tests import ima_ref as IR
+    from tests.synth import make_aiff, make_wav
+
+    rng = np.random.default_rng(9)
+    pcm = np.clip(rng.standard_normal((256, 2)) * 9000,
+                  -32768, 32767).astype(np.int16)
+    blobs = {
+        "plain": make_aiff(pcm, 44100, 16),
+        "sowt": make_aiff(pcm, 44100, 16, compression=b"sowt"),
+        "ulaw": make_aiff(np.zeros((0, 2), np.int16), 8000, 16,
+                          compression=b"ulaw",
+                          data_override=bytes(range(256)),
+                          frames_override=128),
+        "ima4": make_aiff(np.zeros((0, 2), np.int16), 22050, 16,
+                          compression=b"ima4",
+                          data_override=IR.encode_ima4(pcm[:128]),
+                          frames_override=128),
+    }
+    names = list(blobs)
+    bufs, lens = pack_bytes([blobs[n] for n in names])
+    _pcm_out, meta = decode_pcm_step(
+        jnp.asarray(bufs), jnp.asarray(lens),
+        bits=16, channels=2, max_frames=256, family="aiff")
+    errs = {n: int(e) for n, e in zip(names, np.asarray(meta["err"]))}
+    assert errs["plain"] == 0
+    for n in ("sowt", "ulaw", "ima4"):
+        assert errs[n] != 0, (n, errs)
+
+    # and the WAV side: an extensible PCM file still passes
+    wbufs, wlens = pack_bytes([make_wav(pcm, 44100, 16, extensible=True)])
+    _p, wmeta = decode_pcm_step(
+        jnp.asarray(wbufs), jnp.asarray(wlens),
+        bits=16, channels=2, max_frames=256, family="wav")
+    assert int(np.asarray(wmeta["err"])[0]) == 0
