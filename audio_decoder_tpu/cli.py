@@ -69,7 +69,7 @@ def cmd_repl(args) -> int:
     )
     kind = "alsa" if loop.sink.is_hardware else "null"
     print(f"sink: {kind} ({rate} Hz x {ch}); commands: load/start/pause/"
-          f"resume/stop/unload/velocity/group/tc/seq/trem/quit")
+          f"resume/stop/unload/velocity/group/tc/seq/trem/env/quit")
     from .runtime.loop import repl
 
     repl(loop)

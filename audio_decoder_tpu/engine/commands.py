@@ -17,13 +17,15 @@ Grammar (mirroring the reference's flags):
   tc <name> <unit>:<val>              (unit: s=samples m=millis b=bpm)
   seq <voice> -p <period> -s s1,s2,... [-c <chance-spec>] [-j <spec>]
   trem <voice> -p <period> -d <depth> [-t ...]   (beyond the reference)
+  env <voice> -p <period> -d <depth> [-t ...]    (beyond the reference)
   q | quit
 
 Each voice carries MAX_PROCS process slots (the reference's Vec<Process>
 axis, processes.rs:12-50): `seq` fills the voice's existing SEQ slot or
 the first free one; `trem` — a tempo-synced gain LFO cycling over
-<period> tempo steps at <depth> in [0,1] — likewise, so a voice can run
-a sequencer and a tremolo together.
+<period> tempo steps at <depth> in [0,1] — and `env` — a per-cycle
+decay envelope (rhythmic gate) with the same flags — likewise, so a
+voice can run a sequencer, a tremolo and an envelope together.
 
 Chance mini-language (≙ commands.rs:1032-1168): `_` default-all 1.0,
 `a:<p>` all steps p, `<n>:<p>` step n, `<n1>-<n2>:<p>` range.  The
@@ -42,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .state import (
-    MAX_PROCS, MAX_STEPS, PROC_NONE, PROC_SEQ, PROC_TREM,
+    MAX_PROCS, MAX_STEPS, PROC_ENV, PROC_NONE, PROC_SEQ, PROC_TREM,
     EngineArrays, HostRegistry,
 )
 
@@ -126,8 +128,8 @@ class CmdProcessor:
             return self._parse_tc(args)
         if verb == "seq":
             return self._parse_seq(args)
-        if verb == "trem":
-            return self._parse_trem(args)
+        if verb in ("trem", "env"):
+            return self._parse_trem(args, verb=verb)
         raise CmdErr(f"unknown command {verb!r}")
 
     def _find_voice(self, name: str) -> int:
@@ -323,12 +325,14 @@ class CmdProcessor:
             jitter=tuple(jit_vals), tempo=tempo,
         )
 
-    def _parse_trem(self, args: list[str]) -> Command:
-        """trem <voice|group> -p <period> -d <depth> [-t ...] — a
-        tempo-synced gain LFO, the second process kind (the extensibility
-        the processes! macro designs for, processes.rs:12-50)."""
+    def _parse_trem(self, args: list[str], verb: str = "trem") -> Command:
+        """trem|env <voice|group> -p <period> -d <depth> [-t ...] — the
+        tempo-synced gain processes (trem: LFO; env: per-cycle decay
+        envelope), the further process kinds proving the extensibility
+        the processes! macro designs for (processes.rs:12-50).  Both
+        share the flag grammar."""
         if not args:
-            raise CmdErr("trem: missing voice or group name")
+            raise CmdErr(f"{verb}: missing voice or group name")
         group = -1
         voice = -1
         if args[0] in self.reg.groups:
@@ -344,25 +348,25 @@ class CmdProcessor:
                 try:
                     period = int(args[i + 1])
                 except ValueError as e:
-                    raise CmdErr(f"trem: bad period {args[i + 1]!r}") from e
+                    raise CmdErr(f"{verb}: bad period {args[i + 1]!r}") from e
                 i += 2
             elif args[i] in ("-d", "--depth") and i + 1 < len(args):
                 try:
                     depth = float(args[i + 1])
                 except ValueError as e:
-                    raise CmdErr(f"trem: bad depth {args[i + 1]!r}") from e
+                    raise CmdErr(f"{verb}: bad depth {args[i + 1]!r}") from e
                 i += 2
             elif args[i] in ("-t", "--tempo") and i + 1 < len(args):
                 tempo = self._parse_tempo_flag(args[i + 1])
                 i += 2
             else:
-                raise CmdErr(f"trem: unexpected {args[i]!r}")
+                raise CmdErr(f"{verb}: unexpected {args[i]!r}")
         if period <= 0:
-            raise CmdErr("trem: -p period required (LFO cycle in tempo steps)")
+            raise CmdErr(f"{verb}: -p period required (cycle in tempo steps)")
         if not 0.0 <= depth <= 1.0:
-            raise CmdErr("trem: -d depth required, in [0,1]")
+            raise CmdErr(f"{verb}: -d depth required, in [0,1]")
         return Command(
-            verb="trem", voice=voice, group=group, period=period,
+            verb=verb, voice=voice, group=group, period=period,
             depth=depth, tempo=tempo,
         )
 
@@ -527,7 +531,8 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                 "seq on a voice requires a tempo (load -t ... or seq -t ...)"
             )
         return st
-    if cmd.verb == "trem":
+    if cmd.verb in ("trem", "env"):
+        kind = PROC_TREM if cmd.verb == "trem" else PROC_ENV
         if cmd.group >= 0:
             targets = [
                 int(i) for i in np.nonzero(np.asarray(st.v_group) == cmd.group)[0]
@@ -542,14 +547,14 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                     g_tempo=st.g_tempo.at[cmd.group].set(lane),
                 )
             if int(st.g_tempo[cmd.group]) < 0:
-                raise CmdErr("trem on a group requires a group tempo (-t)")
+                raise CmdErr(f"{cmd.verb} on a group requires a group tempo (-t)")
         else:
             targets = [v]
         for t in targets:
-            slot = _proc_slot(st, t, PROC_TREM)
+            slot = _proc_slot(st, t, kind)
             st = dataclasses.replace(
                 st,
-                p_kind=st.p_kind.at[t, slot].set(PROC_TREM),
+                p_kind=st.p_kind.at[t, slot].set(kind),
                 p_period=st.p_period.at[t, slot].set(cmd.period),
                 p_depth=st.p_depth.at[t, slot].set(cmd.depth),
             )
@@ -559,11 +564,12 @@ def apply(st: EngineArrays, reg: HostRegistry, cmd: Command) -> EngineArrays:
                 )
             elif cmd.tempo is not None:
                 st = _bind_tempo_voice(st, reg, t, cmd.tempo)
-        # the LFO phase derives from the voice's tempo lane; same tempo
-        # requirement as seq
+        # the process phase derives from the voice's tempo lane; same
+        # tempo requirement as seq
         if cmd.group < 0 and int(st.v_tempo[v]) == -1:
             raise CmdErr(
-                "trem on a voice requires a tempo (load -t ... or trem -t ...)"
+                f"{cmd.verb} on a voice requires a tempo "
+                f"(load -t ... or {cmd.verb} -t ...)"
             )
         return st
     if cmd.verb == "quit":

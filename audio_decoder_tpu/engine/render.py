@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .state import (
-    MAX_STEPS, MAX_VOICES, PROC_SEQ, PROC_TREM, EngineArrays,
+    MAX_STEPS, MAX_VOICES, PROC_ENV, PROC_SEQ, PROC_TREM, EngineArrays,
 )
 
 
@@ -139,20 +139,30 @@ def render_block(
         & (u[:, None, :] < chance)
     ).any(axis=1)  # [V, F]
 
-    # tremolo slots: a tempo-synced raised-cosine gain LFO cycling over
-    # p_period tempo steps; depth 0 → unity, depth 1 → full dips.  Phase 0
-    # (the lane's start) is unity gain, so enabling a trem never clicks.
-    is_trem = (st.p_kind == PROC_TREM) & t_on[:, None]  # [V, P]
-    ph = rel[:, None, :].astype(f32) / (
+    # gain-process slots (both tempo-synced, phase 0 = unity gain so
+    # enabling one never clicks):
+    #   TREM — raised-cosine LFO cycling over p_period tempo steps;
+    #     depth 0 → unity, depth 1 → full dips;
+    #   ENV  — per-cycle decay envelope ("rhythmic gate"): gain restarts
+    #     at 1.0 each p_period-step cycle and decays exponentially to
+    #     (1 - depth) + ~0.001·depth by cycle end.
+    cycle = (
         interval[:, None, None]
         * jnp.maximum(st.p_period, 1)[:, :, None]
-    ).astype(f32)
+    ).astype(f32)  # [V, P, 1] frames per process cycle
+    is_trem = (st.p_kind == PROC_TREM) & t_on[:, None]  # [V, P]
+    ph = rel[:, None, :].astype(f32) / cycle
     lfo = 1.0 - st.p_depth[:, :, None] * (0.5 - 0.5 * jnp.cos(
         2.0 * jnp.pi * ph
     ))
-    slot_mult = jnp.where(
-        is_trem[:, :, None] & (rel[:, None, :] >= 0), lfo, 1.0
+    is_env = (st.p_kind == PROC_ENV) & t_on[:, None]  # [V, P]
+    ph_cyc = jnp.mod(rel[:, None, :].astype(f32), cycle) / cycle  # [0,1)
+    env = (1.0 - st.p_depth[:, :, None]) + st.p_depth[:, :, None] * jnp.exp(
+        -6.9077554 * ph_cyc  # ln(1000): tail lands at 0.1% of depth
     )
+    started = rel[:, None, :] >= 0
+    slot_mult = jnp.where(is_trem[:, :, None] & started, lfo, 1.0)
+    slot_mult = slot_mult * jnp.where(is_env[:, :, None] & started, env, 1.0)
     gain_mult = slot_mult.prod(axis=1)  # [V, F]
 
     # ---- closed-form positions between triggers ----

@@ -33,10 +33,12 @@ MAX_PROCS = 4  # process-chain slots per voice (≙ Vec<Process>)
 
 #: process kinds (≙ the processes! enum dispatch, processes.rs:12-50 —
 #: an extensible axis the reference designs for but only instantiates
-#: once; Seq ≙ processes.rs:52-99, tremolo is the second kind proving it)
+#: once; Seq ≙ processes.rs:52-99; tremolo and the decay envelope are
+#: the further kinds proving the axis)
 PROC_NONE = 0
 PROC_SEQ = 1
 PROC_TREM = 2
+PROC_ENV = 3
 
 #: tempo owner kinds (≙ TempoMode, blast_time.rs:66-74)
 TEMPO_VOICE = 0
@@ -77,14 +79,14 @@ class EngineArrays:
     # (≙ Voice's Vec<Process> + the processes! macro, processes.rs:12-50;
     # the reference's one instance, Seq, lives in any slot with
     # p_kind == PROC_SEQ; PROC_TREM is a tempo-synced gain LFO)
-    p_kind: jax.Array  # i32 [V, P] PROC_NONE/SEQ/TREM
-    p_period: jax.Array  # i32 [V, P] seq: steps per cycle; trem: LFO steps
+    p_kind: jax.Array  # i32 [V, P] PROC_NONE/SEQ/TREM/ENV
+    p_period: jax.Array  # i32 [V, P] steps per cycle (seq/trem/env)
     p_stepmask: jax.Array  # bool [V, P, MAX_STEPS] seq trigger steps
     p_chance: jax.Array  # f32 [V, P, MAX_STEPS] seq per-step probability
     p_jitter: jax.Array  # f32 [V, P, MAX_STEPS] seq trigger delay, fraction
     #                      of the tempo interval (the reference parses -j
     #                      but never applies it, commands.rs:1125-1136)
-    p_depth: jax.Array  # f32 [V, P] trem modulation depth in [0, 1]
+    p_depth: jax.Array  # f32 [V, P] trem/env modulation depth in [0, 1]
 
     # groups
     g_used: jax.Array  # bool [G]

@@ -212,7 +212,7 @@ _MARKERS = "^X v>X<Z".replace(" ", "")  # spinner glyphs (runtime.rs:56-63)
 
 _VERBS = (
     "load", "start", "pause", "resume", "stop", "unload", "velocity",
-    "group", "tc", "seq", "trem", "quit",
+    "group", "tc", "seq", "trem", "env", "quit",
 )
 _FLAGS = ("-v", "-g", "-t", "-p", "-s", "-c", "-j", "-d")
 

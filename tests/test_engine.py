@@ -475,3 +475,69 @@ def test_seq_and_trem_malformed_numbers_raise_cmderr():
                 "trem k -p 4 -d oops"):
         with pytest.raises(EC.CmdErr):
             proc.parse(bad)
+
+
+def test_env_decay_envelope_and_three_kind_chain(rng):
+    """The env process (third kind): per-cycle exponential decay gated
+    by the tempo, exact against the closed form; and a voice running
+    seq + trem + env simultaneously exercises three enum-dispatched
+    slots of the process chain (the reference's processes! axis holds
+    ONE kind, processes.rs:52-99)."""
+    import numpy as np
+
+    from audio_decoder_tpu.engine import commands as EC
+    from audio_decoder_tpu.engine import render as ER
+    from audio_decoder_tpu.engine import state as ES
+
+    tracks = np.ones((1, 2048, 1), np.float32) * 0.5
+    st = ES.empty_state(tracks, [2048], [1], out_channels=1)
+    reg = ES.HostRegistry(["t"])
+    proc = EC.CmdProcessor(reg, 44100)
+    # interval 64 samples, env cycles over 4 steps = 256 frames
+    for line in ["load t -t s:64", "env t -p 4 -d 0.75", "start -v t"]:
+        st = EC.apply(st, reg, proc.parse(line))
+    block, st2 = ER.render_block(st, frames=512, out_channels=1)
+    got = np.asarray(block)[:, 0]
+    k = np.arange(512)
+    ph = (k % 256) / 256.0
+    expect = 0.5 * (0.25 + 0.75 * np.exp(np.float32(-6.9077554) * ph))
+    # the envelope multiplies the constant 0.5 track exactly
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # cycle restart: frame 256 back at (near) unity
+    assert got[256] == got[0]
+
+    # three kinds on one voice: seq retriggers, trem + env shape gain
+    st = ES.empty_state(tracks, [2048], [1], out_channels=1)
+    reg = ES.HostRegistry(["t"])
+    proc = EC.CmdProcessor(reg, 44100)
+    for line in ["load t -t s:64", "seq t -p 4 -s 0,2",
+                 "trem t -p 8 -d 0.5", "env t -p 2 -d 0.9",
+                 "start -v t"]:
+        st = EC.apply(st, reg, proc.parse(line))
+    kinds = sorted(int(x) for x in np.asarray(st.p_kind[0]) if x)
+    assert kinds == [ES.PROC_SEQ, ES.PROC_TREM, ES.PROC_ENV]
+    block, _ = ER.render_block(st, frames=256, out_channels=1)
+    b = np.asarray(block)[:, 0]
+    assert np.abs(b).max() > 0.01  # audible
+    # trem*env modulation present: gain at frame 1 differs from frame 65
+    assert not np.isclose(b[1] / 0.5, b[65] / 0.5)
+
+
+def test_env_reissue_reconfigures_same_slot(rng):
+    import numpy as np
+
+    from audio_decoder_tpu.engine import commands as EC
+    from audio_decoder_tpu.engine import state as ES
+
+    tracks = np.ones((1, 256, 1), np.float32)
+    st = ES.empty_state(tracks, [256], [1], out_channels=1)
+    reg = ES.HostRegistry(["t"])
+    proc = EC.CmdProcessor(reg, 44100)
+    st = EC.apply(st, reg, proc.parse("load t -t s:32"))
+    st = EC.apply(st, reg, proc.parse("env t -p 2 -d 0.5"))
+    st = EC.apply(st, reg, proc.parse("env t -p 6 -d 0.9"))
+    kinds = np.asarray(st.p_kind[0])
+    assert (kinds == ES.PROC_ENV).sum() == 1  # reconfigured, not stacked
+    slot = int(np.nonzero(kinds == ES.PROC_ENV)[0][0])
+    assert int(st.p_period[0, slot]) == 6
+    assert float(st.p_depth[0, slot]) == pytest.approx(0.9)
