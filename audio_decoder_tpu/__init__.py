@@ -16,6 +16,7 @@ from .dsp import (
     route_channels,
 )
 from .io.assets import scan_assets
+from .io.encode import encode_aiff, encode_au, encode_wav, write_audio
 from .io.stream import stream_decode, stream_file
 
 __version__ = "0.1.0"
@@ -30,6 +31,10 @@ __all__ = [
     "scan_assets",
     "stream_decode",
     "stream_file",
+    "encode_wav",
+    "encode_aiff",
+    "encode_au",
+    "write_audio",
     "consensus_for",
     "resample_batch",
     "resample_to_consensus",

@@ -129,8 +129,6 @@ def cmd_render(args) -> int:
     Each script line is either an engine command or ``@<seconds>`` to
     advance time; rendering runs the same jitted block renderer as the
     live loop, just without pacing."""
-    import struct
-
     loop, rate, ch = _build_engine(
         args.assets, args.resample, realtime=False, device="default"
     )
@@ -150,14 +148,36 @@ def cmd_render(args) -> int:
         loop.run_blocks(max(int(args.seconds * rate) // PERIOD, 1))
     pcm = np.concatenate(loop.sink.capture) if loop.sink.capture else (
         np.zeros((0, ch), np.int16))
-    data = pcm.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
-    with open(args.out, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    from .io.encode import write_audio
+
+    write_audio(args.out, pcm.astype(np.float32) / 32768.0, rate, bits=16)
     print(f"rendered {pcm.shape[0] / rate:.2f}s ({pcm.shape[0]} frames) "
           f"→ {args.out}")
+    return 0
+
+
+def cmd_transcode(args) -> int:
+    """Decode ANY supported input (wav/aiff/aifc/mp3/au/caf/rf64/...)
+    through the TPU pipeline and re-encode to the container named by the
+    output extension (.wav/.aif/.aiff/.au) — the decode surface and the
+    export surface joined end-to-end."""
+    from .codecs.registry import decode_paths
+    from .dsp.resample import resample_batch
+    from .io.encode import write_audio
+
+    batch = decode_paths([args.input])
+    f = batch.file(0)
+    if f.err:
+        print(f"error: decode failed (err={f.err})", file=sys.stderr)
+        return 1
+    pcm, rate = f.pcm, int(f.sample_rate)
+    if args.rate and args.rate != rate:
+        pcm = np.asarray(resample_batch(pcm[None], rate, args.rate)[0])
+        rate = args.rate
+    write_audio(args.out, pcm, rate, bits=args.bits, float_=args.float_)
+    print(f"{args.input}: {f.format} {f.sample_rate} Hz "
+          f"{f.num_channels} ch → {args.out} ({rate} Hz, "
+          f"{'f32' if args.float_ else args.bits})")
     return 0
 
 
@@ -265,6 +285,18 @@ def main(argv=None) -> int:
     pv.add_argument("--out", required=True)
     pv.add_argument("--resample", action="store_true")
     pv.set_defaults(fn=cmd_render)
+
+    pt = sub.add_parser(
+        "transcode", help="decode one file, re-encode to wav/aiff/au")
+    pt.add_argument("input")
+    pt.add_argument("out", help="output path; extension picks the container")
+    pt.add_argument("--bits", type=int, default=16,
+                    help="output bit depth (8/16/24/32)")
+    pt.add_argument("--float", dest="float_", action="store_true",
+                    help="32-bit IEEE float output (wav/au)")
+    pt.add_argument("--rate", type=int, default=0,
+                    help="resample to this rate (polyphase)")
+    pt.set_defaults(fn=cmd_transcode)
 
     p.add_argument("--platform", default=None,
                    help="JAX platform override (cpu/tpu); real-time REPL "
