@@ -16,7 +16,9 @@ from .dsp import (
     route_channels,
 )
 from .io.assets import scan_assets
-from .io.encode import encode_aiff, encode_au, encode_wav, write_audio
+from .io.encode import (
+    encode_aiff, encode_au, encode_wav, export_batch, write_audio,
+)
 from .io.stream import stream_decode, stream_file
 
 __version__ = "0.1.0"
@@ -35,6 +37,7 @@ __all__ = [
     "encode_aiff",
     "encode_au",
     "write_audio",
+    "export_batch",
     "consensus_for",
     "resample_batch",
     "resample_to_consensus",

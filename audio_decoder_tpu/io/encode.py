@@ -34,12 +34,13 @@ import numpy as np
 
 __all__ = [
     "pack_pcm", "encode_wav", "encode_aiff", "encode_au", "write_audio",
+    "export_batch",
 ]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "big_endian", "unsigned8", "is_float"),
+    static_argnames=("bits", "big_endian", "unsigned8", "is_float", "dither"),
 )
 def pack_pcm(
     pcm: jax.Array,  # f32 [S, C]
@@ -48,6 +49,7 @@ def pack_pcm(
     big_endian: bool = False,
     unsigned8: bool = False,
     is_float: bool = False,
+    dither: int | None = None,
 ) -> jax.Array:
     """Quantize + interleave + byte-split f32 PCM → u8 [S*C*bits//8].
 
@@ -56,6 +58,12 @@ def pack_pcm(
     (the engine's mix path already clamps, but fresh synthesis may not),
     float32 is a bitcast.  All shape-affecting parameters are static so
     each (bits, endian) combination compiles once.
+
+    dither: optional integer seed enabling TPDF dither (±1 LSB
+    triangular, counter-based threefry so output is reproducible) added
+    before the rounder — the standard mastering step when truncating
+    synthesis/float content to integer PCM.  None (default) keeps the
+    quantizer exact so decoded integers round-trip bit-exactly.
     """
     flat = pcm.reshape(-1)  # interleaved, frame-major (wav.rs:143-154)
     if is_float:
@@ -71,7 +79,13 @@ def pack_pcm(
         # representable value <= hi, then again in integer space
         fmax = float(np.nextafter(np.float32(hi), np.float32(0))) \
             if bits == 32 else float(hi)
-        q = jnp.clip(jnp.round(flat * scale), -scale, fmax)
+        x = flat * scale
+        if dither is not None:
+            u = jax.random.uniform(
+                jax.random.PRNGKey(dither), (2,) + flat.shape, jnp.float32
+            )
+            x = x + (u[0] - u[1])  # TPDF in (-1, 1) LSB
+        q = jnp.clip(jnp.round(x), -scale, fmax)
         ival = jnp.clip(q.astype(jnp.int32), -(1 << (bits - 1)), hi)
         if unsigned8:
             if bits != 8:
@@ -86,7 +100,7 @@ def pack_pcm(
 
 
 def _payload(pcm, *, bits, big_endian=False, unsigned8=False,
-             is_float=False) -> bytes:
+             is_float=False, dither=None) -> bytes:
     x = jnp.asarray(np.asarray(pcm, np.float32))
     if x.ndim == 1:
         x = x[:, None]
@@ -94,13 +108,14 @@ def _payload(pcm, *, bits, big_endian=False, unsigned8=False,
         raise ValueError(f"pcm must be [frames, channels], got {x.shape}")
     out = pack_pcm(
         x, bits=bits, big_endian=big_endian, unsigned8=unsigned8,
-        is_float=is_float,
+        is_float=is_float, dither=dither,
     )
     return np.asarray(out).tobytes()
 
 
 def encode_wav(
     pcm, sample_rate: int, *, bits: int = 16, float_: bool = False,
+    dither: int | None = None,
 ) -> bytes:
     """Little-endian RIFF/WAVE bytes (the chunk layout ``codecs.wav``
     walks, wav.rs:80-141, written in reverse).  bits: 8 (unsigned,
@@ -108,7 +123,8 @@ def encode_wav(
     IEEE-float format code 3 (with the spec's fact chunk)."""
     if float_ and bits != 32:
         raise ValueError("float WAV encode is 32-bit")
-    data = _payload(pcm, bits=bits, unsigned8=(bits == 8), is_float=float_)
+    data = _payload(pcm, bits=bits, unsigned8=(bits == 8), is_float=float_,
+                    dither=None if float_ else dither)
     ch = 1 if np.ndim(pcm) == 1 else int(np.shape(pcm)[1])
     frames = int(np.shape(pcm)[0])
     block = ch * bits // 8
@@ -146,13 +162,14 @@ def _ieee80(rate: float) -> bytes:
 
 def encode_aiff(
     pcm, sample_rate: int, *, bits: int = 16, float_: bool = False,
+    dither: int | None = None,
 ) -> bytes:
     """Big-endian FORM/AIFF bytes (COMM with the IEEE-80 rate + SSND,
     the walk of aiff.rs:99-183 in reverse).  bits: 8 (signed) / 16 /
     24 / 32 twos-complement PCM."""
     if float_:
         raise ValueError("float AIFF encode not supported (use wav/au)")
-    data = _payload(pcm, bits=bits, big_endian=True)
+    data = _payload(pcm, bits=bits, big_endian=True, dither=dither)
     ch = 1 if np.ndim(pcm) == 1 else int(np.shape(pcm)[1])
     frames = int(np.shape(pcm)[0])
     comm = struct.pack(">hLh", ch, frames, bits) + _ieee80(sample_rate)
@@ -173,12 +190,14 @@ _AU_CODES = {8: 2, 16: 3, 24: 4, 32: 5}
 
 def encode_au(
     pcm, sample_rate: int, *, bits: int = 16, float_: bool = False,
+    dither: int | None = None,
 ) -> bytes:
     """Sun AU / NeXT ``.snd`` bytes: fixed 24-byte big-endian header +
     big-endian payload (the layout ``codecs.au`` parses)."""
     if float_ and bits != 32:
         raise ValueError("float AU encode is 32-bit")
-    data = _payload(pcm, bits=bits, big_endian=True, is_float=float_)
+    data = _payload(pcm, bits=bits, big_endian=True, is_float=float_,
+                    dither=None if float_ else dither)
     ch = 1 if np.ndim(pcm) == 1 else int(np.shape(pcm)[1])
     enc = 6 if float_ else _AU_CODES[bits]
     hdr = struct.pack(
@@ -191,6 +210,42 @@ _WRITERS = {
     "wav": encode_wav, "aif": encode_aiff, "aiff": encode_aiff,
     "au": encode_au, "snd": encode_au,
 }
+
+
+def export_batch(
+    out_dir: str,
+    batch,
+    names: dict[str, int] | None = None,
+    *,
+    container: str = "wav",
+    **kw,
+) -> dict[str, str]:
+    """Write every successfully-decoded file of an ``AudioBatch`` to
+    ``out_dir/<name>.<container>`` — the inverse of
+    ``codecs.registry.decode_dir``.  ``names`` is decode_dir's
+    name→index map (defaults to ``f{i}``).  Each file keeps its own
+    sample rate and trimmed length.  Returns name→path for the files
+    written; errored files are skipped (their error codes stay the
+    caller's to inspect, mirroring decode's skip-with-code policy)."""
+    import os
+
+    if container not in _WRITERS:
+        raise ValueError(
+            f"no encoder for container {container!r} (have {sorted(_WRITERS)})"
+        )
+    if names is None:
+        names = {f"f{i}": i for i in range(batch.pcm.shape[0])}
+    os.makedirs(out_dir, exist_ok=True)
+    written = {}
+    for name, i in sorted(names.items()):
+        f = batch.file(i)
+        if f.err:
+            continue
+        path = os.path.join(out_dir, f"{name}.{container}")
+        with open(path, "wb") as fh:
+            fh.write(_WRITERS[container](f.pcm, int(f.sample_rate), **kw))
+        written[name] = path
+    return written
 
 
 def write_audio(path: str, pcm, sample_rate: int, **kw) -> None:

@@ -128,6 +128,46 @@ def test_write_audio_dispatch(tmp_path, rng):
         write_audio(str(tmp_path / "y.aif"), pcm, 44100, bits=32, float_=True)
 
 
+def test_tpdf_dither(rng):
+    # dither perturbs the quantizer by at most ±1 LSB, is reproducible
+    # for a given seed, and differs across seeds
+    pcm = (rng.standard_normal((4096, 1)).astype(np.float32) * 1e-3)
+    plain = oracle.parse_wav(encode_wav(pcm, 44100, bits=16))["pcm"]
+    d1 = oracle.parse_wav(encode_wav(pcm, 44100, bits=16, dither=1))["pcm"]
+    d1b = oracle.parse_wav(encode_wav(pcm, 44100, bits=16, dither=1))["pcm"]
+    d2 = oracle.parse_wav(encode_wav(pcm, 44100, bits=16, dither=2))["pcm"]
+    np.testing.assert_array_equal(d1, d1b)
+    assert not np.array_equal(d1, d2) and not np.array_equal(d1, plain)
+    lsb = 1.0 / 32768
+    assert np.abs(d1 - plain).max() <= lsb + 1e-9
+    # TPDF decorrelates the error from the signal: quantization of a
+    # low-level ramp is staircase-free on average — mean error near 0
+    ramp = np.linspace(0, 4e-4, 8192, dtype=np.float32)[:, None]
+    dd = oracle.parse_wav(encode_wav(ramp, 44100, bits=16, dither=3))["pcm"]
+    assert abs(float((dd - ramp).mean())) < lsb / 16
+
+
+def test_export_batch_inverse_of_decode_dir(tmp_path, rng):
+    import audio_decoder_tpu as adt
+
+    src = tmp_path / "assets"
+    src.mkdir()
+    a = _grid_pcm(rng, 16, frames=300, ch=2)
+    b = _grid_pcm(rng, 16, frames=150, ch=1)
+    write_audio(str(src / "a.wav"), a, 44100, bits=16)
+    write_audio(str(src / "b.aiff"), b, 22050, bits=16)
+    (src / "junk.wav").write_bytes(b"RIFFnope")  # errored file skipped
+    batch, names = adt.decode_dir(str(src))
+    out = tmp_path / "out"
+    written = adt.export_batch(str(out), batch, names, container="aiff")
+    assert set(written) == {"a", "b"}
+    fa = _decode_one((out / "a.aiff").read_bytes(), "aif")
+    fb = _decode_one((out / "b.aiff").read_bytes(), "aif")
+    assert (fa.sample_rate, fb.sample_rate) == (44100, 22050)
+    np.testing.assert_array_equal(fa.pcm, a)
+    np.testing.assert_array_equal(fb.pcm, b)
+
+
 def test_transcode_cli(tmp_path, rng):
     from audio_decoder_tpu.cli import main
 
