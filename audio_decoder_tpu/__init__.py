@@ -17,7 +17,8 @@ from .dsp import (
 )
 from .io.assets import scan_assets
 from .io.encode import (
-    encode_aiff, encode_au, encode_wav, export_batch, write_audio,
+    encode_aiff, encode_au, encode_caf, encode_wav, export_batch,
+    write_audio,
 )
 from .io.stream import stream_decode, stream_file
 
@@ -36,6 +37,7 @@ __all__ = [
     "encode_wav",
     "encode_aiff",
     "encode_au",
+    "encode_caf",
     "write_audio",
     "export_batch",
     "consensus_for",

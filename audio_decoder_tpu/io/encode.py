@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "pack_pcm", "encode_wav", "encode_aiff", "encode_au", "write_audio",
-    "export_batch",
+    "pack_pcm", "encode_wav", "encode_aiff", "encode_au", "encode_caf",
+    "write_audio", "export_batch",
 ]
 
 
@@ -115,12 +115,17 @@ def _payload(pcm, *, bits, big_endian=False, unsigned8=False,
 
 def encode_wav(
     pcm, sample_rate: int, *, bits: int = 16, float_: bool = False,
-    dither: int | None = None,
+    dither: int | None = None, rf64: bool = False,
 ) -> bytes:
     """Little-endian RIFF/WAVE bytes (the chunk layout ``codecs.wav``
     walks, wav.rs:80-141, written in reverse).  bits: 8 (unsigned,
     per convention) / 16 / 24 / 32 PCM, or 32 with ``float_`` for
-    IEEE-float format code 3 (with the spec's fact chunk)."""
+    IEEE-float format code 3 (with the spec's fact chunk).
+
+    rf64: write the EBU/ITU 64-bit RIFF form instead — ``RF64`` magic,
+    the real sizes in a leading ``ds64`` chunk, and the 0xFFFFFFFF
+    sentinel in the riff/data size fields.  Mandatory once the payload
+    exceeds 4 GB; valid (and decoded by ``codecs.wav``) at any size."""
     if float_ and bits != 32:
         raise ValueError("float WAV encode is 32-bit")
     data = _payload(pcm, bits=bits, unsigned8=(bits == 8), is_float=float_,
@@ -132,13 +137,27 @@ def encode_wav(
         "<HHIIHH", 3 if float_ else 1, ch, int(sample_rate),
         int(sample_rate) * block, block, bits,
     )
-    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    sentinel = 0xFFFFFFFF
+    chunks = b""
+    if rf64:
+        # riffSize u64, dataSize u64, sampleCount u64, 0 table entries
+        ds64_at = len(chunks)  # patched below once riff size is known
+        chunks += b"ds64" + struct.pack("<I", 28) + struct.pack(
+            "<QQQI", 0, len(data), frames, 0)
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if float_:
         chunks += b"fact" + struct.pack("<II", 4, frames)
-    chunks += b"data" + struct.pack("<I", len(data)) + data
+    chunks += b"data" + struct.pack(
+        "<I", sentinel if rf64 else len(data)) + data
     if len(data) & 1:
         chunks += b"\x00"  # RIFF chunks are word-aligned
-    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    if not rf64:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    riff_size = 4 + len(chunks)  # the u64 truth the sentinel points to
+    chunks = (chunks[: ds64_at + 8]
+              + struct.pack("<Q", riff_size)
+              + chunks[ds64_at + 16 :])
+    return b"RF64" + struct.pack("<I", sentinel) + b"WAVE" + chunks
 
 
 def _ieee80(rate: float) -> bytes:
@@ -184,6 +203,30 @@ def encode_aiff(
     return b"FORM" + struct.pack(">L", len(body)) + body
 
 
+def encode_caf(
+    pcm, sample_rate: int, *, bits: int = 16, float_: bool = False,
+    little: bool = False, dither: int | None = None,
+) -> bytes:
+    """Apple CAF bytes (the int64-size chunk walk ``codecs.caf``
+    parses, in reverse): 'caff' header, 32-byte 'desc' (big-endian f64
+    rate + 'lpcm' + format flags + packet geometry), 'data' with the
+    u32 edit count.  lpcm flags: bit0 float, bit1 little-endian."""
+    if float_ and bits != 32:
+        raise ValueError("float CAF encode is 32-bit")
+    data = _payload(pcm, bits=bits, big_endian=not little, is_float=float_,
+                    dither=None if float_ else dither)
+    ch = 1 if np.ndim(pcm) == 1 else int(np.shape(pcm)[1])
+    flags = (1 if float_ else 0) | (2 if little else 0)
+    desc = struct.pack(
+        ">d4sIIIII", float(sample_rate), b"lpcm", flags,
+        ch * bits // 8, 1, ch, bits,
+    )
+    body = struct.pack(">I", 0) + data  # edit count 0 + audio bytes
+    return (b"caff" + struct.pack(">HH", 1, 0)
+            + b"desc" + struct.pack(">q", len(desc)) + desc
+            + b"data" + struct.pack(">q", len(body)) + body)
+
+
 # .snd encoding codes (codecs/au.py reads the same table)
 _AU_CODES = {8: 2, 16: 3, 24: 4, 32: 5}
 
@@ -208,7 +251,7 @@ def encode_au(
 
 _WRITERS = {
     "wav": encode_wav, "aif": encode_aiff, "aiff": encode_aiff,
-    "au": encode_au, "snd": encode_au,
+    "au": encode_au, "snd": encode_au, "caf": encode_caf,
 }
 
 

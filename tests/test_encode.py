@@ -128,6 +128,34 @@ def test_write_audio_dispatch(tmp_path, rng):
         write_audio(str(tmp_path / "y.aif"), pcm, 44100, bits=32, float_=True)
 
 
+@pytest.mark.parametrize("bits,float_,little", [
+    (16, False, False), (24, False, True), (32, True, False),
+])
+def test_caf_round_trip(rng, bits, float_, little):
+    from audio_decoder_tpu.io.encode import encode_caf
+
+    pcm = (rng.standard_normal((180, 2)).astype(np.float32) * 0.5
+           if float_ else _grid_pcm(rng, bits, frames=180))
+    blob = encode_caf(pcm, 48000, bits=bits, float_=float_, little=little)
+    f = _decode_one(blob, "caf")
+    assert f.err == 0
+    assert (f.sample_rate, f.num_channels) == (48000, 2)
+    np.testing.assert_array_equal(f.pcm, pcm)
+
+
+@pytest.mark.parametrize("bits", [16, 24])
+def test_rf64_round_trip(rng, bits):
+    # RF64 form at small size: sizes live in ds64, sentinels in riff/data
+    pcm = _grid_pcm(rng, bits, frames=271)
+    blob = encode_wav(pcm, 44100, bits=bits, rf64=True)
+    assert blob[:4] == b"RF64" and blob[4:8] == b"\xff\xff\xff\xff"
+    f = _decode_one(blob, "wav")
+    assert f.err == 0
+    assert (f.sample_rate, f.num_channels) == (44100, 2)
+    assert f.pcm.shape[0] == 271
+    np.testing.assert_array_equal(f.pcm, pcm)
+
+
 def test_tpdf_dither(rng):
     # dither perturbs the quantizer by at most ±1 LSB, is reproducible
     # for a given seed, and differs across seeds
