@@ -290,3 +290,42 @@ def ffdec_decode_adpcm(data: bytes, block_align: int, channels: int,
     assert n >= 0, f"ffdec adpcm error {n}"
     c = max(ch.value, 1)
     return out[: n * c].reshape(n, c).copy()
+
+
+def ffdec_decode_flac(blob: bytes, bps: int) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream via libavcodec → (int32 [frames, ch], rate).
+
+    libavcodec emits >16-bit FLAC as S32 left-justified (shifted by
+    32 - bits_per_raw_sample); this undoes the shift so values are the
+    stream's raw integers, comparable to tests/flac_ref.py output."""
+    assert have_ffdec()
+    lib = _ffdec
+    if not hasattr(lib, "_flac_bound"):
+        lib.ffdec_decode_flac.restype = C.c_int64
+        lib.ffdec_decode_flac.argtypes = [
+            C.c_char_p, C.c_int64, C.POINTER(C.c_int32), C.c_int64,
+            C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int),
+            C.POINTER(C.c_int),
+        ]
+        lib._flac_bound = True
+    max_frames = len(blob) * 8 + (1 << 16)
+    out = np.zeros((max_frames * 2,), np.int32)
+    ch = C.c_int(0)
+    rate = C.c_int(0)
+    bits = C.c_int(0)
+    fmt = C.c_int(-1)
+    n = lib.ffdec_decode_flac(
+        blob, len(blob), out.ctypes.data_as(C.POINTER(C.c_int32)),
+        max_frames, C.byref(ch), C.byref(rate), C.byref(bits),
+        C.byref(fmt))
+    assert n >= 0, f"ffdec flac error {n}"
+    c = max(ch.value, 1)
+    vals = out[: n * c].reshape(n, c).copy()
+    # libavcodec left-justifies FLAC samples in the container word:
+    # S32 holds bps<32 shifted by 32-bps, S16 holds bps<16 by 16-bps
+    raw_bits = bits.value or bps
+    if fmt.value in (2, 7) and raw_bits < 32:  # AV_SAMPLE_FMT_S32(P)
+        vals >>= 32 - raw_bits
+    elif fmt.value in (1, 6) and raw_bits < 16:  # AV_SAMPLE_FMT_S16(P)
+        vals >>= 16 - raw_bits
+    return vals, rate.value

@@ -143,3 +143,111 @@ int64_t ffdec_decode_adpcm_ima_qt(const uint8_t* data, int64_t len,
                              block_align, channels, rate, out, max_frames,
                              channels_out);
 }
+
+// Decode a FLAC stream (fLaC header + frames) via libavcodec — the
+// independent oracle for tests/flac_ref.py / tests/flac_writer.py.
+// Returns decoded frame count; out is interleaved RAW int32 samples
+// exactly as libavcodec emits them (fmt_out reports the AVSampleFormat
+// so the caller can undo any container left-shift), bits_out reports
+// ctx->bits_per_raw_sample.
+int64_t ffdec_decode_flac(const uint8_t* data, int64_t len, int32_t* out,
+                          int64_t max_frames, int* channels_out,
+                          int* rate_out, int* bits_out, int* fmt_out) {
+  const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_FLAC);
+  if (!codec) return -1;
+  AVCodecParserContext* parser = av_parser_init(codec->id);
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!parser || !ctx) return -2;
+  // the parser strips metadata blocks, so hand STREAMINFO to the
+  // decoder as extradata and feed from the first frame
+  if (len > 8 && memcmp(data, "fLaC", 4) == 0) {
+    int64_t pos = 4;
+    while (pos + 4 <= len) {
+      int last = data[pos] >> 7, btype = data[pos] & 0x7F;
+      int64_t size = ((int64_t)data[pos + 1] << 16)
+                   | ((int64_t)data[pos + 2] << 8) | data[pos + 3];
+      if (btype == 0 && size >= 34) {
+        ctx->extradata =
+            av_mallocz(size + AV_INPUT_BUFFER_PADDING_SIZE);
+        memcpy(ctx->extradata, data + pos + 4, size);
+        ctx->extradata_size = (int)size;
+      }
+      pos += 4 + size;
+      if (last) break;
+    }
+    data += pos;
+    len -= pos;
+  }
+  if (avcodec_open2(ctx, codec, NULL) < 0) return -3;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+  int ch = 0;
+  const uint8_t* p = data;
+  int64_t remaining = len;
+  for (;;) {
+    // once input is exhausted, zero-length calls drain the parser's
+    // internal buffer; stop when a drain call emits nothing
+    int at_eof = remaining <= 0;
+    int used = av_parser_parse2(parser, ctx, &pkt->data, &pkt->size, p,
+                                at_eof ? 0 : (int)remaining,
+                                AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
+    if (used < 0) break;
+    p += used;
+    remaining -= used;
+    if (pkt->size == 0 && at_eof) break;
+    if (pkt->size && avcodec_send_packet(ctx, pkt) == 0) {
+      while (avcodec_receive_frame(ctx, frame) == 0) {
+        int c = ctx->ch_layout.nb_channels;
+        if (c <= 0 || c > 8) continue;
+        ch = c;
+        *fmt_out = frame->format;
+        for (int i = 0; i < frame->nb_samples && written < max_frames; i++) {
+          for (int k = 0; k < c; k++) {
+            int32_t v = 0;
+            if (frame->format == AV_SAMPLE_FMT_S32P)
+              v = ((const int32_t*)frame->extended_data[k])[i];
+            else if (frame->format == AV_SAMPLE_FMT_S32)
+              v = ((const int32_t*)frame->extended_data[0])[i * c + k];
+            else if (frame->format == AV_SAMPLE_FMT_S16P)
+              v = ((const int16_t*)frame->extended_data[k])[i];
+            else if (frame->format == AV_SAMPLE_FMT_S16)
+              v = ((const int16_t*)frame->extended_data[0])[i * c + k];
+            out[written * c + k] = v;
+          }
+          written++;
+        }
+      }
+    }
+  }
+  avcodec_send_packet(ctx, NULL);
+  while (avcodec_receive_frame(ctx, frame) == 0) {
+    int c = ctx->ch_layout.nb_channels;
+    if (c <= 0 || c > 8) continue;
+    ch = c;
+    *fmt_out = frame->format;
+    for (int i = 0; i < frame->nb_samples && written < max_frames; i++) {
+      for (int k = 0; k < c; k++) {
+        int32_t v = 0;
+        if (frame->format == AV_SAMPLE_FMT_S32P)
+          v = ((const int32_t*)frame->extended_data[k])[i];
+        else if (frame->format == AV_SAMPLE_FMT_S32)
+          v = ((const int32_t*)frame->extended_data[0])[i * c + k];
+        else if (frame->format == AV_SAMPLE_FMT_S16P)
+          v = ((const int16_t*)frame->extended_data[k])[i];
+        else if (frame->format == AV_SAMPLE_FMT_S16)
+          v = ((const int16_t*)frame->extended_data[0])[i * c + k];
+        out[written * c + k] = v;
+      }
+      written++;
+    }
+  }
+  *channels_out = ch;
+  *rate_out = ctx->sample_rate;
+  *bits_out = ctx->bits_per_raw_sample;
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  av_parser_close(parser);
+  return written;
+}
