@@ -145,9 +145,12 @@ def _write_subframe(
         kind = "verbatim"
     if kind == "lpc" and len(x) <= len(lpc_coefs):
         kind = "verbatim"
+    # a requested CONSTANT only applies when the block really is one
+    # (the choice a real encoder makes); otherwise store verbatim
+    if kind == "constant" and not np.all(x == x[0]):
+        kind = "verbatim"
     w.u(0, 1)  # reserved
     if kind == "constant":
-        assert np.all(x == x[0])
         w.u(0, 6)
         _write_wasted(w, wasted)
         w.s(int(x[0]), bps)
@@ -270,17 +273,23 @@ def encode_file(
     *,
     blocksize: int = 1024,
     stereo: str = "independent",
-    subframe_kw: dict | None = None,
+    subframe_kw: dict | list | None = None,
 ) -> bytes:
-    """Full FLAC stream: fLaC magic + STREAMINFO + frames."""
+    """Full FLAC stream: fLaC magic + STREAMINFO + frames.
+
+    ``subframe_kw``: one dict for every frame, or a LIST of dicts
+    cycled per frame — real streams mix subframe kinds, and the device
+    decoder must handle a different layout in every lane."""
     S, C = pcm.shape
     nframes = (S + blocksize - 1) // blocksize
     frames = []
     for k in range(nframes):
         blk = pcm[k * blocksize : (k + 1) * blocksize]
+        kw = (subframe_kw[k % len(subframe_kw)]
+              if isinstance(subframe_kw, list) else subframe_kw)
         frames.append(encode_frame(
             blk, k, rate, bps, stereo=stereo if blk.shape[1] == 2 else
-            "independent", subframe_kw=subframe_kw))
+            "independent", subframe_kw=kw))
     payload = b"".join(frames)
     si = BitWriter()
     si.u(blocksize, 16)

@@ -112,6 +112,26 @@ def test_crc_corruption_detected(rng):
         FR.decode_file(bytes(blob))
 
 
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_mixed_feature_streams(seed):
+    # every frame gets a different subframe layout (cycled), stereo mode
+    # and amplitude profile vary per seed — the shape of real streams,
+    # and of the lane mix the round-3 device decoder will face
+    r = np.random.default_rng(seed)
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    r.shuffle(kinds)
+    stereo = STEREO_MODES[seed % 4]
+    frames = int(r.integers(900, 2600))
+    hi = int(r.integers(300, 30000))
+    x = r.integers(-hi, hi, size=(frames, 2)).astype(np.int32)
+    # quiet stretch + constant stretch, like silence/held notes
+    x[100:200] = 0
+    x[300:380] = 777
+    blob = FW.encode_file(x, 44100, 16, blocksize=256, stereo=stereo,
+                          subframe_kw=kinds)
+    _check(blob, x, 16)
+
+
 def test_streaminfo_fields(rng):
     x = _material(rng, frames=700)
     info = FR.parse_streaminfo(FW.encode_file(x, 96000, 16, blocksize=512))
