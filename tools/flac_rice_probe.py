@@ -18,8 +18,11 @@ Run on the real chip:  python tools/flac_rice_probe.py
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -27,9 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-LANES = 8192
-CODES_PER_LANE = 1024
-CODES_PER_STEP = 8
+LANES = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+CODES_PER_LANE = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+CODES_PER_STEP = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 PARAM = 8        # rice parameter (bits of remainder)
 Q_MAX = 15       # probe data keeps unary runs below this
 ROW_WORDS = 8    # 256-bit window rows
@@ -74,53 +77,43 @@ def synth_stream(rng, lanes: int, n_codes: int, n_unique: int = 32):
 
 
 def make_decoder(n_codes: int):
+    """Rice scan on the MP3 scan's window machinery (huffman_device's
+    ``_overlap_rows``/``_aligned_windows``/``_win_at``): one batch of
+    row gathers per step, then a LOG-depth binary select tree per
+    window read — vs. the naive per-code linear masked-sum picks that
+    measured ~0.8 ms/code of VPU time."""
+    from audio_decoder_tpu.codecs.mpeg.huffman_device import (
+        _aligned_windows, _overlap_rows, _win_at)
+
     steps = n_codes // CODES_PER_STEP
+    max_code_bits = Q_MAX + 1 + PARAM
+    k_max = CODES_PER_STEP * max_code_bits
 
     @jax.jit
     def decode(words: jax.Array):  # u32 [L, W]
         L = words.shape[0]
+        # pad so every row index a live cursor can produce is in range
+        pad = (-words.shape[1]) % 4 + 16
+        rows8 = _overlap_rows(jnp.pad(words, ((0, 0), (0, pad))))
+        lane = jnp.arange(L)
 
         def step(carry, _):
             pos = carry  # i32 [L] absolute bit cursor
-            row_w = pos >> 5
-            # ONE 8-word row gather per lane per step
-            idx = row_w[:, None] + jnp.arange(ROW_WORDS)[None, :]
-            row = jnp.take_along_axis(words, idx, axis=1)  # [L, 8]
-            o = (pos & 31).astype(jnp.uint32)
+            a = _aligned_windows(rows8, lane, pos, k_max)
+            off = jnp.zeros((L,), jnp.int32)
             outs = []
             for _k in range(CODES_PER_STEP):
-                # 64-bit window at bit o of the row via a select tree
-                w = (o >> 5).astype(jnp.int32)  # word index in row, 0..6
-                sel = jnp.arange(ROW_WORDS)[None, :] == w[:, None]
-                w0 = jnp.sum(jnp.where(sel, row, 0), axis=1)
-                sel1 = jnp.arange(ROW_WORDS)[None, :] == (w[:, None] + 1)
-                w1 = jnp.sum(jnp.where(sel1, row, 0), axis=1)
-                sel2 = jnp.arange(ROW_WORDS)[None, :] == (w[:, None] + 2)
-                w2 = jnp.sum(jnp.where(sel2, row, 0), axis=1)
-                sh = o & 31
-                hi = jnp.where(sh == 0, w0, (w0 << sh) | (w1 >> (32 - sh)))
-                lo = jnp.where(sh == 0, w1, (w1 << sh) | (w2 >> (32 - sh)))
-                q = lax.clz(hi.astype(jnp.int32)).astype(jnp.uint32)
-                # remainder: PARAM bits after the terminator
-                off = q + 1
-                rem64_hi = jnp.where(
-                    off + PARAM <= 32,
-                    (hi >> (32 - off - PARAM)) & ((1 << PARAM) - 1),
-                    0,
+                win = _win_at(a, off)  # 32 bits at the cursor
+                q = lax.clz(win.astype(jnp.int32))
+                # q+1+PARAM <= 32 here (probe keeps unary runs short),
+                # so remainder bits come from the same window
+                rem = (win >> (31 - q - PARAM).astype(jnp.uint32)) & (
+                    (1 << PARAM) - 1
                 )
-                # straddling terminator+remainder into the low word
-                take_lo = off + PARAM - 32
-                rem64_lo = jnp.where(
-                    off + PARAM > 32,
-                    ((hi << take_lo) | (lo >> (32 - take_lo)))
-                    & ((1 << PARAM) - 1),
-                    0,
-                )
-                zz = ((q << PARAM) | (rem64_hi | rem64_lo)).astype(jnp.int32)
+                zz = ((q << PARAM) | rem.astype(jnp.int32)).astype(jnp.int32)
                 outs.append((zz >> 1) ^ -(zz & 1))
-                o = o + q + 1 + PARAM
-            pos = (pos & ~jnp.int32(31)) + o.astype(jnp.int32)
-            return pos, jnp.stack(outs, axis=1)  # [L, K]
+                off = off + q + 1 + PARAM
+            return pos + off, jnp.stack(outs, axis=1)  # [L, K]
 
         pos0 = jnp.zeros((L,), jnp.int32)
         _, ys = lax.scan(step, pos0, None, length=steps)
@@ -147,10 +140,17 @@ def main() -> None:
         print("  first mismatches:", bad[:4],
               out[tuple(bad[0])], truth[tuple(bad[0])])
         sys.exit(1)
+    # Time with a SCALAR checksum fetch: fetching the full [L, N] i32
+    # output (32 MB at default sizes) is pure tunnel wire time and
+    # swamped the early probe runs 100:1 — the device program itself is
+    # ~11 ms (tools/tpu_trace.py hlo_stats; two row gathers/step at
+    # ~42 us each are the entire cost, the rice ALU is noise).
+    csum = jax.jit(lambda w: decode(w).sum())
+    np.asarray(csum(dwords))  # warm
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(decode(dwords))  # fetch forces execution (tunnel rule)
+        np.asarray(csum(dwords))  # scalar fetch forces execution
         best = min(best, time.perf_counter() - t0)
     ncodes = LANES * CODES_PER_LANE
     rate = ncodes / best
