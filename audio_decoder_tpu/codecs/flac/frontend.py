@@ -1,0 +1,478 @@
+"""FLAC host front-end: metadata + frame/subframe/partition walk.
+
+Clear-room implementation from the public FLAC specification (RFC 9639 /
+xiph.org format docs).  The reference project has no FLAC support — this
+is a beyond-reference family, designed TPU-first like the MPEG one
+(codecs/mpeg/frontend.py + native/mp3fe.cc): the host walks the
+*structure* of the bitstream (frame boundaries, subframe types, rice
+partition offsets — lengths only, no value decode) and emits flat lane
+descriptors; the device then decodes every rice residual, runs the
+predictors, stereo decorrelation and PCM assembly in one fused jitted
+program (codecs/flac/device.py).
+
+The walk must entropy-skip rice codes to find subframe boundaries (a
+FLAC frame's length is not recorded anywhere — it ends where its last
+residual ends).  The skip uses positions-of-set-bits + searchsorted, so
+each code costs O(log n) in C, not a Python per-bit loop.
+
+Descriptor contract (all numpy, absolute BIT offsets into the file):
+
+* sublanes — one per (frame, channel) subframe: kind/order/shift/
+  coeffs[32]/wasted/effective-bps.  FIXED predictors are expressed as
+  LPC with the spec's integer coefficients and shift 0; VERBATIM is LPC
+  order 0; CONSTANT is flagged (kind=1) and broadcast post-predictor.
+* rice lanes — one per rice-coded partition: (sublane, bitpos, count,
+  param, dest).  The device scan decodes values lane-parallel.
+* fixed-width lanes — warmups, VERBATIM bodies, CONSTANT values and
+  escaped (raw) partitions: (sublane, bitpos, count, width, dest);
+  width may be 0 (escaped partitions with 5-bit width 0 ⇒ all zeros).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...core import errors as E
+
+FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256, 9: 512,
+              10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
+_SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_RATE = {0: 0, 1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+         6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+
+_CRC8_TAB = None
+_CRC16_TAB = None
+
+
+def _crc_tables():
+    """Byte-wise CRC tables for the frame-header CRC-8 (poly 0x07) and
+    whole-frame CRC-16 (poly 0x8005), both init 0 — table-driven so host
+    validation is numpy-speed."""
+    global _CRC8_TAB, _CRC16_TAB
+    if _CRC8_TAB is not None:
+        return
+    t8 = np.zeros(256, np.uint8)
+    t16 = np.zeros(256, np.uint16)
+    for b in range(256):
+        r = b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+        t8[b] = r
+        r = b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
+        t16[b] = r
+    _CRC8_TAB, _CRC16_TAB = t8, t16
+
+
+def crc8(data) -> int:
+    _crc_tables()
+    r = 0
+    for b in memoryview(data):
+        r = _CRC8_TAB[r ^ b]
+    return int(r)
+
+
+def crc16(data) -> int:
+    _crc_tables()
+    r = 0
+    for b in memoryview(data):
+        r = int(_CRC16_TAB[(r >> 8) ^ b]) ^ ((r << 8) & 0xFFFF)
+    return int(r)
+
+
+class _Bits:
+    """MSB-first bit cursor over a byte blob, with vectorized helpers:
+    ``u(n)`` assembles from the byte view; unary runs ride a
+    positions-of-set-bits index (``ones``) via searchsorted."""
+
+    def __init__(self, blob: bytes):
+        self.buf = np.frombuffer(blob, np.uint8)
+        self.bits = np.unpackbits(self.buf)
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.pos = 0
+        self.n = self.bits.shape[0]
+
+    def u(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.n:
+            raise E.UnexpectedEofError("bitstream truncated")
+        v = 0
+        for b in self.bits[self.pos : self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+    def s(self, n: int) -> int:
+        v = self.u(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        i = np.searchsorted(self.ones, self.pos)
+        if i >= self.ones.shape[0]:
+            raise E.UnexpectedEofError("unary run past end of stream")
+        t = int(self.ones[i])
+        q = t - self.pos
+        self.pos = t + 1
+        return q
+
+    def skip_rice(self, count: int, param: int) -> None:
+        """Advance past ``count`` rice codes with parameter ``param`` —
+        the hot inner loop of the structural walk."""
+        ones, pos = self.ones, self.pos
+        i = int(np.searchsorted(ones, pos))
+        n1 = ones.shape[0]
+        if param == 0:
+            # cursors are exactly successive set bits
+            if i + count > n1:
+                raise E.UnexpectedEofError("rice run past end of stream")
+            self.pos = int(ones[i + count - 1]) + 1 if count else pos
+            return
+        for _ in range(count):
+            if i >= n1:
+                raise E.UnexpectedEofError("rice run past end of stream")
+            pos = int(ones[i]) + 1 + param
+            i = int(np.searchsorted(ones, pos))
+        self.pos = pos
+        if pos > self.n:
+            raise E.UnexpectedEofError("rice run past end of stream")
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_utf8(bits: _Bits) -> int:
+    """UTF-8-style variable-length frame/sample number."""
+    b0 = bits.u(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0:
+        raise E.InvalidDataError("bad UTF-8 coded number")
+    val = b0 & (mask - 1)
+    for _ in range(n):
+        c = bits.u(8)
+        if (c & 0xC0) != 0x80:
+            raise E.InvalidDataError("bad UTF-8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+@dataclasses.dataclass
+class FlacAnalysis:
+    """Everything the device program needs, flat."""
+
+    sample_rate: int
+    channels: int
+    bits: int
+    total: int  # total samples per channel (0 = unknown)
+    md5: bytes
+    data: bytes  # raw file bytes (device decodes residuals from these)
+    # frames [F]
+    blocksizes: np.ndarray
+    starts: np.ndarray  # first sample index of each frame
+    ch_mode: np.ndarray  # 0..7 independent, 8 L/S, 9 R/S, 10 M/S
+    # sublanes [S] — one per (frame, channel)
+    sub_frame: np.ndarray
+    sub_ch: np.ndarray
+    sub_kind: np.ndarray  # 0 = predictor path, 1 = CONSTANT
+    sub_order: np.ndarray
+    sub_shift: np.ndarray
+    sub_wasted: np.ndarray
+    sub_coeffs: np.ndarray  # [S, 32] int32, zero-padded
+    # rice lanes [R]
+    rl_sub: np.ndarray
+    rl_bitpos: np.ndarray
+    rl_count: np.ndarray
+    rl_param: np.ndarray
+    rl_dest: np.ndarray
+    # fixed-width lanes [W]
+    fw_sub: np.ndarray
+    fw_bitpos: np.ndarray
+    fw_count: np.ndarray
+    fw_width: np.ndarray
+    fw_dest: np.ndarray
+
+    @property
+    def n_frames(self) -> int:
+        return int(self.blocksizes.shape[0])
+
+
+def parse_streaminfo(blob: bytes) -> dict:
+    """fLaC marker + metadata block walk → STREAMINFO dict (with
+    ``frames_start`` byte offset).  Skips every other metadata block
+    type (padding, seektable, vorbis comment, cuesheet, picture,
+    application) as the spec directs for decoders."""
+    off = 0
+    if blob[:3] == b"ID3":  # non-standard but common leading ID3v2 tag
+        if len(blob) < 10:
+            raise E.InvalidDataError("truncated ID3 header")
+        sz = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14) | (
+            (blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+        off = 10 + sz + (10 if blob[5] & 0x10 else 0)
+    if blob[off : off + 4] != b"fLaC":
+        raise E.InvalidDataError("missing fLaC stream marker")
+    pos = off + 4
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > len(blob):
+            raise E.UnexpectedEofError("truncated metadata block header")
+        last = bool(blob[pos] >> 7)
+        btype = blob[pos] & 0x7F
+        size = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        if pos + 4 + size > len(blob):
+            raise E.UnexpectedEofError("truncated metadata block")
+        if btype == 0:
+            if size < 34:
+                raise E.InvalidDataError("short STREAMINFO")
+            b = blob[pos + 4 : pos + 4 + 34]
+            v = int.from_bytes(b, "big")  # 272 bits
+            info = dict(
+                min_block=(v >> 256) & 0xFFFF,
+                max_block=(v >> 240) & 0xFFFF,
+                min_frame=(v >> 216) & 0xFFFFFF,
+                max_frame=(v >> 192) & 0xFFFFFF,
+                rate=(v >> 172) & 0xFFFFF,
+                channels=((v >> 169) & 0x7) + 1,
+                bits=((v >> 164) & 0x1F) + 1,
+                total=(v >> 128) & 0xFFFFFFFFF,
+                md5=b[18:34],
+            )
+        elif btype == 127:
+            raise E.InvalidDataError("invalid metadata block type 127")
+        pos += 4 + size
+    if info is None:
+        raise E.InvalidDataError("no STREAMINFO block")
+    if info["rate"] == 0:
+        raise E.InvalidDataError("STREAMINFO sample rate 0")
+    info["frames_start"] = pos
+    return info
+
+
+def _walk_residual(bits: _Bits, sub_idx: int, n: int, order: int,
+                   rl: list, fw: list) -> None:
+    """Walk one residual section, appending partition lanes."""
+    method = bits.u(2)
+    if method > 1:
+        raise E.InvalidDataError("reserved residual coding method")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = bits.u(4)
+    npart = 1 << po
+    psize = n >> po
+    # the first partition holds psize - order samples: the blocksize
+    # must divide evenly and that count must not go negative
+    if n % npart or psize < order:
+        raise E.InvalidDataError("invalid partition order")
+    for p in range(npart):
+        cnt = psize - (order if p == 0 else 0)
+        dest = order if p == 0 else p * psize
+        param = bits.u(pbits)
+        if param == escape:
+            width = bits.u(5)
+            fw.append((sub_idx, bits.pos, cnt, width, dest))
+            bits.pos += cnt * width
+            if bits.pos > bits.n:
+                raise E.UnexpectedEofError("escaped partition past end")
+        else:
+            rl.append((sub_idx, bits.pos, cnt, param, dest))
+            bits.skip_rice(cnt, param)
+
+
+def _walk_subframe(bits: _Bits, sub_idx: int, n: int, bps: int,
+                   subs: list, rl: list, fw: list) -> None:
+    """Walk one subframe header + body, appending its descriptors."""
+    if bits.u(1) != 0:
+        raise E.InvalidDataError("subframe padding bit set")
+    ftype = bits.u(6)
+    wasted = 0
+    if bits.u(1):
+        wasted = bits.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise E.InvalidDataError("wasted bits exceed sample size")
+    coeffs = np.zeros(32, np.int32)
+    if ftype == 0:  # CONSTANT
+        fw.append((sub_idx, bits.pos, 1, bps, 0))
+        bits.pos += bps
+        subs.append((1, 0, 0, wasted, bps, coeffs))
+    elif ftype == 1:  # VERBATIM — LPC order 0 (identity predictor)
+        fw.append((sub_idx, bits.pos, n, bps, 0))
+        bits.pos += n * bps
+        if bits.pos > bits.n:
+            raise E.UnexpectedEofError("verbatim body past end")
+        subs.append((0, 0, 0, wasted, bps, coeffs))
+    elif 8 <= ftype <= 12:  # FIXED — LPC with spec coefficients, shift 0
+        order = ftype & 7
+        if order > n:
+            raise E.InvalidDataError("predictor order exceeds blocksize")
+        fw.append((sub_idx, bits.pos, order, bps, 0))
+        bits.pos += order * bps
+        coeffs[: order] = FIXED_COEFFS[order]
+        _walk_residual(bits, sub_idx, n, order, rl, fw)
+        subs.append((0, order, 0, wasted, bps, coeffs))
+    elif ftype >= 32:  # LPC
+        order = (ftype & 31) + 1
+        if order > n:
+            raise E.InvalidDataError("predictor order exceeds blocksize")
+        fw.append((sub_idx, bits.pos, order, bps, 0))
+        bits.pos += order * bps
+        if bits.pos > bits.n:
+            raise E.UnexpectedEofError("LPC warmup past end")
+        prec = bits.u(4) + 1
+        if prec == 16:
+            raise E.InvalidDataError("invalid LPC precision escape")
+        shift = bits.s(5)
+        if shift < 0:
+            raise E.InvalidDataError("negative LPC shift")
+        for j in range(order):
+            coeffs[j] = bits.s(prec)
+        _walk_residual(bits, sub_idx, n, order, rl, fw)
+        subs.append((0, order, shift, wasted, bps, coeffs))
+    else:
+        raise E.InvalidDataError(f"reserved subframe type {ftype}")
+
+
+def analyze(blob: bytes) -> FlacAnalysis:
+    """Full structural walk of one FLAC stream → flat lane descriptors.
+
+    Raises DecodeError subclasses on malformed streams (per-file
+    catch-and-skip happens in the group decoder, like every family)."""
+    info = parse_streaminfo(blob)
+    if len(blob) * 8 >= 1 << 31:
+        raise E.UnsupportedFormatError("FLAC file >256 MiB")
+    if info["bits"] > 25:
+        # device predictor arithmetic is exact for samples to 26 bits
+        # (i32 + f32 residue reconstruction) and stereo side channels
+        # carry one extra bit; 32-bit streams are rare and host-fallback
+        raise E.UnsupportedFormatError("sample size > 25 bits")
+    bits = _Bits(blob)
+    bits.pos = info["frames_start"] * 8
+    total = info["total"]
+
+    blocksizes, starts, ch_modes = [], [], []
+    subs: list = []  # (kind, order, shift, wasted, bps_eff, coeffs)
+    sub_frame: list = []
+    sub_ch: list = []
+    rl: list = []
+    fw: list = []
+    got = 0
+    end_bits = len(blob) * 8
+
+    while bits.pos + 16 <= end_bits and (total == 0 or got < total):
+        frame_off = bits.pos >> 3
+        if bits.u(14) != 0x3FFE:
+            raise E.InvalidDataError(f"lost frame sync at byte {frame_off}")
+        if bits.u(1) != 0:
+            raise E.InvalidDataError("reserved frame header bit")
+        variable = bits.u(1)
+        bs_code = bits.u(4)
+        rate_code = bits.u(4)
+        ch_code = bits.u(4)
+        ss_code = bits.u(3)
+        if bits.u(1) != 0:
+            raise E.InvalidDataError("reserved frame header bit 2")
+        number = _read_utf8(bits)
+        if bs_code == 0:
+            raise E.InvalidDataError("reserved blocksize code")
+        elif bs_code == 6:
+            n = bits.u(8) + 1
+        elif bs_code == 7:
+            n = bits.u(16) + 1
+        else:
+            n = _BLOCKSIZE[bs_code]
+        if rate_code == 12:
+            bits.u(8)
+        elif rate_code in (13, 14):
+            bits.u(16)
+        elif rate_code == 15:
+            raise E.InvalidDataError("invalid sample rate code")
+        if ss_code == 0b011:
+            raise E.InvalidDataError("reserved sample size code")
+        bps = info["bits"] if ss_code == 0 else _SAMPLE_SIZE[ss_code]
+        if bps > 25:
+            raise E.UnsupportedFormatError("frame sample size > 25 bits")
+        hdr_end = bits.pos >> 3
+        if crc8(blob[frame_off:hdr_end]) != bits.u(8):
+            raise E.InvalidDataError("frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            sides = [0] * nch
+        elif ch_code <= 10:
+            nch = 2
+            # the side channel carries one extra bit
+            sides = [0, 1] if ch_code in (8, 10) else [1, 0]
+        else:
+            raise E.InvalidDataError(f"reserved channel assignment {ch_code}")
+        if nch != info["channels"]:
+            raise E.InvalidDataError("frame channel count != STREAMINFO")
+
+        # frames are walked strictly in stream order, so the cumulative
+        # count IS the start sample; the coded frame/sample number only
+        # matters for seeking (number validated implicitly by CRC-8)
+        del number, variable
+        blocksizes.append(n)
+        starts.append(got)
+        ch_modes.append(ch_code if ch_code >= 8 else 0)
+        fidx = len(blocksizes) - 1
+
+        for c in range(nch):
+            sub_idx = len(subs)
+            sub_frame.append(fidx)
+            sub_ch.append(c)
+            _walk_subframe(bits, sub_idx, n, bps + sides[c], subs, rl, fw)
+        bits.align()
+        body_end = bits.pos >> 3
+        if body_end + 2 > len(blob):
+            raise E.UnexpectedEofError("truncated frame CRC-16")
+        if crc16(blob[frame_off:body_end]) != int.from_bytes(
+            blob[body_end : body_end + 2], "big"
+        ):
+            raise E.InvalidDataError("frame CRC-16 mismatch")
+        bits.pos += 16
+        got += n
+
+    if total and got < total:
+        raise E.UnexpectedEofError("stream ends before STREAMINFO total")
+
+    S = len(subs)
+    coeffs = np.stack([s[5] for s in subs], axis=0) if S else (
+        np.zeros((0, 32), np.int32))
+    return FlacAnalysis(
+        sample_rate=info["rate"],
+        channels=info["channels"],
+        bits=info["bits"],
+        total=total or got,
+        md5=info["md5"],
+        data=blob,
+        blocksizes=np.asarray(blocksizes, np.int32),
+        starts=np.asarray(starts, np.int64),
+        ch_mode=np.asarray(ch_modes, np.int32),
+        sub_frame=np.asarray(sub_frame, np.int32),
+        sub_ch=np.asarray(sub_ch, np.int32),
+        sub_kind=np.asarray([s[0] for s in subs], np.int32),
+        sub_order=np.asarray([s[1] for s in subs], np.int32),
+        sub_shift=np.asarray([s[2] for s in subs], np.int32),
+        sub_wasted=np.asarray([s[3] for s in subs], np.int32),
+        sub_coeffs=coeffs,
+        rl_sub=np.asarray([r[0] for r in rl], np.int32),
+        rl_bitpos=np.asarray([r[1] for r in rl], np.int64),
+        rl_count=np.asarray([r[2] for r in rl], np.int32),
+        rl_param=np.asarray([r[3] for r in rl], np.int32),
+        rl_dest=np.asarray([r[4] for r in rl], np.int32),
+        fw_sub=np.asarray([w[0] for w in fw], np.int32),
+        fw_bitpos=np.asarray([w[1] for w in fw], np.int64),
+        fw_count=np.asarray([w[2] for w in fw], np.int32),
+        fw_width=np.asarray([w[3] for w in fw], np.int32),
+        fw_dest=np.asarray([w[4] for w in fw], np.int32),
+    )
