@@ -8,4 +8,4 @@ frames MPEG only).
 """
 
 from . import frontend  # noqa: F401
-# decoder/device imported lazily once they land
+# decoder (and with it device/jax) imports lazily via models.MODELS

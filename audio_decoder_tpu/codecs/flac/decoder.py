@@ -1,0 +1,205 @@
+"""FLAC group decoder: host walk → packed lanes → one fused device program.
+
+Mirrors the MPEG family's shape (codecs/mpeg/decoder.py): the host
+front-end (``frontend.analyze``) walks each file's *structure* and this
+module packs the resulting flat descriptors for every file of a group
+into bucketed batch tensors, then runs ONE jitted device program
+(``device.flac_decode_batch``) that rice-decodes, reconstructs the
+predictors, undoes stereo decorrelation and assembles per-file PCM.
+
+Grouping key is the channel count (the only true static of the device
+program); every other static dimension (block size, stream length, lane
+counts, scan depth) is bucketed to the next power of two so recompiles
+are logarithmic in workload size, like every other family.
+
+A beyond-reference family — the reference project (blast) decodes
+WAV/AIFF and frames MPEG only; there is no FLAC counterpart to cite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...core import errors as E
+from ...core.batch import AudioBatch
+from ...utils.trace import TRACE
+from . import frontend
+from .device import K_CODES, flac_decode_batch
+
+
+def _bucket(n: int, minimum: int = 1) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def _pad1(arrs: list[np.ndarray], cap: int, dtype) -> jnp.ndarray:
+    """Concatenate per-file 1-D descriptor arrays and zero-pad to cap."""
+    out = np.zeros((cap,), dtype)
+    if arrs:
+        cat = np.concatenate(arrs)
+        out[: cat.shape[0]] = cat
+    return jnp.asarray(out)
+
+
+def _error_batch(names, codes) -> AudioBatch:
+    n = len(names)
+    return AudioBatch(
+        pcm=jnp.zeros((n, 1, 1), jnp.float32),
+        sample_rate=jnp.zeros((n,), jnp.int32),
+        num_channels=jnp.zeros((n,), jnp.int32),
+        bits_per_sample=jnp.zeros((n,), jnp.int32),
+        valid_frames=jnp.zeros((n,), jnp.int32),
+        err=jnp.asarray(codes, jnp.int32),
+        names=tuple(names),
+        formats=("flac",) * n,
+    )
+
+
+def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str]
+                  ) -> AudioBatch:
+    """Pack one same-channel-count group and run the fused program."""
+    B = len(analyses)
+    ch = analyses[0].channels
+
+    # --- byte tensor (bucketed length; +4 so _be_words' 4-byte fold
+    #     never truncates a partial trailing word)
+    nbytes = _bucket(max(len(a.data) for a in analyses) + 4, 1024)
+    bufs = np.zeros((B, nbytes), np.uint8)
+    file_bits = np.zeros((B,), np.int32)
+    for i, a in enumerate(analyses):
+        raw = np.frombuffer(a.data, np.uint8)
+        bufs[i, : raw.shape[0]] = raw
+        file_bits[i] = raw.shape[0] * 8
+
+    # --- static sizing (all bucketed)
+    nmax = _bucket(max(int(a.blocksizes.max()) if a.n_frames else 1
+                       for a in analyses), 64)
+    smax = _bucket(max(a.total for a in analyses) or 1, 256)
+    max_rc = max((int(a.rl_count.max()) for a in analyses
+                  if a.rl_count.size), default=0)
+    rice_steps = _bucket(-(-max_rc // K_CODES) or 1)
+    max_fw = max((int(a.fw_count.max()) for a in analyses
+                  if a.fw_count.size), default=0)
+    fw_imax = _bucket(max_fw or 1, 8)
+    F = _bucket(sum(a.n_frames for a in analyses) or 1)
+    Lr = _bucket(sum(a.rl_sub.size for a in analyses) or 1)
+    Lw = _bucket(sum(a.fw_sub.size for a in analyses) or 1)
+    Ld = _bucket(sum(a.dv_sub.size for a in analyses) or 1)
+
+    # --- per-file offsets: frames and sublanes concatenate in stream
+    #     order, so global sublane index = (frame_base + f)*ch + c and
+    #     the device's frame-major/channel-minor contract is preserved
+    fr_file, fr_start, fr_n, fr_mode, fr_scale = [], [], [], [], []
+    sub_kind, sub_order, sub_shift, sub_wasted, sub_coeffs = [], [], [], [], []
+    rl = {k: [] for k in ("file", "sub", "bitpos", "count", "param", "dest")}
+    fw = {k: [] for k in ("file", "sub", "bitpos", "count", "width", "dest")}
+    dv = {k: [] for k in ("sub", "dest", "val")}
+    frame_base = 0
+    for i, a in enumerate(analyses):
+        fr_file.append(np.full((a.n_frames,), i, np.int32))
+        fr_start.append(a.starts.astype(np.int32))
+        fr_n.append(a.blocksizes)
+        fr_mode.append(a.ch_mode)
+        fr_scale.append(np.full((a.n_frames,), 2.0 ** (1 - a.bits),
+                                np.float32))
+        sub_kind.append(a.sub_kind)
+        sub_order.append(a.sub_order)
+        sub_shift.append(a.sub_shift)
+        sub_wasted.append(a.sub_wasted)
+        sub_coeffs.append(a.sub_coeffs)
+        sub_off = frame_base * ch
+        rl["file"].append(np.full(a.rl_sub.shape, i, np.int32))
+        rl["sub"].append(a.rl_sub + sub_off)
+        rl["bitpos"].append(a.rl_bitpos.astype(np.int32))
+        rl["count"].append(a.rl_count)
+        rl["param"].append(a.rl_param)
+        rl["dest"].append(a.rl_dest)
+        fw["file"].append(np.full(a.fw_sub.shape, i, np.int32))
+        fw["sub"].append(a.fw_sub + sub_off)
+        fw["bitpos"].append(a.fw_bitpos.astype(np.int32))
+        fw["count"].append(a.fw_count)
+        fw["width"].append(a.fw_width)
+        fw["dest"].append(a.fw_dest)
+        dv["sub"].append(a.dv_sub + sub_off)
+        dv["dest"].append(a.dv_dest)
+        dv["val"].append(a.dv_val)
+        frame_base += a.n_frames
+
+    # dv padding must land in the sentinel column (dest 0 would clobber
+    # sublane 0's first sample)
+    dv_dest = np.full((Ld,), nmax, np.int32)
+    if dv["dest"]:
+        cat = np.concatenate(dv["dest"])
+        dv_dest[: cat.shape[0]] = cat
+
+    coeffs = np.zeros((F * ch, 32), np.int32)
+    if sub_coeffs:
+        cat = np.concatenate(sub_coeffs, axis=0)
+        coeffs[: cat.shape[0]] = cat
+
+    pcm, ovf = flac_decode_batch(
+        jnp.asarray(bufs), jnp.asarray(file_bits),
+        _pad1(rl["file"], Lr, np.int32), _pad1(rl["sub"], Lr, np.int32),
+        _pad1(rl["bitpos"], Lr, np.int32), _pad1(rl["count"], Lr, np.int32),
+        _pad1(rl["param"], Lr, np.int32), _pad1(rl["dest"], Lr, np.int32),
+        _pad1(fw["file"], Lw, np.int32), _pad1(fw["sub"], Lw, np.int32),
+        _pad1(fw["bitpos"], Lw, np.int32), _pad1(fw["count"], Lw, np.int32),
+        _pad1(fw["width"], Lw, np.int32), _pad1(fw["dest"], Lw, np.int32),
+        _pad1(dv["sub"], Ld, np.int32), jnp.asarray(dv_dest),
+        _pad1(dv["val"], Ld, np.int32),
+        _pad1(sub_kind, F * ch, np.int32), _pad1(sub_order, F * ch, np.int32),
+        _pad1(sub_shift, F * ch, np.int32),
+        _pad1(sub_wasted, F * ch, np.int32),
+        jnp.asarray(coeffs),
+        _pad1(fr_file, F, np.int32), _pad1(fr_start, F, np.int32),
+        _pad1(fr_n, F, np.int32), _pad1(fr_mode, F, np.int32),
+        _pad1(fr_scale, F, np.float32),
+        channels=ch, nmax=nmax, smax=smax, rice_steps=rice_steps,
+        fw_imax=fw_imax,
+    )
+    return AudioBatch(
+        pcm=pcm,
+        sample_rate=jnp.asarray([a.sample_rate for a in analyses], jnp.int32),
+        num_channels=jnp.full((B,), ch, jnp.int32),
+        bits_per_sample=jnp.asarray([a.bits for a in analyses], jnp.int32),
+        valid_frames=jnp.asarray([a.total for a in analyses], jnp.int32),
+        err=jnp.where(ovf, E.ERR_INVALID, 0).astype(jnp.int32),
+        names=tuple(names),
+        formats=("flac",) * B,
+    )
+
+
+def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
+    """Family decoder: ``[(family_local_indices, AudioBatch), ...]``.
+
+    Per-file walk failures become error-batch pieces (catch-and-skip,
+    like every family); walked files group by channel count."""
+    analyses: dict[int, frontend.FlacAnalysis] = {}
+    failed: list[tuple[int, int]] = []
+    with TRACE.stage("flac/walk"):
+        for i, a in enumerate(assets):
+            try:
+                analyses[i] = frontend.analyze(a.data)
+            except E.DecodeError as e:
+                failed.append((i, e.code))
+
+    pieces: list[tuple[list[int], AudioBatch]] = []
+    if failed:
+        pieces.append((
+            [i for i, _ in failed],
+            _error_batch([assets[i].name for i, _ in failed],
+                         [c for _, c in failed]),
+        ))
+
+    groups: dict[int, list[int]] = {}
+    for i, an in analyses.items():
+        groups.setdefault(an.channels, []).append(i)
+    for chn, idxs in sorted(groups.items()):
+        with TRACE.stage("flac/device"):
+            batch = _decode_batch([analyses[i] for i in idxs],
+                                  [assets[i].name for i in idxs])
+        pieces.append((idxs, batch))
+    return pieces

@@ -1,0 +1,273 @@
+"""FLAC fused device decode — rice scan, predictors, stereo, assembly.
+
+One jitted program per static shape config decodes a whole batch of
+FLAC files from raw bytes to ``[B, S, C]`` float32 PCM:
+
+1. **Rice lane scan** — the FLAC analogue of the MPEG Huffman scan
+   (codecs/mpeg/huffman_device.py), sharing its 8-word row-gather bit
+   windows.  Each lane is one rice-coded partition; a ``lax.scan`` step
+   decodes ``K`` codes per lane: unary quotient = count-leading-zeros
+   on a 64-bit window (NO table gathers), remainder = one more windowed
+   read.  Device cost is the row gathers; the ALU fuses to noise
+   (measured: tools/flac_rice_probe.py, ~740 Mcodes/s device-side).
+2. **Fixed-width lanes** — warmup samples, VERBATIM bodies, CONSTANT
+   values and escaped partitions are position-parallel (no serial
+   cursor): value i sits at ``bitpos + i*width`` exactly.
+3. **Predictor reconstruction** — every subframe is an integer LPC
+   (FIXED = spec coefficients with shift 0, VERBATIM = order 0): one
+   ``lax.scan`` over samples with a [Ls, 32] coefficient dot per step.
+   The 46-bit exact MAC runs on i32+f32 hardware via modular residue
+   reconstruction (see ``_exact_mac``).
+4. **Stereo decorrelation + assembly** — elementwise channel solves
+   per frame mode, then one flat scatter into per-file PCM rows.
+
+The quotient cap: unary runs are unbounded in the spec; lanes that see
+q > Q_CAP (impossible for any rate-efficient encoder output — the 64-bit
+window handles q to 40 directly) raise a per-file overflow flag instead
+of mis-decoding, and the group decoder reports the file unsupported.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..mpeg.huffman_device import (
+    _aligned_windows,
+    _overlap_rows,
+    _shift64,
+    _win_at,
+)
+from .frontend import Q_CAP  # max in-lane unary quotient (see module doc)
+
+K_CODES = 8     # rice codes decoded per lane per scan step
+K_MAX = K_CODES * (Q_CAP + 1 + 31) + 64  # window span per scan step
+PAD_WORDS = K_MAX // 32 + 24  # per-file word padding so rows stay in range
+
+
+def _be_words(bytes_u8: jax.Array) -> jax.Array:
+    """uint8 [B, N] → big-endian u32 words [B, W], padded for the row
+    machinery (W % 4 == 0 plus PAD_WORDS of lookahead slack)."""
+    B, N = bytes_u8.shape
+    if N % 4:
+        bytes_u8 = jnp.pad(bytes_u8, ((0, 0), (0, (-N) % 4)))
+    b = bytes_u8.reshape(B, -1, 4).astype(jnp.uint32)
+    w = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+    pad = (-w.shape[1]) % 4 + PAD_WORDS
+    return jnp.pad(w, ((0, 0), (0, pad)))
+
+
+def _sign_extend(u: jax.Array, width: jax.Array) -> jax.Array:
+    """Two's-complement sign extension of ``width``-bit values (vector
+    width, 0 yields 0)."""
+    u = u.astype(jnp.int32)
+    sign = (u >> jnp.maximum(width - 1, 0)) & 1
+    return jnp.where(width > 0, u - (sign << width), 0)
+
+
+def _rice_scan(rows8, file_idx, bitpos, count, param, limit, steps: int):
+    """Lane-parallel rice decode: [L] lanes, ``steps * K_CODES`` codes
+    each (codes past ``count`` are decoded-and-discarded with the
+    cursor frozen).  Returns (values i32 [L, steps*K], ovf bool [L])."""
+    L = bitpos.shape[0]
+    param = param.astype(jnp.uint32)
+    pshift = jnp.maximum(32 - param, 1).astype(jnp.uint32)
+
+    def step(carry, ordbase):
+        pos, ovf = carry
+        a = _aligned_windows(rows8, file_idx, pos, K_MAX)
+        off = jnp.zeros((L,), jnp.int32)
+        outs = []
+        for k in range(K_CODES):
+            live = ordbase + k < count
+            w1 = _win_at(a, off)
+            w2 = _win_at(a, off + 32)
+            q1 = lax.clz(w1.astype(jnp.int32))
+            q = jnp.where(w1 == 0, 32 + lax.clz(w2.astype(jnp.int32)), q1)
+            ovf = ovf | (live & (q > Q_CAP))
+            q = jnp.minimum(q, Q_CAP)
+            rem = _win_at(a, off + q + 1) >> pshift
+            rem = jnp.where(param > 0, rem, 0)
+            v = ((q.astype(jnp.uint32) << param) | rem).astype(jnp.int32)
+            outs.append((v >> 1) ^ -(v & 1))  # unzigzag
+            adv = q + 1 + param.astype(jnp.int32)
+            off = off + jnp.where(live, adv, 0)
+        pos = jnp.minimum(pos + off, limit)
+        return (pos, ovf), jnp.stack(outs, axis=1)
+
+    pos0 = jnp.minimum(bitpos, limit)
+    ovf0 = jnp.zeros((L,), bool)
+    ords = jnp.arange(steps, dtype=jnp.int32) * K_CODES
+    (_, ovf), ys = lax.scan(step, (pos0, ovf0), ords)
+    return jnp.transpose(ys, (1, 0, 2)).reshape(L, steps * K_CODES), ovf
+
+
+def _fixed_width(rows8, file_idx, bitpos, width, limit, imax: int):
+    """Position-parallel fixed-width signed reads: value i of lane l is
+    the ``width[l]``-bit field at ``bitpos[l] + i*width[l]``.  Returns
+    i32 [L, imax] (width 0 → zeros)."""
+    L = bitpos.shape[0]
+    pos = bitpos[:, None] + jnp.arange(imax, dtype=jnp.int32)[None, :] * width[:, None]
+    pos = jnp.minimum(pos, limit[:, None]).reshape(-1)
+    fidx = jnp.broadcast_to(file_idx[:, None], (L, imax)).reshape(-1)
+    # one row gather per element; _win_at with k=0 selects the pair
+    a = _aligned_windows(rows8, fidx, pos, 32)
+    win = _win_at(a, jnp.zeros_like(pos))
+    w = jnp.broadcast_to(width[:, None], (L, imax)).reshape(-1)
+    u = win >> jnp.maximum(32 - w, 1).astype(jnp.uint32)
+    return _sign_extend(jnp.where(w > 0, u, 0), w).reshape(L, imax)
+
+
+def _exact_mac(hist: jax.Array, coef_i: jax.Array, coef_f: jax.Array,
+               shift: jax.Array) -> jax.Array:
+    """Exact ``(sum_j coef[j] * hist[j]) >> shift`` for 46-bit sums on
+    i32+f32 hardware.
+
+    The i32 dot is exact mod 2^32; the f32 dot locates the true sum to
+    within << 2^31 (|coef| < 2^14 exact in f32, |hist| < 2^26 rounds
+    with error ≤ 2^2 ⇒ per-product error ≤ 2^16, accumulation error
+    ≤ 32·2^21 ⇒ total < 2^27).  Their difference is, up to that error,
+    an exact multiple of 2^32 — rounding recovers the high word, and
+    the arithmetic shift recombines exactly because the true result
+    fits i32."""
+    lo = jnp.sum(hist * coef_i, axis=1)  # i32, wraps: exact mod 2^32
+    accf = jnp.sum(hist.astype(jnp.float32) * coef_f, axis=1)
+    k = jnp.floor((accf - lo.astype(jnp.float32)) * jnp.float32(2.0 ** -32)
+                  + jnp.float32(0.5)).astype(jnp.int32)
+    hi = k - (lo < 0)  # (lo<0) ⇔ lo_u ≥ 2^31 folded into the rounding
+    lo_u = lo.astype(jnp.uint32)
+    sh = shift.astype(jnp.uint32)
+    part = (lo_u >> sh).astype(jnp.int32)
+    full = (hi << jnp.minimum(32 - shift, 31).astype(jnp.uint32)) + part
+    return jnp.where(shift == 0, lo, full)
+
+
+def _predict(vals, kind, order, shift, wasted, coeffs, nmax: int):
+    """Reconstruct samples from residuals+warmup for every sublane.
+
+    ``vals`` i32 [Ls, nmax]: positions < order hold warmup samples,
+    the rest residuals.  LPC recurrence s[i] = r[i] +
+    (Σ c[j]·s[i-1-j] >> shift) via lax.scan over samples; FIXED and
+    VERBATIM ride the same path (integer coefficients / order 0)."""
+    Ls = vals.shape[0]
+    coef_i = coeffs.astype(jnp.int32)
+    coef_f = coeffs.astype(jnp.float32)
+
+    def step(hist, xs):
+        r, i = xs
+        pred = _exact_mac(hist, coef_i, coef_f, shift)
+        s = jnp.where(i < order, r, r + pred)
+        hist = jnp.concatenate([s[:, None], hist[:, :-1]], axis=1)
+        return hist, s
+
+    hist0 = jnp.zeros((Ls, 32), jnp.int32)
+    xs = (vals.T[:nmax], jnp.arange(nmax, dtype=jnp.int32))
+    _, ys = lax.scan(step, hist0, xs)
+    s = ys.T  # [Ls, nmax]
+    s = jnp.where(kind[:, None] == 1, vals[:, :1], s)  # CONSTANT broadcast
+    return s << wasted[:, None].astype(jnp.uint32)
+
+
+def _stereo(sub_pcm, fr_mode, channels: int):
+    """Undo inter-channel decorrelation: [F, C, N] coded channels →
+    [F, C, N] L/R samples, selected per frame mode (0 independent,
+    8 left/side, 9 side/right, 10 mid/side)."""
+    if channels != 2:
+        return sub_pcm
+    a, b = sub_pcm[:, 0], sub_pcm[:, 1]
+    m = fr_mode[:, None]
+    m2 = (a << 1) | (b & 1)
+    left = jnp.where(m == 8, a,
+           jnp.where(m == 9, a + b,
+           jnp.where(m == 10, (m2 + b) >> 1, a)))
+    right = jnp.where(m == 8, a - b,
+            jnp.where(m == 9, b,
+            jnp.where(m == 10, (m2 - b) >> 1, b)))
+    return jnp.stack([left, right], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax"),
+)
+def flac_decode_batch(
+    bytes_u8,       # u8 [B, N] raw file bytes
+    file_bits,      # i32 [B] valid bit length per file
+    rl_file, rl_sub, rl_bitpos, rl_count, rl_param, rl_dest,  # [Lr]
+    fw_file, fw_sub, fw_bitpos, fw_count, fw_width, fw_dest,  # [Lw]
+    dv_sub, dv_dest, dv_val,                                  # [Ld]
+    sub_kind, sub_order, sub_shift, sub_wasted,               # [Ls]
+    sub_coeffs,                                               # [Ls, 32]
+    fr_file, fr_start, fr_n, fr_mode,                         # [F]
+    fr_scale,                                                 # f32 [F]
+    *,
+    channels: int,
+    nmax: int,
+    smax: int,
+    rice_steps: int,
+    fw_imax: int,
+):
+    """Whole-batch FLAC decode → (pcm f32 [B, smax, channels],
+    ovf bool [B]).  Sublanes are frame-major/channel-minor, so
+    Ls == F * channels and the predictor output reshapes straight into
+    frames."""
+    words = _be_words(bytes_u8)
+    rows8 = _overlap_rows(words)
+    limit = jnp.minimum(file_bits, words.shape[1] * 32 - K_MAX - 256)
+
+    Ls = sub_kind.shape[0]
+    F = fr_file.shape[0]
+    vals_flat = jnp.zeros((Ls * (nmax + 1),), jnp.int32)
+
+    # --- fixed-width lanes (warmups, verbatim, constant, escapes)
+    fwv = _fixed_width(rows8, fw_file, fw_bitpos, fw_width,
+                       limit[fw_file], fw_imax)
+    fi = jnp.arange(fw_imax, dtype=jnp.int32)[None, :]
+    fvalid = fi < fw_count[:, None]
+    fdst = jnp.where(
+        fvalid, fw_sub[:, None] * (nmax + 1) + fw_dest[:, None] + fi,
+        fw_sub[:, None] * (nmax + 1) + nmax)
+    vals_flat = vals_flat.at[fdst.reshape(-1)].set(
+        jnp.where(fvalid, fwv, 0).reshape(-1), mode="drop")
+
+    # --- rice lanes
+    rv, ovf_l = _rice_scan(rows8, rl_file, rl_bitpos, rl_count, rl_param,
+                           limit[rl_file], rice_steps)
+    ri = jnp.arange(rice_steps * K_CODES, dtype=jnp.int32)[None, :]
+    rvalid = ri < rl_count[:, None]
+    rdst = jnp.where(rvalid, rl_sub[:, None] * (nmax + 1) + rl_dest[:, None]
+                     + ri, rl_sub[:, None] * (nmax + 1) + nmax)
+    vals_flat = vals_flat.at[rdst.reshape(-1)].set(
+        jnp.where(rvalid, rv, 0).reshape(-1), mode="drop")
+
+    # --- host-decoded outlier values (rice quotients past Q_CAP)
+    vals_flat = vals_flat.at[dv_sub * (nmax + 1) + dv_dest].set(
+        dv_val, mode="drop")
+
+    vals = vals_flat.reshape(Ls, nmax + 1)[:, :nmax]
+
+    # --- predictors → samples, stereo, scale
+    s = _predict(vals, sub_kind, sub_order, sub_shift, sub_wasted,
+                 sub_coeffs, nmax)
+    sub_pcm = _stereo(s.reshape(F, channels, nmax), fr_mode, channels)
+    pcm_f = sub_pcm.astype(jnp.float32) * fr_scale[:, None, None]
+
+    # --- assemble frames into per-file streams
+    out = jnp.zeros((B_out := bytes_u8.shape[0]) * smax * channels,
+                    jnp.float32)
+    si = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+    svalid = si < fr_n[:, None]
+    base = fr_file * (smax * channels)
+    didx = (base[:, None] + (fr_start[:, None] + si) * channels)
+    didx = jnp.where(svalid, didx, B_out * smax * channels)  # drop
+    for c in range(channels):
+        out = out.at[(didx + c).reshape(-1)].set(
+            pcm_f[:, c].reshape(-1), mode="drop")
+    pcm = out.reshape(B_out, smax, channels)
+
+    ovf = jnp.zeros((B_out,), bool).at[rl_file].max(ovf_l, mode="drop")
+    return pcm, ovf

@@ -38,6 +38,13 @@ from ...core import errors as E
 
 FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 
+# Max unary quotient the device rice scan decodes in-lane (the 64-bit
+# clz window reaches 64; the cap leaves detection headroom).  Codes with
+# a larger quotient are rare outliers — the walk, which entropy-skips
+# every code anyway, splits the partition there and ships the value
+# directly (``dv_*`` lanes), so ANY legal stream decodes exactly.
+Q_CAP = 40
+
 _BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256, 9: 512,
               10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
 _SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
@@ -121,26 +128,53 @@ class _Bits:
         self.pos = t + 1
         return q
 
-    def skip_rice(self, count: int, param: int) -> None:
+    def skip_rice(self, count: int, param: int) -> list:
         """Advance past ``count`` rice codes with parameter ``param`` —
-        the hot inner loop of the structural walk."""
+        the hot inner loop of the structural walk.
+
+        Returns the quotient *outliers*: ``(code_idx, end_bitpos,
+        value)`` for every code whose unary quotient exceeds ``Q_CAP``
+        (``value`` is the final unzigzagged residual; ``end_bitpos`` the
+        first bit after the code) so the residual walk can split the
+        device lane around them."""
         ones, pos = self.ones, self.pos
         i = int(np.searchsorted(ones, pos))
         n1 = ones.shape[0]
+        out: list = []
         if param == 0:
             # cursors are exactly successive set bits
             if i + count > n1:
                 raise E.UnexpectedEofError("rice run past end of stream")
-            self.pos = int(ones[i + count - 1]) + 1 if count else pos
-            return
-        for _ in range(count):
+            seg = ones[i : i + count]
+            starts = np.empty(count, np.int64)
+            if count:
+                starts[0] = pos
+                starts[1:] = seg[:-1] + 1
+            q = seg - starts
+            for j in np.flatnonzero(q > Q_CAP):
+                v = int(q[j])
+                out.append((int(j), int(seg[j]) + 1, (v >> 1) ^ -(v & 1)))
+            self.pos = int(seg[-1]) + 1 if count else pos
+            return out
+        for j in range(count):
             if i >= n1:
                 raise E.UnexpectedEofError("rice run past end of stream")
-            pos = int(ones[i]) + 1 + param
+            t = int(ones[i])
+            q = t - pos
+            pos = t + 1 + param
+            if q > Q_CAP:
+                if pos > self.n:
+                    raise E.UnexpectedEofError("rice code past end of stream")
+                rem = 0
+                for b in self.bits[t + 1 : pos]:
+                    rem = (rem << 1) | int(b)
+                v = (q << param) | rem
+                out.append((j, pos, (v >> 1) ^ -(v & 1)))
             i = int(np.searchsorted(ones, pos))
         self.pos = pos
         if pos > self.n:
             raise E.UnexpectedEofError("rice run past end of stream")
+        return out
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -201,6 +235,10 @@ class FlacAnalysis:
     fw_count: np.ndarray
     fw_width: np.ndarray
     fw_dest: np.ndarray
+    # direct values [D] — host-decoded rice-quotient outliers (q > Q_CAP)
+    dv_sub: np.ndarray
+    dv_dest: np.ndarray
+    dv_val: np.ndarray
 
     @property
     def n_frames(self) -> int:
@@ -260,8 +298,13 @@ def parse_streaminfo(blob: bytes) -> dict:
 
 
 def _walk_residual(bits: _Bits, sub_idx: int, n: int, order: int,
-                   rl: list, fw: list) -> None:
-    """Walk one residual section, appending partition lanes."""
+                   rl: list, fw: list, dv: list) -> None:
+    """Walk one residual section, appending partition lanes.
+
+    Partitions whose rice codes include quotient outliers (q > Q_CAP,
+    beyond the device's in-lane clz window) are split around them: the
+    outlier value ships host-decoded (``dv``), the runs between become
+    ordinary rice lanes with adjusted (bitpos, count, dest)."""
     method = bits.u(2)
     if method > 1:
         raise E.InvalidDataError("reserved residual coding method")
@@ -284,12 +327,21 @@ def _walk_residual(bits: _Bits, sub_idx: int, n: int, order: int,
             if bits.pos > bits.n:
                 raise E.UnexpectedEofError("escaped partition past end")
         else:
-            rl.append((sub_idx, bits.pos, cnt, param, dest))
-            bits.skip_rice(cnt, param)
+            start = bits.pos
+            prev_j, prev_pos = 0, start
+            for j, end_pos, val in bits.skip_rice(cnt, param):
+                if j > prev_j:
+                    rl.append((sub_idx, prev_pos, j - prev_j, param,
+                               dest + prev_j))
+                dv.append((sub_idx, dest + j, val))
+                prev_j, prev_pos = j + 1, end_pos
+            if cnt > prev_j:
+                rl.append((sub_idx, prev_pos, cnt - prev_j, param,
+                           dest + prev_j))
 
 
 def _walk_subframe(bits: _Bits, sub_idx: int, n: int, bps: int,
-                   subs: list, rl: list, fw: list) -> None:
+                   subs: list, rl: list, fw: list, dv: list) -> None:
     """Walk one subframe header + body, appending its descriptors."""
     if bits.u(1) != 0:
         raise E.InvalidDataError("subframe padding bit set")
@@ -318,7 +370,7 @@ def _walk_subframe(bits: _Bits, sub_idx: int, n: int, bps: int,
         fw.append((sub_idx, bits.pos, order, bps, 0))
         bits.pos += order * bps
         coeffs[: order] = FIXED_COEFFS[order]
-        _walk_residual(bits, sub_idx, n, order, rl, fw)
+        _walk_residual(bits, sub_idx, n, order, rl, fw, dv)
         subs.append((0, order, 0, wasted, bps, coeffs))
     elif ftype >= 32:  # LPC
         order = (ftype & 31) + 1
@@ -336,7 +388,7 @@ def _walk_subframe(bits: _Bits, sub_idx: int, n: int, bps: int,
             raise E.InvalidDataError("negative LPC shift")
         for j in range(order):
             coeffs[j] = bits.s(prec)
-        _walk_residual(bits, sub_idx, n, order, rl, fw)
+        _walk_residual(bits, sub_idx, n, order, rl, fw, dv)
         subs.append((0, order, shift, wasted, bps, coeffs))
     else:
         raise E.InvalidDataError(f"reserved subframe type {ftype}")
@@ -365,6 +417,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
     sub_ch: list = []
     rl: list = []
     fw: list = []
+    dv: list = []  # host-decoded outlier values (sub, dest, value)
     got = 0
     end_bits = len(blob) * 8
 
@@ -430,7 +483,8 @@ def analyze(blob: bytes) -> FlacAnalysis:
             sub_idx = len(subs)
             sub_frame.append(fidx)
             sub_ch.append(c)
-            _walk_subframe(bits, sub_idx, n, bps + sides[c], subs, rl, fw)
+            _walk_subframe(bits, sub_idx, n, bps + sides[c], subs, rl,
+                           fw, dv)
         bits.align()
         body_end = bits.pos >> 3
         if body_end + 2 > len(blob):
@@ -475,4 +529,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
         fw_count=np.asarray([w[2] for w in fw], np.int32),
         fw_width=np.asarray([w[3] for w in fw], np.int32),
         fw_dest=np.asarray([w[4] for w in fw], np.int32),
+        dv_sub=np.asarray([d[0] for d in dv], np.int32),
+        dv_dest=np.asarray([d[1] for d in dv], np.int32),
+        dv_val=np.asarray([d[2] for d in dv], np.int64).astype(np.int32),
     )

@@ -19,6 +19,10 @@ Families:
          synthesis (codecs/mpeg/) — the reference's decode TODO,
          completed; layer-routed automatically, so a .mp3-named Layer II
          stream still decodes.
+  flac — FLAC lossless: host structural walk (frame/subframe/partition
+         boundaries only) + fused on-device rice scan, exact integer
+         LPC/FIXED reconstruction, stereo decorrelation (codecs/flac/).
+         Beyond-reference family; bit-exact by construction.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ import functools
 from typing import Callable
 
 from ..codecs import registry as _registry
+from ..codecs.flac import decoder as _flac
 from ..codecs.mpeg import decoder as _mpeg
 
 
@@ -69,6 +74,11 @@ MODELS = {
         name="mp3", extensions=("mp3", "mp2", "mp1"),
         decode_group=_mpeg.decode_group,
         bit_exact=False,  # ISO spec tolerance (validated vs mpg123)
+    ),
+    "flac": CodecModel(
+        name="flac", extensions=("flac",),
+        decode_group=_flac.decode_group,
+        bit_exact=True,  # lossless codec, exact integer reconstruction
     ),
 }
 

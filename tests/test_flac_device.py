@@ -1,0 +1,162 @@
+"""Device FLAC decode vs the dual-oracle corpus.
+
+The streams come from the clear-room encoder (tests/flac_writer.py),
+whose output the round-2 foundation cross-validated bit-exactly against
+BOTH the clear-room reference decoder (tests/flac_ref.py) and
+libavcodec (tests/test_flac_oracle.py).  Here the fused device program
+(audio_decoder_tpu/codecs/flac/) must reproduce the source samples
+BIT-EXACTLY — FLAC is lossless and every decode stage (rice scan,
+host-split quotient outliers, predictors, stereo undo, f32 scaling by a
+power of two) is exact by construction.
+
+A beyond-reference family: the reference project (blast) has no FLAC
+decoder, so there is no reference file to cite — the oracle chain is
+the parity anchor instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from audio_decoder_tpu.codecs.flac import decoder, frontend
+from audio_decoder_tpu.core import errors as E
+from audio_decoder_tpu.io.assets import Asset
+
+from . import flac_writer as FW
+from .test_flac_oracle import STEREO_MODES, SUBFRAME_CASES, _material
+
+
+def _device_decode(blobs):
+    """decode_group over a blob list → [(int_pcm [S,C] | None, err)]."""
+    assets = [Asset(f"f{i}", f"f{i}", "flac", b)
+              for i, b in enumerate(blobs)]
+    out = {}
+    for idxs, batch in decoder.decode_group(assets):
+        pcm = np.asarray(batch.pcm)
+        err = np.asarray(batch.err)
+        vf = np.asarray(batch.valid_frames)
+        bits = np.asarray(batch.bits_per_sample)
+        nch = np.asarray(batch.num_channels)
+        for j, i in enumerate(idxs):
+            if err[j] != E.ERR_OK:
+                out[i] = (None, int(err[j]))
+            else:
+                scale = 2.0 ** (int(bits[j]) - 1)
+                ints = np.round(
+                    pcm[j, : vf[j], : nch[j]].astype(np.float64) * scale
+                ).astype(np.int64)
+                out[i] = (ints, 0)
+    return [out[i] for i in range(len(blobs))]
+
+
+def _check_exact(blobs, xs):
+    got = _device_decode(blobs)
+    for (ints, err), x in zip(got, xs):
+        assert err == 0
+        np.testing.assert_array_equal(ints, x.astype(np.int64))
+
+
+def test_subframe_matrix_one_batch(rng):
+    """All 13 subframe layouts (stereo mode cycling) in ONE group call —
+    exercises multi-file lane packing, frame/sublane offsets."""
+    blobs, xs = [], []
+    for i, (name, kw) in enumerate(SUBFRAME_CASES):
+        x = _material(rng, kw=kw)
+        blobs.append(FW.encode_file(x, 44100, 16, blocksize=256,
+                                    stereo=STEREO_MODES[i % 4],
+                                    subframe_kw=kw))
+        xs.append(x)
+    _check_exact(blobs, xs)
+
+
+def test_stereo_modes_batched(rng):
+    blobs, xs = [], []
+    for mode in STEREO_MODES:
+        x = _material(rng, frames=1100)
+        blobs.append(FW.encode_file(x, 48000, 16, blocksize=512,
+                                    stereo=mode))
+        xs.append(x)
+    _check_exact(blobs, xs)
+
+
+@pytest.mark.parametrize("bps,hi", [(8, 127), (16, 1 << 15), (24, 1 << 23)])
+def test_sample_sizes(rng, bps, hi):
+    x = _material(rng, frames=1500, ch=1, hi=hi)
+    _check_exact([FW.encode_file(x, 48000, bps, blocksize=576)], [x])
+
+
+def test_partial_tail_frame_and_odd_rate(rng):
+    x = _material(rng, frames=1000)
+    blob = FW.encode_file(x, 12345, 16, blocksize=576, stereo="mid_side")
+    (ints, err), = _device_decode([blob])
+    assert err == 0
+    np.testing.assert_array_equal(ints, x)
+
+
+def test_lpc_order_32(rng):
+    coefs = [512] + [0] * 30 + [256]
+    kw = dict(kind="lpc", lpc_coefs=coefs, lpc_shift=11)
+    x = _material(rng, frames=900)
+    _check_exact([FW.encode_file(x, 44100, 16, blocksize=448,
+                                 subframe_kw=kw)], [x])
+
+
+def test_quotient_outliers_direct_values(rng):
+    """A badly-fitted LPC (large residuals, rice q > Q_CAP) must still
+    decode exactly via the host-split direct-value lanes."""
+    x = _material(rng, frames=2500, hi=1 << 23)
+    kw = dict(kind="lpc", lpc_coefs=[1200, -600, 300, -100], lpc_shift=10)
+    blob = FW.encode_file(x, 44100, 24, blocksize=1024, stereo="mid_side",
+                          subframe_kw=kw)
+    an = frontend.analyze(blob)
+    assert an.dv_val.size > 0  # the stream really exercises the path
+    _check_exact([blob], [x])
+
+
+def test_mixed_feature_streams():
+    r = np.random.default_rng(77)
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    r.shuffle(kinds)
+    x = r.integers(-9000, 9000, size=(2100, 2)).astype(np.int32)
+    x[100:200] = 0
+    x[300:380] = 777
+    blob = FW.encode_file(x, 44100, 16, blocksize=256, stereo="mid_side",
+                          subframe_kw=kinds)
+    _check_exact([blob], [x])
+
+
+def test_error_pieces_mixed_with_good(rng):
+    x = _material(rng, frames=512, ch=1)
+    good = FW.encode_file(x, 44100, 16, blocksize=256)
+    bad = bytearray(good)
+    bad[-3] ^= 0x01  # last frame body → CRC-16 mismatch
+    res = _device_decode([bytes(bad), good, b"not flac at all"])
+    assert res[0] == (None, E.ERR_INVALID)
+    assert res[2] == (None, E.ERR_INVALID)
+    np.testing.assert_array_equal(res[1][0], x)
+
+
+def test_unsupported_sample_size(rng):
+    x = _material(rng, frames=300, ch=1, hi=1 << 30)
+    blob = FW.encode_file(x.astype(np.int64), 44100, 32, blocksize=256)
+    (res, err), = _device_decode([blob])
+    assert (res, err) == (None, E.ERR_UNSUPPORTED)
+
+
+def test_registry_dispatch(rng, tmp_path):
+    """End-to-end through decode_dir: .flac routes to the FLAC model and
+    lands in the ordered AudioBatch alongside other families."""
+    from audio_decoder_tpu.codecs.registry import decode_dir
+
+    x = _material(rng, frames=700)
+    (tmp_path / "song.flac").write_bytes(
+        FW.encode_file(x, 44100, 16, blocksize=256))
+    batch, names = decode_dir(str(tmp_path))
+    assert names == {"song": 0}
+    assert np.asarray(batch.err)[0] == 0
+    assert np.asarray(batch.sample_rate)[0] == 44100
+    got = np.round(
+        np.asarray(batch.pcm)[0, :700, :2].astype(np.float64) * 32768.0
+    ).astype(np.int64)
+    np.testing.assert_array_equal(got, x)
