@@ -58,36 +58,45 @@ def _error_batch(names, codes) -> AudioBatch:
     )
 
 
-def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str]
-                  ) -> AudioBatch:
+def sizing_for(analyses: list[frontend.FlacAnalysis]) -> dict:
+    """Bucketed static dims of the fused program for a group — separable
+    so a stream can take the max over its chunks and compile ONCE."""
+    return dict(
+        nbytes=_bucket(max(len(a.data) for a in analyses) + 4, 1024),
+        nmax=_bucket(max(int(a.blocksizes.max()) if a.n_frames else 1
+                         for a in analyses), 64),
+        smax=_bucket(max(a.total for a in analyses) or 1, 256),
+        rice_steps=_bucket(-(-max((int(a.rl_count.max()) for a in analyses
+                                   if a.rl_count.size), default=0)
+                             // K_CODES) or 1),
+        fw_imax=_bucket(max((int(a.fw_count.max()) for a in analyses
+                             if a.fw_count.size), default=0) or 1, 8),
+        F=_bucket(sum(a.n_frames for a in analyses) or 1),
+        Lr=_bucket(sum(a.rl_sub.size for a in analyses) or 1),
+        Lw=_bucket(sum(a.fw_sub.size for a in analyses) or 1),
+        Ld=_bucket(sum(a.dv_sub.size for a in analyses) or 1),
+    )
+
+
+def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
+                  sizing: dict | None = None) -> AudioBatch:
     """Pack one same-channel-count group and run the fused program."""
     B = len(analyses)
     ch = analyses[0].channels
 
-    # --- byte tensor (bucketed length; +4 so _be_words' 4-byte fold
+    sz = sizing or sizing_for(analyses)
+    nbytes, nmax, smax = sz["nbytes"], sz["nmax"], sz["smax"]
+    rice_steps, fw_imax = sz["rice_steps"], sz["fw_imax"]
+    F, Lr, Lw, Ld = sz["F"], sz["Lr"], sz["Lw"], sz["Ld"]
+
+    # --- byte tensor (nbytes includes +4 so _be_words' 4-byte fold
     #     never truncates a partial trailing word)
-    nbytes = _bucket(max(len(a.data) for a in analyses) + 4, 1024)
     bufs = np.zeros((B, nbytes), np.uint8)
     file_bits = np.zeros((B,), np.int32)
     for i, a in enumerate(analyses):
         raw = np.frombuffer(a.data, np.uint8)
         bufs[i, : raw.shape[0]] = raw
         file_bits[i] = raw.shape[0] * 8
-
-    # --- static sizing (all bucketed)
-    nmax = _bucket(max(int(a.blocksizes.max()) if a.n_frames else 1
-                       for a in analyses), 64)
-    smax = _bucket(max(a.total for a in analyses) or 1, 256)
-    max_rc = max((int(a.rl_count.max()) for a in analyses
-                  if a.rl_count.size), default=0)
-    rice_steps = _bucket(-(-max_rc // K_CODES) or 1)
-    max_fw = max((int(a.fw_count.max()) for a in analyses
-                  if a.fw_count.size), default=0)
-    fw_imax = _bucket(max_fw or 1, 8)
-    F = _bucket(sum(a.n_frames for a in analyses) or 1)
-    Lr = _bucket(sum(a.rl_sub.size for a in analyses) or 1)
-    Lw = _bucket(sum(a.fw_sub.size for a in analyses) or 1)
-    Ld = _bucket(sum(a.dv_sub.size for a in analyses) or 1)
 
     # --- per-file offsets: frames and sublanes concatenate in stream
     #     order, so global sublane index = (frame_base + f)*ch + c and

@@ -215,6 +215,7 @@ class FlacAnalysis:
     blocksizes: np.ndarray
     starts: np.ndarray  # first sample index of each frame
     ch_mode: np.ndarray  # 0..7 independent, 8 L/S, 9 R/S, 10 M/S
+    byte_offs: np.ndarray  # [F+1] frame byte offsets (last = stream end)
     # sublanes [S] — one per (frame, channel)
     sub_frame: np.ndarray
     sub_ch: np.ndarray
@@ -412,6 +413,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
     total = info["total"]
 
     blocksizes, starts, ch_modes = [], [], []
+    byte_offs: list = []
     subs: list = []  # (kind, order, shift, wasted, bps_eff, coeffs)
     sub_frame: list = []
     sub_ch: list = []
@@ -475,6 +477,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
         # matters for seeking (number validated implicitly by CRC-8)
         del number, variable
         blocksizes.append(n)
+        byte_offs.append(frame_off)
         starts.append(got)
         ch_modes.append(ch_code if ch_code >= 8 else 0)
         fidx = len(blocksizes) - 1
@@ -495,6 +498,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
             raise E.InvalidDataError("frame CRC-16 mismatch")
         bits.pos += 16
         got += n
+    byte_offs.append(bits.pos >> 3)
 
     if total and got < total:
         raise E.UnexpectedEofError("stream ends before STREAMINFO total")
@@ -512,6 +516,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
         blocksizes=np.asarray(blocksizes, np.int32),
         starts=np.asarray(starts, np.int64),
         ch_mode=np.asarray(ch_modes, np.int32),
+        byte_offs=np.asarray(byte_offs, np.int64),
         sub_frame=np.asarray(sub_frame, np.int32),
         sub_ch=np.asarray(sub_ch, np.int32),
         sub_kind=np.asarray([s[0] for s in subs], np.int32),

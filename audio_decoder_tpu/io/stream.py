@@ -69,6 +69,7 @@ def stream_decode(
 def stream_file(
     path: str, granules_per_chunk: int = 512, start_sample: int = 0,
     frames_per_chunk: int = 128, pcm_frames_per_chunk: int = 1 << 17,
+    flac_frames_per_chunk: int = 64,
 ) -> Iterator["np.ndarray"]:
     """Chunked decode of ONE long MPEG audio file (any layer): yields
     float32 [samples, channels] chunks with bounded device memory and a
@@ -76,7 +77,9 @@ def stream_file(
     (codecs.mpeg.decoder.mpeg_stream — Layer III rides Mp3Stream, Layers
     I/II ride L12Stream; concatenated output is bit-identical to the
     one-shot decode).  `start_sample` seeks: output begins exactly at
-    that sample of the one-shot decode.  WAV/AIFF files ride
+    that sample of the one-shot decode.  FLAC rides
+    codecs.flac.stream.FlacStream (frames are independent, so fixed
+    frame windows chunk exactly with no warm-up).  WAV/AIFF files ride
     codecs.pcm_stream.PcmStream: the file is memory-mapped and unpacked
     in fixed frame windows (`pcm_frames_per_chunk`) through the batch
     path's device kernel, so host AND device memory stay O(chunk) even
@@ -89,6 +92,14 @@ def stream_file(
             data = fh.read()
         st = mpeg_stream(data, granules_per_chunk=granules_per_chunk,
                          frames_per_chunk=frames_per_chunk)
+        yield from st.chunks(start_sample=start_sample)
+        return
+    if ext == "flac":
+        from ..codecs.flac.stream import FlacStream
+
+        with open(path, "rb") as fh:
+            data = fh.read()
+        st = FlacStream(data, frames_per_chunk=flac_frames_per_chunk)
         yield from st.chunks(start_sample=start_sample)
         return
     from ..codecs.pcm_stream import PcmStream

@@ -160,3 +160,81 @@ def test_registry_dispatch(rng, tmp_path):
         np.asarray(batch.pcm)[0, :700, :2].astype(np.float64) * 32768.0
     ).astype(np.int64)
     np.testing.assert_array_equal(got, x)
+
+
+def test_stream_matches_oneshot(rng, tmp_path):
+    """FlacStream chunks concatenate to the one-shot decode bit-for-bit
+    and compile ONE shape for the whole file; seek is sample-exact."""
+    from audio_decoder_tpu.codecs.flac.stream import FlacStream
+    from audio_decoder_tpu.io.stream import stream_file
+
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    x = _material(rng, frames=6000)
+    blob = FW.encode_file(x, 44100, 16, blocksize=512, stereo="left_side",
+                          subframe_kw=kinds)
+    (one, err), = _device_decode([blob])
+    assert err == 0
+
+    st = FlacStream(blob, frames_per_chunk=3)
+    assert (st.total_samples, st.channels) == (6000, 2)
+    got = np.concatenate(list(st.chunks()), axis=0)
+    ints = np.round(got.astype(np.float64) * 32768.0).astype(np.int64)
+    np.testing.assert_array_equal(ints, one)
+    np.testing.assert_array_equal(ints, x)
+
+    # sample-exact seek into the middle of a frame
+    seek = np.concatenate(list(st.chunks(start_sample=1234)), axis=0)
+    np.testing.assert_array_equal(
+        np.round(seek.astype(np.float64) * 32768.0).astype(np.int64),
+        x[1234:])
+
+    # io.stream_file routes .flac here
+    p = tmp_path / "long.flac"
+    p.write_bytes(blob)
+    via = np.concatenate(
+        list(stream_file(str(p), flac_frames_per_chunk=5)), axis=0)
+    np.testing.assert_array_equal(
+        np.round(via.astype(np.float64) * 32768.0).astype(np.int64), x)
+
+
+def test_random_streams_bit_exact():
+    """Randomized feature fuzz: random bps/blocksize/stereo/layout mix
+    (random LPC coefficients, partition orders, rice2, escapes, wasted
+    bits) — every stream must decode bit-exactly, in one batched call."""
+    r = np.random.default_rng(4242)
+    blobs, xs = [], []
+    for _ in range(6):
+        bps = int(r.choice([8, 12, 16, 20, 24]))
+        ch = int(r.choice([1, 2]))
+        frames = int(r.integers(400, 3000))
+        bsz = int(r.choice([192, 256, 576, 1024]))
+        hi = 1 << (bps - 1 - int(r.integers(0, 3)))
+        x = r.integers(-hi, hi, size=(frames, ch)).astype(np.int64)
+        if r.integers(0, 2):
+            x[: frames // 3] = (x[: frames // 3] >> 4) << 4  # wasted-bits bait
+        kinds = []
+        for _ in range(int(r.integers(1, 5))):
+            k = int(r.integers(0, 4))
+            if k == 0:
+                kinds.append(dict(kind="fixed", order=int(r.integers(0, 5)),
+                                  partition_order=int(r.integers(0, 3)),
+                                  method=int(r.integers(0, 2))))
+            elif k == 1:
+                o = int(r.integers(1, 9))
+                coefs = [int(c) for c in r.integers(-2000, 2000, o)]
+                if not any(coefs):
+                    coefs[0] = 512
+                kinds.append(dict(kind="lpc", lpc_coefs=coefs,
+                                  lpc_shift=int(r.integers(0, 13))))
+            elif k == 2:
+                kinds.append(dict(kind="verbatim"))
+            else:
+                kinds.append(dict(kind="fixed", order=1,
+                                  escape_bits=int(r.integers(4, 20))))
+        stereo = ("independent" if ch == 1
+                  else STEREO_MODES[int(r.integers(0, 4))])
+        blobs.append(FW.encode_file(x.astype(np.int32), 44100, bps,
+                                    blocksize=bsz, stereo=stereo,
+                                    subframe_kw=kinds))
+        xs.append(x)
+    _check_exact(blobs, xs)

@@ -39,6 +39,12 @@ def blobs():
     }
     if CR.have_lame():
         out["mp3"] = CR.lame_encode(pcm, 44100, 128, mode=1)
+    from . import flac_writer as FW
+
+    out["flac"] = FW.encode_file(
+        pcm.astype(np.int32), 44100, 16, blocksize=256, stereo="mid_side",
+        subframe_kw=[dict(kind="fixed", order=2), dict(kind="lpc",
+        lpc_coefs=[1228, -819, 410], lpc_shift=10), dict(kind="verbatim")])
     return out
 
 
@@ -69,7 +75,7 @@ def _ms_blob_fuzz(pcm) -> bytes:
 
 
 @pytest.mark.parametrize(
-    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm"])
+    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm", "flac"])
 def test_truncations_never_crash(blobs, ext):
     if ext not in blobs:
         pytest.skip("lame unavailable")
@@ -89,7 +95,7 @@ def test_truncations_never_crash(blobs, ext):
 
 
 @pytest.mark.parametrize(
-    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm"])
+    "ext", ["wav", "aiff", "mp3", "adpcm", "msadpcm", "flac"])
 def test_byte_corruptions_never_crash(blobs, ext):
     if ext not in blobs:
         pytest.skip("lame unavailable")
@@ -104,7 +110,7 @@ def test_byte_corruptions_never_crash(blobs, ext):
 
 
 def test_empty_and_tiny_inputs():
-    for ext in ("wav", "aif", "mp3"):
+    for ext in ("wav", "aif", "mp3", "flac"):
         for data in (b"", b"\x00", b"RIFF", b"FORM\x00\x00"):
             f = _decode_one("e", ext, data)
             assert f.err != 0
