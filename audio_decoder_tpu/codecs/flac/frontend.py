@@ -246,6 +246,25 @@ class FlacAnalysis:
         return int(self.blocksizes.shape[0])
 
 
+def pcm_md5(ints: np.ndarray, bps: int) -> bytes:
+    """STREAMINFO MD5 of decoded samples: the spec hashes the unencoded
+    audio interleaved, little-endian, ceil(bps/8) bytes per sample
+    (little-endian i64 truncation = two's complement in that width)."""
+    import hashlib
+
+    nb = (bps + 7) // 8
+    raw = np.ascontiguousarray(ints.astype("<i8")).view(np.uint8)
+    return hashlib.md5(raw.reshape(-1, 8)[:, :nb].tobytes()).digest()
+
+
+def verify_md5(an: "FlacAnalysis", ints: np.ndarray) -> bool | None:
+    """Check decoded integer samples ``[S, C]`` against the stream's
+    STREAMINFO MD5.  Returns None when the encoder left it unset."""
+    if an.md5 == b"\x00" * 16:
+        return None
+    return pcm_md5(ints[: an.total], an.bits) == an.md5
+
+
 def parse_streaminfo(blob: bytes) -> dict:
     """fLaC marker + metadata block walk → STREAMINFO dict (with
     ``frames_start`` byte offset).  Skips every other metadata block

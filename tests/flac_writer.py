@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import struct
 
+import hashlib
+
 import numpy as np
 
 from .flac_ref import FIXED_COEFFS, crc8, crc16
@@ -300,6 +302,12 @@ def encode_file(
     si.u(C - 1, 3)
     si.u(bps - 1, 5)
     si.u(S, 36)
-    info = si.bytes() + b"\x00" * 16  # md5 unset
+    # STREAMINFO MD5: unencoded samples, interleaved, little-endian,
+    # ceil(bps/8) bytes each (little-endian i64 truncation = two's
+    # complement in the container width)
+    nb = (bps + 7) // 8
+    raw = np.ascontiguousarray(pcm.astype("<i8")).view(np.uint8)
+    md5 = hashlib.md5(raw.reshape(-1, 8)[:, :nb].tobytes()).digest()
+    info = si.bytes() + md5
     hdr = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + info
     return hdr + payload

@@ -238,3 +238,20 @@ def test_random_streams_bit_exact():
                                     subframe_kw=kinds))
         xs.append(x)
     _check_exact(blobs, xs)
+
+
+def test_streaminfo_md5_verification(rng):
+    """The writer now stamps the spec MD5 (interleaved LE samples);
+    decoded output must verify, and a tampered sample must not."""
+    for bps in (8, 16, 24):
+        hi = 1 << (bps - 1)
+        x = _material(rng, frames=600, hi=hi)
+        blob = FW.encode_file(x, 44100, bps, blocksize=256)
+        an = frontend.analyze(blob)
+        assert an.md5 != b"\x00" * 16
+        (ints, err), = _device_decode([blob])
+        assert err == 0
+        assert frontend.verify_md5(an, ints) is True
+        bad = ints.copy()
+        bad[5, 0] ^= 1
+        assert frontend.verify_md5(an, bad) is False
