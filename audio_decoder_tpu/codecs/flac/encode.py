@@ -1,0 +1,409 @@
+"""FLAC encoder — device-side analysis, host-side vectorized bit packing.
+
+The export half of the FLAC family (decode lives in device.py/frontend.py).
+A beyond-reference component: the reference project (blast) has no encoder
+of any kind (its ``AudioFile`` is a terminal sink, decode_helpers.rs:17-38).
+
+Split of labor mirrors ``io.encode.pack_pcm``'s design, scaled up to an
+entropy codec:
+
+  * **Device** (``flac_analyze_batch``, one jit per static config): the
+    O(S) math — quantization, stereo-decorrelation candidates (L/R/side/
+    mid), the FIXED-predictor residual ladder (orders 0-4 are cumulative
+    first differences), cost-model selection of stereo mode and predictor
+    order per frame, CONSTANT detection, and per-partition rice-parameter
+    statistics (sum of ``zigzag >> k`` for every k) on a fixed partition
+    grid.  All integer arithmetic is exact in i32; only the *cost sums*
+    are f32 (they pick parameters — any pick is a valid stream, so f32
+    rounding can at worst cost a fraction of a bit per partition).
+  * **Host** (``_pack_tokens``): the inherently serial bitstream emit,
+    vectorized — every subframe is lowered to flat (leading_zeros, value,
+    nbits) token arrays and packed with one ``np.bincount`` per frame
+    (token bit-ranges never overlap, so OR ≡ ADD on disjoint bits).
+
+Output is spec-clean FLAC (RFC 9639): fixed-blocksize strategy, FIXED
+0-4 / CONSTANT / VERBATIM subframes, all four stereo modes chosen per
+frame, rice method 0/1 with per-partition parameters, stamped STREAMINFO
+MD5 and real min/max frame sizes.  Round-trips bit-exactly through our
+own decoder (tests pin it against tests/flac_ref.py and libavcodec too).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frontend import crc8, crc16, pcm_md5
+
+__all__ = ["encode_flac", "flac_analyze_batch"]
+
+_ORDERS = 5       # FIXED predictor orders 0..4
+_KMAX = 30        # largest rice parameter considered (method-1 space)
+_BS_CODE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
+            1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
+_RATE_CODE = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+              24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11}
+_BPS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+# stereo mode → (first, second) decorrelation candidate (L, R, side, mid)
+_MODE_A = np.array([0, 0, 2, 3], np.int32)   # indep, left/side, side/right,
+_MODE_B = np.array([1, 2, 1, 2], np.int32)   # mid/side
+_MODE_CODE = np.array([0, 8, 9, 10], np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "channels", "nmax", "npart", "dither")
+)
+def flac_analyze_batch(
+    pcm: jax.Array,      # f32 [F, nmax, C] frame-blocked PCM (padding 0)
+    nvalid: jax.Array,   # i32 [F] valid samples per frame
+    *,
+    bits: int,
+    channels: int,
+    nmax: int,
+    npart: int,
+    dither: int | None = None,
+):
+    """Whole-file FLAC encode analysis → per-frame coding decisions.
+
+    Returns a dict of device arrays:
+      ints  i32 [F, C, nmax]   quantized input samples (MD5/verbatim src)
+      mode  i32 [F]            frame channel-mode code (0 / 8 / 9 / 10)
+      kind  i32 [F, C]         0 = FIXED, 1 = CONSTANT, per subchannel
+      order i32 [F, C]         chosen FIXED order (when kind == 0)
+      sub   i32 [F, C, nmax]   derived-channel samples (warmup source)
+      resid i32 [F, C, nmax]   chosen-order residuals (valid from `order`)
+      psums f32 [KMAX+1, F, C, npart]  Σ(zigzag >> k) per partition cell
+    """
+    F, C = pcm.shape[0], channels
+    scale = float(1 << (bits - 1))
+    hi = (1 << (bits - 1)) - 1
+    x = pcm * scale
+    if dither is not None:  # same TPDF formula as io.encode.pack_pcm
+        u = jax.random.uniform(
+            jax.random.PRNGKey(dither), (2,) + pcm.shape, jnp.float32)
+        x = x + (u[0] - u[1])
+    q = jnp.clip(jnp.round(x), -scale, hi).astype(jnp.int32)
+    x = jnp.transpose(q, (0, 2, 1))  # [F, C, nmax]
+    idx = jnp.arange(nmax, dtype=jnp.int32)
+    valid = idx[None, :] < nvalid[:, None]  # [F, nmax]
+    x = jnp.where(valid[:, None, :], x, 0)
+
+    if C == 2:
+        L, R = x[:, 0], x[:, 1]
+        cands = jnp.stack([L, R, L - R, (L + R) >> 1], axis=1)
+        cbps = np.array([bits, bits, bits + 1, bits], np.int32)
+    else:
+        cands = x
+        cbps = np.full((C,), bits, np.int32)
+    NC = cands.shape[1]
+
+    # FIXED residual ladder: order-o residual = o-th first difference
+    rs = [cands]
+    for _ in range(1, _ORDERS):
+        prev = rs[-1]
+        rs.append(prev - jnp.pad(prev, ((0, 0), (0, 0), (1, 0)))[:, :, :nmax])
+    r_all = jnp.stack(rs, axis=0)                      # i32 [5, F, NC, nmax]
+    zz = ((r_all << 1) ^ (r_all >> 31)).astype(jnp.uint32)
+
+    omask = (idx[None, None, None, :]
+             >= jnp.arange(_ORDERS, dtype=jnp.int32)[:, None, None, None])
+    m = omask & valid[None, :, None, :]                # [5, F, NC, nmax]
+    cnt = jnp.sum(m, axis=-1).astype(jnp.float32)      # [5, F, NC]
+
+    # cost model: best single-parameter rice size over the whole channel
+    # (the per-partition refinement happens host-side from psums)
+    sums = jnp.stack(
+        [jnp.sum(jnp.where(m, zz >> jnp.uint32(k), 0).astype(jnp.float32),
+                 axis=-1) for k in range(_KMAX + 1)], axis=0)
+    kbits = sums + cnt[None] * (
+        jnp.arange(_KMAX + 1, dtype=jnp.float32)[:, None, None, None] + 1.0)
+    cost = jnp.min(kbits, axis=0) + (
+        jnp.arange(_ORDERS, dtype=jnp.float32)[:, None, None]
+        * jnp.asarray(cbps, jnp.float32)[None, None, :])  # + warmup bits
+    best_order = jnp.argmin(cost, axis=0).astype(jnp.int32)   # [F, NC]
+    best_cost = jnp.min(cost, axis=0)
+
+    is_const = jnp.all(
+        jnp.where(valid[:, None, :], cands == cands[:, :, :1], True), axis=-1)
+    ch_cost = jnp.where(
+        is_const, jnp.asarray(cbps, jnp.float32)[None, :] + 8.0,
+        best_cost + 14.0)  # + subframe/residual header overhead
+
+    if C == 2:
+        tot = (jnp.take(ch_cost, jnp.asarray(_MODE_A), axis=1)
+               + jnp.take(ch_cost, jnp.asarray(_MODE_B), axis=1))  # [F, 4]
+        mi = jnp.argmin(tot, axis=1)
+        mode = jnp.asarray(_MODE_CODE)[mi]
+        sel = jnp.stack(
+            [jnp.asarray(_MODE_A)[mi], jnp.asarray(_MODE_B)[mi]], axis=1)
+    else:
+        mode = jnp.zeros((F,), jnp.int32)
+        sel = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (F, C))
+
+    sub = jnp.take_along_axis(cands, sel[:, :, None], axis=1)  # [F, C, nmax]
+    order = jnp.take_along_axis(best_order, sel, axis=1)
+    kind = jnp.take_along_axis(is_const, sel, axis=1).astype(jnp.int32)
+
+    r_sel = jnp.take_along_axis(
+        r_all, jnp.broadcast_to(sel[None, :, :, None], (_ORDERS, F, C, nmax)),
+        axis=2)
+    resid = jnp.take_along_axis(
+        r_sel, jnp.broadcast_to(order[None, :, :, None], (1, F, C, nmax)),
+        axis=0)[0]                                             # [F, C, nmax]
+
+    zz_sel = ((resid << 1) ^ (resid >> 31)).astype(jnp.uint32)
+    mres = (idx[None, None, :] >= order[:, :, None]) & valid[:, None, :]
+    psize = nmax // npart
+    psums = jnp.stack(
+        [jnp.where(mres, zz_sel >> jnp.uint32(k), 0).astype(jnp.float32)
+         .reshape(F, C, npart, psize).sum(-1) for k in range(_KMAX + 1)],
+        axis=0)
+
+    return dict(ints=x, mode=mode, kind=kind, order=order, sub=sub,
+                resid=resid, psums=psums)
+
+
+class _Tokens:
+    """Flat (leading_zeros, value, nbits) token accumulator.
+
+    A token writes ``zeros`` 0-bits then the low ``nbits`` of ``value``
+    (1 ≤ nbits ≤ 32).  Zeros cost nothing to emit — the buffer starts
+    zeroed — so a rice code is ONE token: q leading zeros, then the
+    (1 << k) | remainder suffix of k+1 bits."""
+
+    def __init__(self):
+        self.z: list = []
+        self.v: list = []
+        self.n: list = []
+        self.bits = 0
+
+    def u(self, val: int, nbits: int, zeros: int = 0) -> None:
+        self.z.append(zeros)
+        self.v.append(val)
+        self.n.append(nbits)
+        self.bits += zeros + nbits
+
+    def s(self, val: int, nbits: int) -> None:
+        self.u(int(val) & ((1 << nbits) - 1), nbits)
+
+    def arrays(self, zeros, vals, nbits) -> None:
+        """Append token vectors (numpy arrays, same length)."""
+        self.z.append(zeros)
+        self.v.append(vals)
+        self.n.append(nbits)
+        self.bits += int(np.sum(zeros) + np.sum(nbits))
+
+    def align(self) -> None:
+        pad = (-self.bits) % 8
+        if pad:
+            self.u(0, 1, zeros=pad - 1)
+
+    def pack(self) -> bytes:
+        assert self.bits % 8 == 0
+        z = np.concatenate([np.atleast_1d(np.asarray(a, np.int64))
+                            for a in self.z]) if self.z else np.zeros(0, np.int64)
+        v = np.concatenate([np.atleast_1d(np.asarray(a, np.uint64))
+                            for a in self.v]) if self.v else np.zeros(0, np.uint64)
+        n = np.concatenate([np.atleast_1d(np.asarray(a, np.int64))
+                            for a in self.n]) if self.n else np.zeros(0, np.int64)
+        return _pack_tokens(z, v, n)
+
+
+def _pack_tokens(zeros: np.ndarray, vals: np.ndarray,
+                 nbits: np.ndarray) -> bytes:
+    """Vectorized MSB-first bit packing of a token stream.
+
+    Each value spans ≤ 32 bits at a ≤ 7-bit byte offset — 5 output
+    bytes.  Distinct tokens occupy disjoint bit ranges, so OR across
+    tokens equals ADD, and one ``np.bincount`` per byte-slot materializes
+    the buffer (exact: each byte sums ≤ 8 disjoint bits ≤ 255 < 2^53)."""
+    end = np.cumsum(zeros + nbits)
+    total = int(end[-1]) if end.size else 0
+    assert total % 8 == 0
+    nb = total // 8
+    if not nb:
+        return b""
+    pos = end - nbits
+    off = (pos & 7).astype(np.uint64)
+    contrib = vals << (np.uint64(64) - nbits.astype(np.uint64) - off)
+    base = (pos >> 3).astype(np.int64)
+    idx = (base[None, :] + np.arange(5, dtype=np.int64)[:, None]).ravel()
+    byts = np.stack(
+        [((contrib >> np.uint64(56 - 8 * j)) & np.uint64(0xFF))
+         .astype(np.float64) for j in range(5)]).ravel()
+    acc = np.bincount(idx, weights=byts, minlength=nb + 8)
+    return acc[:nb].astype(np.uint8).tobytes()
+
+
+def _utf8_tokens(t: _Tokens, val: int) -> None:
+    """UTF-8-style frame-number coding (RFC 9639 §9.1.1)."""
+    if val < 0x80:
+        t.u(val, 8)
+        return
+    n = 1
+    while val >= (1 << (6 + 5 * n)):
+        n += 1
+    lead = ((1 << (n + 1)) - 1) << (7 - n)
+    t.u(lead | (val >> (6 * n)), 8)
+    for k in range(n - 1, -1, -1):
+        t.u(0x80 | ((val >> (6 * k)) & 0x3F), 8)
+
+
+def _residual_tokens(t: _Tokens, res: np.ndarray, n: int, order: int,
+                     psums: np.ndarray, full: bool, npart: int) -> None:
+    """Emit the coded-residual section for one subframe.
+
+    ``res`` holds the whole frame's residual array (positions < order
+    are predictor warmup — never read).  ``psums`` is the device's
+    [KMAX+1, npart] partition-cell grid (cells of n/npart only when
+    ``full``); partition order and per-partition rice parameters
+    minimize the modeled bit count, and the method (4- vs 5-bit
+    parameters) follows the largest parameter chosen."""
+    zz = res.astype(np.int64)
+    zz = (zz << 1) ^ (zz >> 63)
+    ks = np.arange(_KMAX + 1, dtype=np.float64)
+
+    def plan(po: int):
+        parts = 1 << po
+        psize = n >> po
+        cnts = np.full(parts, psize, np.float64)
+        cnts[0] -= order
+        s = psums.reshape(_KMAX + 1, parts, npart // parts).sum(-1)
+        bits_pk = s + cnts[None, :] * (ks[:, None] + 1.0)
+        kp = np.argmin(bits_pk, axis=0)
+        cost = bits_pk[kp, np.arange(parts)].sum()
+        pbits = 4 if kp.max() <= 14 else 5
+        return cost + parts * pbits, kp, pbits
+
+    best = None
+    max_po = npart.bit_length() - 1 if full else 0
+    for po in range(max_po + 1):
+        if (n % (1 << po)) or (n >> po) <= order:
+            break
+        cand = (*plan(po), po)
+        if best is None or cand[0] < best[0]:
+            best = cand
+    _, kp, pbits, po = best
+    method = 0 if pbits == 4 else 1
+    t.u((method << 4) | po, 6)
+    parts = 1 << po
+    psize = n >> po
+    for p in range(parts):
+        k = int(kp[p])
+        t.u(k, pbits)
+        lo = p * psize + (order if p == 0 else 0)
+        part = zz[lo:(p + 1) * psize]
+        t.arrays((part >> k).astype(np.int64),
+                 ((1 << k) | (part & ((1 << k) - 1))).astype(np.uint64),
+                 np.full(part.shape, k + 1, np.int64))
+
+
+def _subframe_tokens(t: _Tokens, sub: np.ndarray, res: np.ndarray,
+                     kind: int, order: int, bpc: int, n: int,
+                     psums: np.ndarray, full: bool, npart: int) -> None:
+    if kind == 1:          # CONSTANT
+        t.u(0, 8)          # reserved(1)=0, type(6)=0, wasted-flag(1)=0
+        t.s(int(sub[0]), bpc)
+        return
+    if n <= order:         # no room for warmup + residual → VERBATIM
+        t.u(1 << 1, 8)
+        for v in sub[:n]:
+            t.s(int(v), bpc)
+        return
+    t.u((8 | order) << 1, 8)   # FIXED
+    for v in sub[:order]:
+        t.s(int(v), bpc)
+    _residual_tokens(t, res[:n], n, order, psums, full, npart)
+
+
+def encode_flac(
+    pcm, sample_rate: int, *, bits: int = 16, blocksize: int = 4096,
+    dither: int | None = None,
+) -> bytes:
+    """f32 PCM ``[S, C]`` (or ``[S]``) → FLAC bytes.
+
+    Quantization matches ``io.encode.pack_pcm`` (scale 2^(bits-1),
+    round-half-even, clip; optional seeded TPDF dither), so integer PCM
+    decoded by this framework round-trips losslessly:
+    decode → encode_flac → decode is bit-exact.
+    """
+    x = np.asarray(pcm, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    S, C = x.shape
+    if not 1 <= C <= 8:
+        raise ValueError(f"FLAC supports 1-8 channels, got {C}")
+    if bits not in _BPS_CODE:
+        raise ValueError(f"unsupported bit depth {bits} (have "
+                         f"{sorted(_BPS_CODE)})")
+    if not 16 <= blocksize <= 32768:
+        raise ValueError(f"blocksize {blocksize} out of range [16, 32768]")
+    if S < 1:
+        raise ValueError("empty PCM")
+    if not 1 <= int(sample_rate) < (1 << 20):
+        raise ValueError(f"sample rate {sample_rate} out of STREAMINFO range")
+
+    npart = 16
+    while npart > 1 and (blocksize % npart or blocksize // npart <= 4):
+        npart //= 2
+
+    F = -(-S // blocksize)
+    Fb = max(1, 1 << (F - 1).bit_length())  # bucket: compile per pow2 F
+    pad = Fb * blocksize - S
+    xb = np.pad(x, ((0, pad), (0, 0))).reshape(Fb, blocksize, C)
+    nvalid = np.clip(S - np.arange(Fb) * blocksize, 0, blocksize)
+
+    out = flac_analyze_batch(
+        jnp.asarray(xb), jnp.asarray(nvalid.astype(np.int32)),
+        bits=bits, channels=C, nmax=blocksize, npart=npart, dither=dither)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    frames = []
+    for f in range(F):
+        n = int(nvalid[f])
+        mode = int(out["mode"][f])
+        t = _Tokens()
+        t.u((0x3FFE << 2) | 0, 16)  # sync, reserved, fixed-blocksize
+        full = n == blocksize
+        bs_code = _BS_CODE.get(n, 6 if n <= 256 else 7)
+        t.u(bs_code, 4)
+        t.u(_RATE_CODE.get(int(sample_rate), 0), 4)
+        t.u((C - 1) if mode == 0 else mode, 4)
+        t.u(_BPS_CODE[bits], 3)
+        t.u(0, 1)
+        _utf8_tokens(t, f)
+        if bs_code == 6:
+            t.u(n - 1, 8)
+        elif bs_code == 7:
+            t.u(n - 1, 16)
+        hdr = t.pack()
+        t = _Tokens()
+        side = {8: 1, 9: 0, 10: 1}.get(mode, -1)
+        for c in range(C):
+            _subframe_tokens(
+                t, out["sub"][f, c], out["resid"][f, c],
+                int(out["kind"][f, c]), int(out["order"][f, c]),
+                bits + (1 if c == side else 0), n,
+                out["psums"][:, f, c], full, npart)
+        t.align()
+        body = hdr + bytes([crc8(hdr)]) + t.pack()
+        frames.append(body + crc16(body).to_bytes(2, "big"))
+
+    payload = b"".join(frames)
+    ints = np.transpose(out["ints"], (0, 2, 1)).reshape(-1, C)[:S]
+    t = _Tokens()
+    t.u(blocksize, 16)
+    t.u(blocksize, 16)
+    t.u(min(len(fr) for fr in frames), 24)
+    t.u(max(len(fr) for fr in frames), 24)
+    t.u(int(sample_rate), 20)
+    t.u(C - 1, 3)
+    t.u(bits - 1, 5)
+    t.u((S >> 32) & 0xF, 4)   # 36-bit total-samples field, split so every
+    t.u(S & 0xFFFFFFFF, 32)   # token fits the packer's 32-bit contract
+    info = t.pack() + pcm_md5(ints, bits)
+    return (b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big")
+            + info + payload)

@@ -249,9 +249,17 @@ def encode_au(
     return hdr + data
 
 
+def _encode_flac(pcm, sample_rate, **kw):
+    # late import: the FLAC family is optional at io-module import time
+    from ..codecs.flac.encode import encode_flac
+
+    return encode_flac(pcm, sample_rate, **kw)
+
+
 _WRITERS = {
     "wav": encode_wav, "aif": encode_aiff, "aiff": encode_aiff,
     "au": encode_au, "snd": encode_au, "caf": encode_caf,
+    "flac": _encode_flac,
 }
 
 
@@ -293,7 +301,7 @@ def export_batch(
 
 def write_audio(path: str, pcm, sample_rate: int, **kw) -> None:
     """Write PCM to ``path``, container chosen by extension
-    (.wav / .aif / .aiff / .au / .snd)."""
+    (.wav / .aif / .aiff / .au / .snd / .caf / .flac)."""
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     writer = _WRITERS.get(ext)
     if writer is None:
