@@ -78,9 +78,12 @@ def sizing_for(analyses: list[frontend.FlacAnalysis]) -> dict:
     )
 
 
-def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
-                  sizing: dict | None = None) -> AudioBatch:
-    """Pack one same-channel-count group and run the fused program."""
+def pack_group(analyses: list[frontend.FlacAnalysis],
+               sizing: dict | None = None) -> tuple[tuple, dict]:
+    """Pack one same-channel-count group into the fused program's
+    ``(positional args, static kwargs)`` — the shared front half of the
+    local, sharded (parallel.decode.sharded_flac_fn) and streaming
+    paths."""
     B = len(analyses)
     ch = analyses[0].channels
 
@@ -149,7 +152,7 @@ def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
         cat = np.concatenate(sub_coeffs, axis=0)
         coeffs[: cat.shape[0]] = cat
 
-    pcm, ovf = flac_decode_batch(
+    args = (
         jnp.asarray(bufs), jnp.asarray(file_bits),
         _pad1(rl["file"], Lr, np.int32), _pad1(rl["sub"], Lr, np.int32),
         _pad1(rl["bitpos"], Lr, np.int32), _pad1(rl["count"], Lr, np.int32),
@@ -166,9 +169,19 @@ def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
         _pad1(fr_file, F, np.int32), _pad1(fr_start, F, np.int32),
         _pad1(fr_n, F, np.int32), _pad1(fr_mode, F, np.int32),
         _pad1(fr_scale, F, np.float32),
-        channels=ch, nmax=nmax, smax=smax, rice_steps=rice_steps,
-        fw_imax=fw_imax,
     )
+    statics = dict(channels=ch, nmax=nmax, smax=smax,
+                   rice_steps=rice_steps, fw_imax=fw_imax)
+    return args, statics
+
+
+def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
+                  sizing: dict | None = None) -> AudioBatch:
+    """Pack one same-channel-count group and run the fused program."""
+    B = len(analyses)
+    ch = analyses[0].channels
+    args, statics = pack_group(analyses, sizing)
+    pcm, ovf = flac_decode_batch(*args, **statics)
     return AudioBatch(
         pcm=pcm,
         sample_rate=jnp.asarray([a.sample_rate for a in analyses], jnp.int32),

@@ -137,6 +137,26 @@ def sharded_l12_fn(mesh: Mesh, *, channels: int, steps: int):
     return jax.jit(step, in_shardings=(data, data, data), out_shardings=data)
 
 
+def sharded_flac_fn(mesh: Mesh, **static):
+    """Bind the fused FLAC decode to a mesh.
+
+    FLAC decode is embarrassingly parallel too, but its work axes are
+    LANES (rice partitions / fixed-width runs), not files: the per-file
+    byte rows and the per-lane descriptor arrays all shard over 'data'.
+    The host packs lanes in file order (codecs/flac/decoder.pack_group),
+    so lane shards mostly window into their own shard's byte rows; the
+    final frame scatter re-assembles per-file PCM across shards."""
+    from ..codecs.flac.device import flac_decode_batch
+
+    data = NamedSharding(mesh, P("data"))
+
+    def step(*args):
+        return flac_decode_batch(*args, **static)
+
+    return jax.jit(step, in_shardings=(data,) * 27,
+                   out_shardings=(data, data))
+
+
 def sharded_decode_fn(mesh: Mesh, **static):
     """Bind decode_pcm_step to a mesh: inputs sharded over 'data', outputs
     likewise; consensus reduction included (a cross-shard collective)."""

@@ -237,3 +237,42 @@ def test_decode_pcm_step_rejects_non_plain_pcm():
         jnp.asarray(wbufs), jnp.asarray(wlens),
         bits=16, channels=2, max_frames=256, family="wav")
     assert int(np.asarray(wmeta["err"])[0]) == 0
+
+
+def test_sharded_flac_decode_matches_single(mesh8, rng):
+    """FLAC fused decode dp-sharded over the mesh ('data' axis on byte
+    rows AND lane descriptors) reproduces the single-device decode —
+    DISTINCT per-file content so shard routing errors can't cancel."""
+    from audio_decoder_tpu.codecs.flac import decoder as FD
+    from audio_decoder_tpu.codecs.flac import frontend as FF
+    from audio_decoder_tpu.codecs.flac.encode import encode_flac
+    from audio_decoder_tpu.parallel.decode import sharded_flac_fn
+
+    n_files, S = 8, 1500
+    t = np.arange(S) / 44100.0
+    refs, analyses = [], []
+    for i in range(n_files):
+        base = np.sin(2 * np.pi * (200.0 + 37.0 * i) * t) * (4000 + 900 * i)
+        x = np.stack([base, base * 0.6 + rng.standard_normal(S) * 3], 1)
+        ints = np.round(x).astype(np.int64)
+        refs.append(ints)
+        analyses.append(FF.analyze(encode_flac(
+            ints.astype(np.float32) / 2.0 ** 15, 44100, bits=16,
+            blocksize=256)))
+    sizing = FD.sizing_for(analyses)
+    for k in ("F", "Lr", "Lw", "Ld"):
+        sizing[k] = max(sizing[k], 4)  # ≥1 element per data shard
+    args, statics = FD.pack_group(analyses, sizing)
+    fn = sharded_flac_fn(mesh8, **statics)
+    with mesh8:
+        pcm, ovf = fn(*args)
+        jax.block_until_ready(pcm)
+    assert not bool(np.asarray(ovf).any())
+    single, _ = __import__(
+        "audio_decoder_tpu.codecs.flac.device", fromlist=["flac_decode_batch"]
+    ).flac_decode_batch(*args, **statics)
+    np.testing.assert_array_equal(np.asarray(pcm), np.asarray(single))
+    for i, ref in enumerate(refs):
+        got = np.round(np.asarray(pcm[i, :S]).astype(np.float64)
+                       * 2.0 ** 15).astype(np.int64)
+        np.testing.assert_array_equal(got, ref)
