@@ -157,10 +157,10 @@ def cmd_render(args) -> int:
 
 
 def cmd_transcode(args) -> int:
-    """Decode ANY supported input (wav/aiff/aifc/mp3/au/caf/rf64/...)
+    """Decode ANY supported input (wav/aiff/aifc/mp3/au/caf/flac/...)
     through the TPU pipeline and re-encode to the container named by the
-    output extension (.wav/.aif/.aiff/.au) — the decode surface and the
-    export surface joined end-to-end."""
+    output extension (.wav/.aif/.aiff/.au/.snd/.caf/.flac) — the decode
+    surface and the export surface joined end-to-end."""
     from .codecs.registry import decode_paths
     from .dsp.resample import resample_batch
     from .io.encode import write_audio
@@ -174,7 +174,10 @@ def cmd_transcode(args) -> int:
     if args.rate and args.rate != rate:
         pcm = np.asarray(resample_batch(pcm[None], rate, args.rate)[0])
         rate = args.rate
-    write_audio(args.out, pcm, rate, bits=args.bits, float_=args.float_)
+    kw = {"bits": args.bits}
+    if args.float_:
+        kw["float_"] = True  # writers without a float form reject it
+    write_audio(args.out, pcm, rate, **kw)
     print(f"{args.input}: {f.format} {f.sample_rate} Hz "
           f"{f.num_channels} ch → {args.out} ({rate} Hz, "
           f"{'f32' if args.float_ else args.bits})")
@@ -287,7 +290,7 @@ def main(argv=None) -> int:
     pv.set_defaults(fn=cmd_render)
 
     pt = sub.add_parser(
-        "transcode", help="decode one file, re-encode to wav/aiff/au")
+        "transcode", help="decode one file, re-encode to wav/aiff/au/caf/flac")
     pt.add_argument("input")
     pt.add_argument("out", help="output path; extension picks the container")
     pt.add_argument("--bits", type=int, default=16,
