@@ -75,7 +75,7 @@ def flac_analyze_batch(
       order i32 [F, C]         chosen FIXED order (when kind == 0)
       sub   i32 [F, C, nmax]   derived-channel samples (warmup source)
       resid i32 [F, C, nmax]   chosen-order residuals (valid from `order`)
-      psums f32 [KMAX+1, F, C, npart]  Σ(zigzag >> k) per partition cell
+      psums f32 [F, C, npart]  Σ zigzag(residual) per partition cell
     """
     F, C = pcm.shape[0], channels
     scale = float(1 << (bits - 1))
@@ -113,13 +113,14 @@ def flac_analyze_batch(
     m = omask & valid[None, :, None, :]                # [5, F, NC, nmax]
     cnt = jnp.sum(m, axis=-1).astype(jnp.float32)      # [5, F, NC]
 
-    # cost model: best single-parameter rice size over the whole channel
-    # (the per-partition refinement happens host-side from psums)
-    sums = jnp.stack(
-        [jnp.sum(jnp.where(m, zz >> jnp.uint32(k), 0).astype(jnp.float32),
-                 axis=-1) for k in range(_KMAX + 1)], axis=0)
-    kbits = sums + cnt[None] * (
-        jnp.arange(_KMAX + 1, dtype=jnp.float32)[:, None, None, None] + 1.0)
+    # cost model: ONE Σ-zigzag reduction per order, then the closed-form
+    # rice size  cnt·(k+1) + Σzz/2^k  minimized over k on the tiny
+    # [K, 5, F, NC] grid (Σzz/2^k approximates Σ(zz>>k) to within cnt —
+    # the estimator every production FLAC encoder uses; any k is a valid
+    # stream, so the ≤1-step k error costs <1% size, never correctness)
+    sums = jnp.sum(jnp.where(m, zz, 0).astype(jnp.float32), axis=-1)
+    ks = jnp.arange(_KMAX + 1, dtype=jnp.float32)[:, None, None, None]
+    kbits = sums[None] * jnp.exp2(-ks) + cnt[None] * (ks + 1.0)
     cost = jnp.min(kbits, axis=0) + (
         jnp.arange(_ORDERS, dtype=jnp.float32)[:, None, None]
         * jnp.asarray(cbps, jnp.float32)[None, None, :])  # + warmup bits
@@ -157,10 +158,8 @@ def flac_analyze_batch(
     zz_sel = ((resid << 1) ^ (resid >> 31)).astype(jnp.uint32)
     mres = (idx[None, None, :] >= order[:, :, None]) & valid[:, None, :]
     psize = nmax // npart
-    psums = jnp.stack(
-        [jnp.where(mres, zz_sel >> jnp.uint32(k), 0).astype(jnp.float32)
-         .reshape(F, C, npart, psize).sum(-1) for k in range(_KMAX + 1)],
-        axis=0)
+    psums = (jnp.where(mres, zz_sel, 0).astype(jnp.float32)
+             .reshape(F, C, npart, psize).sum(-1))  # Σ zigzag per cell
 
     return dict(ints=x, mode=mode, kind=kind, order=order, sub=sub,
                 resid=resid, psums=psums)
@@ -258,10 +257,10 @@ def _residual_tokens(t: _Tokens, res: np.ndarray, n: int, order: int,
 
     ``res`` holds the whole frame's residual array (positions < order
     are predictor warmup — never read).  ``psums`` is the device's
-    [KMAX+1, npart] partition-cell grid (cells of n/npart only when
+    [npart] Σ-zigzag partition-cell grid (cells of n/npart only when
     ``full``); partition order and per-partition rice parameters
-    minimize the modeled bit count, and the method (4- vs 5-bit
-    parameters) follows the largest parameter chosen."""
+    minimize the modeled bit count  cnt·(k+1) + Σzz/2^k  and the method
+    (4- vs 5-bit parameters) follows the largest parameter chosen."""
     zz = res.astype(np.int64)
     zz = (zz << 1) ^ (zz >> 63)
     ks = np.arange(_KMAX + 1, dtype=np.float64)
@@ -271,8 +270,9 @@ def _residual_tokens(t: _Tokens, res: np.ndarray, n: int, order: int,
         psize = n >> po
         cnts = np.full(parts, psize, np.float64)
         cnts[0] -= order
-        s = psums.reshape(_KMAX + 1, parts, npart // parts).sum(-1)
-        bits_pk = s + cnts[None, :] * (ks[:, None] + 1.0)
+        s = psums.reshape(parts, npart // parts).sum(-1)
+        bits_pk = s[None] * np.exp2(-ks)[:, None] \
+            + cnts[None, :] * (ks[:, None] + 1.0)
         kp = np.argmin(bits_pk, axis=0)
         cost = bits_pk[kp, np.arange(parts)].sum()
         pbits = 4 if kp.max() <= 14 else 5
@@ -387,7 +387,7 @@ def encode_flac(
                 t, out["sub"][f, c], out["resid"][f, c],
                 int(out["kind"][f, c]), int(out["order"][f, c]),
                 bits + (1 if c == side else 0), n,
-                out["psums"][:, f, c], full, npart)
+                out["psums"][f, c], full, npart)
         t.align()
         body = hdr + bytes([crc8(hdr)]) + t.pack()
         frames.append(body + crc16(body).to_bytes(2, "big"))

@@ -35,6 +35,7 @@ import dataclasses
 import numpy as np
 
 from ...core import errors as E
+from . import native as _native
 
 FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 
@@ -77,6 +78,9 @@ def _crc_tables():
 
 
 def crc8(data) -> int:
+    r = _native.crc8(data)
+    if r is not None:
+        return r
     _crc_tables()
     r = 0
     for b in memoryview(data):
@@ -85,6 +89,9 @@ def crc8(data) -> int:
 
 
 def crc16(data) -> int:
+    r = _native.crc16(data)
+    if r is not None:
+        return r
     _crc_tables()
     r = 0
     for b in memoryview(data):
@@ -93,37 +100,62 @@ def crc16(data) -> int:
 
 
 class _Bits:
-    """MSB-first bit cursor over a byte blob, with vectorized helpers:
-    ``u(n)`` assembles from the byte view; unary runs ride a
-    positions-of-set-bits index (``ones``) via searchsorted."""
+    """MSB-first bit cursor over a byte blob.
+
+    ``u(n)`` assembles straight from the bytes; rice-run skipping rides
+    the native flacfe core when the toolchain built it, else the
+    vectorized positions-of-set-bits (``ones``) fallback — which is also
+    the behavioral contract the native path is tested against.  The
+    unpacked-bit and set-bit index arrays are built lazily: the native
+    path never touches them."""
 
     def __init__(self, blob: bytes):
-        self.buf = np.frombuffer(blob, np.uint8)
-        self.bits = np.unpackbits(self.buf)
-        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.raw = bytes(blob)
+        self.buf = np.frombuffer(self.raw, np.uint8)
         self.pos = 0
-        self.n = self.bits.shape[0]
+        self.n = len(self.raw) * 8
+        self._bits = None
+        self._ones = None
+
+    @property
+    def bits(self):
+        if self._bits is None:
+            self._bits = np.unpackbits(self.buf)
+        return self._bits
+
+    @property
+    def ones(self):
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.bits).astype(np.int64)
+        return self._ones
 
     def u(self, n: int) -> int:
         if n == 0:
             return 0
         if self.pos + n > self.n:
             raise E.UnexpectedEofError("bitstream truncated")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
+        lo = self.pos >> 3
+        hi = (self.pos + n + 7) >> 3
+        v = int.from_bytes(self.raw[lo:hi], "big") >> ((-(self.pos + n)) & 7)
         self.pos += n
-        return v
+        return v & ((1 << n) - 1)
 
     def s(self, n: int) -> int:
         v = self.u(n)
         return v - (1 << n) if n and v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
-        i = np.searchsorted(self.ones, self.pos)
-        if i >= self.ones.shape[0]:
+        byte = self.pos >> 3
+        nb = len(self.raw)
+        if byte >= nb:
             raise E.UnexpectedEofError("unary run past end of stream")
-        t = int(self.ones[i])
+        cur = self.raw[byte] & (0xFF >> (self.pos & 7))
+        while cur == 0:
+            byte += 1
+            if byte >= nb:
+                raise E.UnexpectedEofError("unary run past end of stream")
+            cur = self.raw[byte]
+        t = byte * 8 + (8 - cur.bit_length())
         q = t - self.pos
         self.pos = t + 1
         return q
@@ -137,6 +169,14 @@ class _Bits:
         (``value`` is the final unzigzagged residual; ``end_bitpos`` the
         first bit after the code) so the residual walk can split the
         device lane around them."""
+        fast = _native.skip_rice(self.raw, self.n, self.pos, count,
+                                 param, Q_CAP)
+        if fast is not None:
+            self.pos = fast[0]
+            return fast[1]
+        # pure-Python fallback (also the native path's tested contract);
+        # the native path declines EOF-crossing runs so the error
+        # taxonomy below stays authoritative
         ones, pos = self.ones, self.pos
         i = int(np.searchsorted(ones, pos))
         n1 = ones.shape[0]

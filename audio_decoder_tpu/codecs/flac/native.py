@@ -1,0 +1,115 @@
+"""ctypes binding to the native flacfe bit-serial helpers.
+
+The C library (audio_decoder_tpu/native/flacfe.cc) implements the hot
+inner loops of the FLAC structural walk — rice-run skipping and the
+frame CRC-8/16 — with the exact contracts of the pure-Python versions
+in ``frontend`` (which stay as the behavioral oracle and the fallback
+when no toolchain is present).  Built lazily like the mp3fe binding.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_DIR, "libflacfe.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+#: outlier-triple capacity per skip_rice call — quotients past Q_CAP are
+#: rare encoder pathologies; a partition has < 2^16 codes, and a stream
+#: dense in outliers would re-walk via the Python path anyway
+_OUT_CAP = 4096
+
+
+def _build() -> bool:
+    src = os.path.join(_DIR, "flacfe.cc")
+    if not os.path.exists(src):
+        return False
+    deps = [src] + [p for p in (os.path.join(_DIR, "Makefile"),)
+                    if os.path.exists(p)]
+    newest = max(os.path.getmtime(p) for p in deps)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest:
+        return True
+    try:
+        subprocess.run(["make", "-C", _DIR, "libflacfe.so"],
+                       check=True, capture_output=True, timeout=300)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = C.CDLL(_SO)
+        except OSError:
+            return None
+        lib.flacfe_skip_rice.restype = C.c_int64
+        lib.flacfe_skip_rice.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int64, C.c_int64, C.c_int32,
+            C.c_int32, C.POINTER(C.c_int64), C.c_int64,
+            C.POINTER(C.c_int64),
+        ]
+        lib.flacfe_crc8.restype = C.c_uint32
+        lib.flacfe_crc8.argtypes = [C.c_char_p, C.c_int64]
+        lib.flacfe_crc16.restype = C.c_uint32
+        lib.flacfe_crc16.argtypes = [C.c_char_p, C.c_int64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def skip_rice(blob: bytes, nbits: int, pos: int, count: int,
+              param: int, q_cap: int) -> tuple[int, list] | None:
+    """(new_pos, outlier triples) — or None when the native path can't
+    serve this call (no library / EOF semantics / outlier overflow), in
+    which case the caller falls back to the Python walk, whose error
+    taxonomy is the contract."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((_OUT_CAP, 3), np.int64)
+    n_out = C.c_int64(0)
+    new_pos = lib.flacfe_skip_rice(
+        blob, nbits, pos, count, param, q_cap,
+        out.ctypes.data_as(C.POINTER(C.c_int64)), _OUT_CAP,
+        C.byref(n_out),
+    )
+    if new_pos < 0:
+        return None
+    triples = [(int(a), int(b), int(c)) for a, b, c in out[: n_out.value]]
+    return int(new_pos), triples
+
+
+def crc8(data) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    b = bytes(data)
+    return int(lib.flacfe_crc8(b, len(b)))
+
+
+def crc16(data) -> int | None:
+    lib = _load()
+    if lib is None:
+        return None
+    b = bytes(data)
+    return int(lib.flacfe_crc16(b, len(b)))
