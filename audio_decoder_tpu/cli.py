@@ -156,6 +156,28 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Batch decode an asset folder and re-encode every file into one
+    container — ``decode_dir`` joined to its inverse ``export_batch``."""
+    from .codecs.registry import decode_dir
+    from .io.encode import export_batch
+
+    batch, names = decode_dir(args.assets)
+    kw = {"bits": args.bits}
+    if args.dither is not None:
+        kw["dither"] = args.dither
+    written = export_batch(args.out, batch, names,
+                           container=args.container, **kw)
+    skipped = sorted(set(names) - set(written))
+    for name in sorted(written):
+        print(f"{name} → {written[name]}")
+    for name in skipped:
+        print(f"{name}: skipped (decode error "
+              f"{int(batch.err[names[name]])})")
+    print(f"{len(written)} written, {len(skipped)} skipped → {args.out}")
+    return 0 if written or not names else 1
+
+
 def cmd_transcode(args) -> int:
     """Decode ANY supported input (wav/aiff/aifc/mp3/au/caf/flac/...)
     through the TPU pipeline and re-encode to the container named by the
@@ -288,6 +310,18 @@ def main(argv=None) -> int:
     pv.add_argument("--out", required=True)
     pv.add_argument("--resample", action="store_true")
     pv.set_defaults(fn=cmd_render)
+
+    pe = sub.add_parser(
+        "export", help="decode a folder, re-encode every file (decode_dir"
+        " → export_batch)")
+    pe.add_argument("--assets", required=True)
+    pe.add_argument("--out", required=True, help="output directory")
+    pe.add_argument("--container", default="wav",
+                    help="wav/aif/aiff/au/snd/caf/flac")
+    pe.add_argument("--bits", type=int, default=16)
+    pe.add_argument("--dither", type=int, default=None,
+                    help="TPDF dither seed (float→int mastering)")
+    pe.set_defaults(fn=cmd_export)
 
     pt = sub.add_parser(
         "transcode", help="decode one file, re-encode to wav/aiff/au/caf/flac")

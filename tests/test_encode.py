@@ -213,3 +213,27 @@ def test_transcode_cli(tmp_path, rng):
     g = _decode_one(out2.read_bytes(), "wav")
     assert g.err == 0 and g.sample_rate == 22050
     assert abs(g.pcm.shape[0] - 250) <= 2
+
+
+def test_export_cli(tmp_path, rng):
+    """export = decode_dir → export_batch: mixed container inputs come
+    out as one container; undecodable files are skipped, not fatal."""
+    from audio_decoder_tpu.cli import main
+    from audio_decoder_tpu.codecs.registry import decode_paths
+
+    a = _grid_pcm(rng, 16, frames=500)
+    b = _grid_pcm(rng, 16, frames=300)
+    d = tmp_path / "assets"
+    d.mkdir()
+    write_audio(str(d / "a.wav"), a, 44100, bits=16)
+    write_audio(str(d / "b.aiff"), b, 48000, bits=16)
+    (d / "junk.wav").write_bytes(b"not audio at all")
+    out = tmp_path / "out"
+    assert main(["export", "--assets", str(d), "--out", str(out),
+                 "--container", "flac"]) == 0
+    got = decode_paths([str(out / "a.flac"), str(out / "b.flac")])
+    assert np.asarray(got.err).sum() == 0
+    assert int(got.sample_rate[1]) == 48000  # per-file rates kept
+    np.testing.assert_array_equal(np.asarray(got.file(0).pcm), a)
+    np.testing.assert_array_equal(np.asarray(got.file(1).pcm), b)
+    assert not (out / "junk.flac").exists()
