@@ -140,9 +140,10 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
         dv["val"].append(a.dv_val)
         frame_base += a.n_frames
 
-    # dv padding must land in the sentinel column (dest 0 would clobber
-    # sublane 0's first sample)
-    dv_dest = np.full((Ld,), nmax, np.int32)
+    # dv padding routes out of bounds (dest 0 would clobber sublane 0's
+    # first sample; in-bounds sentinels would also duplicate indices,
+    # which the device scatter now declares unique)
+    dv_dest = np.full((Ld,), 2**31 - 1, np.int32)
     if dv["dest"]:
         cat = np.concatenate(dv["dest"])
         dv_dest[: cat.shape[0]] = cat

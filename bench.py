@@ -304,6 +304,7 @@ def main() -> None:
     # secondary, time-permitting: compressible-content WAV end-to-end
     # (h2d transfer + decode) vs the noise worst case — quantifies how
     # much of the WAV wall is tunnel wire for compressible real content
+    extras: dict = {}
     if _remaining() > 90.0:
         try:
             music = [_wav_blob(rng, seconds, rate, music=True)
@@ -311,7 +312,6 @@ def main() -> None:
             mbufs_np, mlens_np = pack_bytes(music)
             noise = [_wav_blob(rng, seconds, rate) for _ in range(n_wav)]
             nbufs_np, nlens_np = pack_bytes(noise)
-            extras = {}
             # warm the transfer-path program once (its first run pays the
             # compile/handle setup and would land on whichever label goes
             # first — r2 captures showed music < noise purely from order)
@@ -334,6 +334,42 @@ def main() -> None:
             _note(f"wav e2e incl. transfer: {extras}")
         except Exception as e:  # the secondary must never cost the line
             _note(f"secondary skipped: {e!r}")
+
+    # tertiary, time-permitting: FLAC end-to-end (our own encoder makes
+    # the streams; decode = native walk + descriptor pack + h2d + fused
+    # device program) — the lossless-codec counterpart of the MP3 number
+    if _remaining() > 120.0:
+        try:
+            from audio_decoder_tpu.codecs.flac import decoder as flac_dec
+
+            t = np.arange(frames) / rate
+            m = np.zeros(frames)
+            for f0, a in ((110.0, 0.35), (220.5, 0.2), (331.1, 0.12)):
+                m += a * np.sin(2 * np.pi * f0 * t) * np.exp(-0.2 * t)
+            m += 0.002 * rng.standard_normal(frames)
+            mus = np.clip(np.stack([m, 0.8 * m], 1) * 20000,
+                          -32768, 32767).astype(np.float32) / 2.0 ** 15
+            from audio_decoder_tpu.codecs.flac.encode import encode_flac
+
+            fblob = encode_flac(mus, rate, bits=16)
+            fassets = [Asset(f"g{i}", f"g{i}", "flac", fblob)
+                       for i in range(n_wav)]
+            best_f = 0.0
+            for _ in range(3):
+                if _remaining() < 45.0:
+                    break
+                t0 = time.perf_counter()
+                secs = 0.0
+                for _idxs, fb in flac_dec.decode_group(fassets):
+                    anchor = fb.pcm[:, -1, :].sum() * 0.0
+                    secs += float(fb.audio_seconds() + anchor)
+                best_f = max(best_f, secs / (time.perf_counter() - t0))
+            if best_f:
+                _record(best, iters=iters, **extras,
+                        flac_e2e_x=round(best_f, 1))
+                _note(f"flac e2e: {best_f:.0f}x")
+        except Exception as e:
+            _note(f"flac secondary skipped: {e!r}")
 
     watchdog.cancel()
     _emit_and_exit(0)
