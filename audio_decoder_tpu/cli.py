@@ -50,7 +50,7 @@ def _build_engine(asset_dir: str, resample: bool, realtime: bool,
     sel = jnp.asarray([names[n] for n in kept], jnp.int32)
     kept_batch = dataclasses.replace(
         batch,
-        pcm=batch.pcm[sel], sample_rate=batch.sample_rate[sel],
+        data=batch.data[sel], sample_rate=batch.sample_rate[sel],
         num_channels=batch.num_channels[sel],
         bits_per_sample=batch.bits_per_sample[sel],
         valid_frames=batch.valid_frames[sel], err=batch.err[sel],

@@ -47,7 +47,7 @@ def _pad1(arrs: list[np.ndarray], cap: int, dtype) -> jnp.ndarray:
 def _error_batch(names, codes) -> AudioBatch:
     n = len(names)
     return AudioBatch(
-        pcm=jnp.zeros((n, 1, 1), jnp.float32),
+        data=jnp.zeros((n, 1), jnp.float32),
         sample_rate=jnp.zeros((n,), jnp.int32),
         num_channels=jnp.zeros((n,), jnp.int32),
         bits_per_sample=jnp.zeros((n,), jnp.int32),
@@ -184,7 +184,7 @@ def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
     args, statics = pack_group(analyses, sizing)
     pcm, ovf = flac_decode_batch(*args, **statics)
     return AudioBatch(
-        pcm=pcm,
+        data=pcm, channels=ch,
         sample_rate=jnp.asarray([a.sample_rate for a in analyses], jnp.int32),
         num_channels=jnp.full((B,), ch, jnp.int32),
         bits_per_sample=jnp.asarray([a.bits for a in analyses], jnp.int32),

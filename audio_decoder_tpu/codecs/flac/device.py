@@ -279,12 +279,17 @@ def flac_decode_batch(
     didx = (base[:, None] + (fr_start[:, None] + si) * channels)
     didx = jnp.where(svalid, didx, oob)  # drop
     # one interleaved scatter for all channels (amortizes the lowering's
-    # per-scatter sort): index [F, nmax, C], update from [F, nmax, C]
-    didx3 = didx[:, :, None] + jnp.arange(channels, dtype=jnp.int32)
+    # per-scatter sort).  Index and update are both built in pcm_f's
+    # native [F, C, nmax] layout: a [F, nmax, C] layout would need a
+    # transpose copy whose trailing dim C pads to a 128-lane tile (64x
+    # HBM blow-up at C=2 — OOMs past F*nmax ~ 2^24)
+    didx3 = (didx[:, None, :]
+             + jnp.arange(channels, dtype=jnp.int32)[None, :, None])
     out = out.at[didx3.reshape(-1)].set(
-        jnp.transpose(pcm_f, (0, 2, 1)).reshape(-1), mode="drop",
-        unique_indices=True)
-    pcm = out.reshape(B_out, smax, channels)
+        pcm_f.reshape(-1), mode="drop", unique_indices=True)
+    # flat interleaved [B, smax*channels] — the AudioBatch device layout
+    # (core/batch.py; a trailing channel dim would tile-pad 64x+ on TPU)
+    pcm = out.reshape(B_out, smax * channels)
 
     ovf = jnp.zeros((B_out,), bool).at[rl_file].max(ovf_l, mode="drop")
     return pcm, ovf

@@ -100,6 +100,7 @@ class FlacStream:
                 continue
             batch = _decode_batch([sl], [f"chunk{k}"], sizing=self._sizing)
             E.raise_for_code(int(np.asarray(batch.err)[0]), "flac stream")
-            pcm = np.asarray(batch.pcm)[0, : sl.total]
+            pcm = np.asarray(batch.data)[0].reshape(
+                -1, batch.channels)[: sl.total]
             skip = max(0, start_sample - lo)
             yield pcm[skip:]

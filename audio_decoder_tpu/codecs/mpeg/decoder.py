@@ -47,7 +47,7 @@ def _bucket(n: int, minimum: int = 8) -> int:
 def _error_batch(names, codes) -> AudioBatch:
     n = len(names)
     return AudioBatch(
-        pcm=jnp.zeros((n, 1, 1), jnp.float32),
+        data=jnp.zeros((n, 1), jnp.float32),
         sample_rate=jnp.zeros((n,), jnp.int32),
         num_channels=jnp.zeros((n,), jnp.int32),
         bits_per_sample=jnp.zeros((n,), jnp.int32),
@@ -106,7 +106,7 @@ def decode_analyses(
         joint_stereo=joint,
     )
     batch = AudioBatch(
-        pcm=pcm,
+        data=pcm, channels=ch,
         sample_rate=jnp.asarray([a.sample_rate for a in ans], jnp.int32),
         num_channels=jnp.asarray([a.channels for a in ans], jnp.int32),
         bits_per_sample=jnp.full((B,), 16, jnp.int32),  # MP3 nominal depth
@@ -153,7 +153,7 @@ def _decode_group_native(assets: "list[Asset]") -> list[tuple[list[int], AudioBa
             joint_stereo=joint,
         )
         batch = AudioBatch(
-            pcm=pcm,
+            data=pcm, channels=ch,
             sample_rate=jnp.asarray(r["sample_rate"], jnp.int32),
             num_channels=jnp.asarray(r["channels"], jnp.int32),
             bits_per_sample=jnp.full((B,), 16, jnp.int32),
@@ -327,7 +327,7 @@ def _decode_group_fused(
             buckets=buckets,
         )
         batch = AudioBatch(
-            pcm=pcm,
+            data=pcm, channels=ch,
             sample_rate=jnp.asarray(sample_rate, jnp.int32),
             num_channels=jnp.asarray(r["channels"], jnp.int32),
             bits_per_sample=jnp.full((B,), 16, jnp.int32),
@@ -464,7 +464,7 @@ def _decode_group_layer12(
             channels=ch, steps=steps,
         )
         batch = AudioBatch(
-            pcm=pcm,
+            data=pcm, channels=ch,
             sample_rate=jnp.asarray([a.sample_rate for a in ans], jnp.int32),
             num_channels=jnp.asarray([a.channels for a in ans], jnp.int32),
             bits_per_sample=jnp.full((B,), 16, jnp.int32),
@@ -544,7 +544,7 @@ def decode_group_hosthuff(
         ans = [a for _, a in items]
         got_idxs, batch = decode_analyses(idxs, ans)
         batch = AudioBatch(
-            pcm=batch.pcm,
+            data=batch.data, channels=batch.channels,
             sample_rate=batch.sample_rate,
             num_channels=batch.num_channels,
             bits_per_sample=batch.bits_per_sample,
@@ -698,7 +698,8 @@ class Mp3Stream:
             granules_per_frame=self._gpf,
             buckets=self._buckets,
         )
-        return np.asarray(pcm[0])
+        # the kernel emits flat interleaved [B, S*C]; host reshape is free
+        return np.asarray(pcm[0]).reshape(-1, self.channels)
 
     def chunks(self, start_sample: int = 0):
         """Yield float32 [samples, channels] host arrays in stream order.
@@ -810,7 +811,7 @@ class L12Stream:
             pcm = np.asarray(L12.l12_synthesize(
                 jnp.asarray(codes), jnp.asarray(cls), jnp.asarray(sf_idx),
                 channels=ch, steps=self.spf,
-            )[0])
+            )[0]).reshape(-1, ch)  # kernel emits flat interleaved
             keep = a - lo
             out = pcm[keep * spfr : (keep + hi - a) * spfr, :ch]
             if trim:

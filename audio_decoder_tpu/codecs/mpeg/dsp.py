@@ -343,7 +343,9 @@ def polyphase_synthesis(TS: jax.Array) -> jax.Array:
     """Polyphase synthesis filterbank, fully parallel over time steps.
 
     TS: f32 ``[B, C, T, 32]`` subband samples (one 32-vector per output
-    block) → PCM ``[B, T*32, C]``.  Shared by all three MPEG layers.  On
+    block) → flat interleaved PCM ``[B, T*32*C]`` (the AudioBatch device
+    layout, core/batch.py — a trailing channel dim would tile-pad 64x+ on
+    TPU).  Shared by all three MPEG layers.  On
     TPU the matrixing + FIR run as one fused Pallas kernel (VMEM-resident
     block history, single HBM read/write — ops/pallas_synth.py); the XLA
     fallback materializes V and reads 16 shifted views."""
@@ -372,7 +374,9 @@ def polyphase_synthesis(TS: jax.Array) -> jax.Array:
             seg = jax.lax.dynamic_slice_in_dim(Vp, 15 - k, Tsteps, axis=2)
             half = seg[..., :32] if k % 2 == 0 else seg[..., 32:]
             out = out + g2[k] * half
-    return out.reshape(B, C, Tsteps * 32).transpose(0, 2, 1)
+    # [B, C, S] → interleave to flat [B, S*C]: transpose + reshape fuse
+    # into one compact-output copy (never materializes a [B, S, C] tile)
+    return out.reshape(B, C, Tsteps * 32).transpose(0, 2, 1).reshape(B, -1)
 
 
 def _use_pallas() -> bool:

@@ -440,7 +440,8 @@ class PcmStream:
                 jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
                 channels=self.channels, max_frames=self.fpc, **self._kw,
             )
-            yield np.asarray(pcm[0, :n])
+            # kernels emit flat interleaved [B, S*C]; host reshape is free
+            yield np.asarray(pcm[0]).reshape(-1, self.channels)[:n]
 
     def _adpcm_chunks(self, start_sample: int):
         """IMA ADPCM streaming: blocks are self-contained, so chunks step
@@ -469,7 +470,7 @@ class PcmStream:
                 jnp.asarray(raw)[None], off, jnp.full((1,), n, jnp.int32),
                 channels=self.channels, max_frames=bpc * spb, **kw,
             )
-            out = np.asarray(pcm[0, :n])
+            out = np.asarray(pcm[0]).reshape(-1, self.channels)[:n]
             if trim:
                 out, trim = out[trim:], 0
             if out.shape[0]:  # a seek to EOF mid-block yields nothing

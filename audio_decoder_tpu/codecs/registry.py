@@ -57,7 +57,7 @@ def _bucket_frames(n: int, minimum: int = 256) -> int:
 def _error_batch(names, formats, codes) -> AudioBatch:
     n = len(names)
     return AudioBatch(
-        pcm=jnp.zeros((n, 1, 1), jnp.float32),
+        data=jnp.zeros((n, 1), jnp.float32),
         sample_rate=jnp.zeros((n,), jnp.int32),
         num_channels=jnp.zeros((n,), jnp.int32),
         bits_per_sample=jnp.zeros((n,), jnp.int32),
@@ -140,7 +140,7 @@ def decode_pcm_family(
                 max_frames=max_frames,
             )
         batch = AudioBatch(
-            pcm=pcm,
+            data=pcm, channels=channels,
             sample_rate=jnp.asarray(meta_host["sample_rate"][sel]),
             num_channels=jnp.asarray(meta_host["channels"][sel]),
             bits_per_sample=jnp.asarray(meta_host["bits"][sel]),
@@ -205,7 +205,7 @@ def decode_assets(assets: Sequence[Asset]) -> AudioBatch:
     merged = concat_batches([b for _, b in pieces])
     perm = jnp.asarray(np.argsort(order), jnp.int32)
     return AudioBatch(
-        pcm=merged.pcm[perm],
+        data=merged.data[perm], channels=merged.channels,
         sample_rate=merged.sample_rate[perm],
         num_channels=merged.num_channels[perm],
         bits_per_sample=merged.bits_per_sample[perm],

@@ -150,8 +150,8 @@ def resample_to_consensus(batch, consensus_rate: int, length: str = "floor"):
             )
         else:
             new_valid[rows] = (valid[rows] // M) * L
-    return AudioBatch(
-        pcm=pcm_out,
+    return AudioBatch.from_pcm(
+        pcm_out,
         sample_rate=jnp.where(jnp.asarray(err == 0), consensus_rate,
                               batch.sample_rate),
         num_channels=batch.num_channels,

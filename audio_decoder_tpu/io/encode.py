@@ -285,7 +285,7 @@ def export_batch(
             f"no encoder for container {container!r} (have {sorted(_WRITERS)})"
         )
     if names is None:
-        names = {f"f{i}": i for i in range(batch.pcm.shape[0])}
+        names = {f"f{i}": i for i in range(batch.batch_size)}
     os.makedirs(out_dir, exist_ok=True)
     written = {}
     for name, i in sorted(names.items()):

@@ -118,7 +118,7 @@ def decode_all(paths: Sequence[str], files_per_batch: int = 16) -> AudioBatch:
     if not batches:
         z = jnp.zeros((0,), jnp.int32)
         return AudioBatch(
-            pcm=jnp.zeros((0, 1, 1), jnp.float32), sample_rate=z,
+            data=jnp.zeros((0, 1), jnp.float32), sample_rate=z,
             num_channels=z, bits_per_sample=z, valid_frames=z, err=z,
         )
     return concat_batches(batches)

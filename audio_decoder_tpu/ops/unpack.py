@@ -71,7 +71,8 @@ def unpack_pcm(
     companded: str | None = None,
     max_frames: int,
 ) -> jax.Array:
-    """Unpack interleaved PCM to planar f32 ``[B, max_frames, channels]``.
+    """Unpack interleaved PCM to flat f32 ``[B, max_frames*channels]``
+    (interleaved — the AudioBatch device layout, core/batch.py).
 
     Frames beyond ``n_frames[b]`` are zero.  All shape-affecting parameters
     are static; callers group files by (bits, channels, endianness) so each
@@ -210,10 +211,10 @@ def unpack_pcm(
             raise ValueError(f"unsupported bit depth {bits}")
         val = ival.astype(jnp.float32) * jnp.float32(1.0 / (1 << (bits - 1)))
 
-    pcm = val.reshape(bufs.shape[0], max_frames, channels)
-    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
-    mask = frame_ids < n_frames[:, None, None]
-    return jnp.where(mask, pcm, 0.0)
+    # flat interleaved [B, max_frames*channels] — the AudioBatch device
+    # layout (core/batch.py: a trailing channel dim would tile-pad 64x+)
+    frame_ids = jnp.arange(nvals, dtype=jnp.int32)[None, :] // channels
+    return jnp.where(frame_ids < n_frames[:, None], val, 0.0)
 
 
 def _slice_region(bufs: jax.Array, data_off: jax.Array, span: int):
@@ -323,12 +324,12 @@ def unpack_ima_adpcm(
     pcm = (
         samples.reshape(spb, B, K, channels)
         .transpose(1, 2, 0, 3)                          # [B, K, spb, C]
-        .reshape(B, K * spb, channels)[:, :max_frames]
+        .reshape(B, K * spb * channels)[:, : max_frames * channels]
         .astype(jnp.float32)
         * jnp.float32(1.0 / 32768.0)
-    )
-    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
-    return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
+    )  # flat interleaved [B, S*C] (AudioBatch device layout)
+    ids = jnp.arange(max_frames * channels, dtype=jnp.int32)[None, :]
+    return jnp.where(ids // channels < n_frames[:, None], pcm, 0.0)
 
 
 @functools.partial(
@@ -371,12 +372,12 @@ def unpack_ima4(
     pcm = (
         out.reshape(64, B, K, channels)
         .transpose(1, 2, 0, 3)
-        .reshape(B, K * 64, channels)[:, :max_frames]
+        .reshape(B, K * 64 * channels)[:, : max_frames * channels]
         .astype(jnp.float32)
         * jnp.float32(1.0 / 32768.0)
-    )
-    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
-    return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
+    )  # flat interleaved [B, S*C] (AudioBatch device layout)
+    ids = jnp.arange(max_frames * channels, dtype=jnp.int32)[None, :]
+    return jnp.where(ids // channels < n_frames[:, None], pcm, 0.0)
 
 
 # MS ADPCM (WAV format 0x02): the 7 standard predictor coefficient pairs
@@ -468,9 +469,9 @@ def unpack_ms_adpcm(
     pcm = (
         samples.reshape(spb, B, K, C)
         .transpose(1, 2, 0, 3)
-        .reshape(B, K * spb, C)[:, :max_frames]
+        .reshape(B, K * spb * C)[:, : max_frames * C]
         .astype(jnp.float32)
         * jnp.float32(1.0 / 32768.0)
-    )
-    frame_ids = jnp.arange(max_frames, dtype=jnp.int32)[None, :, None]
-    return jnp.where(frame_ids < n_frames[:, None, None], pcm, 0.0)
+    )  # flat interleaved [B, S*C] (AudioBatch device layout)
+    ids = jnp.arange(max_frames * C, dtype=jnp.int32)[None, :]
+    return jnp.where(ids // C < n_frames[:, None], pcm, 0.0)

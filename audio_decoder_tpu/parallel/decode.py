@@ -60,7 +60,9 @@ def decode_pcm_step(
 ):
     """Parse + unpack a uniform-config batch in ONE compiled program.
 
-    Returns (pcm [B, max_frames, channels], meta dict).  Files whose actual
+    Returns (pcm [B, max_frames*channels] flat interleaved — the
+    AudioBatch device layout, core/batch.py — plus a meta dict).  Files
+    whose actual
     geometry disagrees with the static config get err=ERR_INVALID rather
     than silently mis-decoding.
     """

@@ -265,7 +265,7 @@ def main() -> None:
                 # derive the scalar THROUGH pcm so fetching it forces the
                 # whole decode execution (audio_seconds alone would not
                 # depend on the pcm buffer)
-                anchor = batch.pcm[:, -1, :].sum() * 0.0
+                anchor = batch.data[:, -1].sum() * 0.0
                 mp3_secs.append(batch.audio_seconds() + anchor)
         audio = float(wav_frames) / rate
         audio += sum(float(s) for s in mp3_secs)
@@ -361,7 +361,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 secs = 0.0
                 for _idxs, fb in flac_dec.decode_group(fassets):
-                    anchor = fb.pcm[:, -1, :].sum() * 0.0
+                    anchor = fb.data[:, -1].sum() * 0.0
                     secs += float(fb.audio_seconds() + anchor)
                 best_f = max(best_f, secs / (time.perf_counter() - t0))
             if best_f:

@@ -12,8 +12,8 @@ from audio_decoder_tpu.utils.trace import Tracer
 
 def _batch(n, frames, ch, rate=44100, err=None):
     rng = np.random.default_rng(n * 7 + frames)
-    return AudioBatch(
-        pcm=jnp.asarray(rng.standard_normal((n, frames, ch)), jnp.float32) * 0.1,
+    return AudioBatch.from_pcm(
+        jnp.asarray(rng.standard_normal((n, frames, ch)), jnp.float32) * 0.1,
         sample_rate=jnp.full((n,), rate, jnp.int32),
         num_channels=jnp.full((n,), ch, jnp.int32),
         bits_per_sample=jnp.full((n,), 16, jnp.int32),

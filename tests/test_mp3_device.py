@@ -89,7 +89,8 @@ def _fused(ln: "FE.Mp3Lanes") -> np.ndarray:
     pcm = mp3_decode_fused(
         *_fused_args(ln), channels=C, joint_stereo=ln.joint_stereo
     )
-    return np.asarray(pcm[0])[:, :C]
+    # kernel emits flat interleaved [B, S*C]; host reshape is free
+    return np.asarray(pcm[0]).reshape(-1, C)
 
 
 @pytest.mark.parametrize("kind,ch,mode,bitrate,sr", CASES)

@@ -56,7 +56,8 @@ def _tpu_decode(blob: bytes) -> tuple[np.ndarray, int]:
         channels=C,
         joint_stereo=an.joint_stereo,
     )
-    return np.asarray(pcm[0])[:, : an.channels], an.sample_rate
+    # kernel emits flat interleaved [B, S*C]; host reshape is free
+    return (np.asarray(pcm[0]).reshape(-1, an.channels), an.sample_rate)
 
 
 @pytest.mark.parametrize(

@@ -50,7 +50,8 @@ def test_sharded_wav_decode_matches_single(mesh8, rng):
     assert int(np.asarray(meta["err"]).sum()) == 0
     assert int(rate) == 44100 and int(ch) == 2
     for i, ref in enumerate(refs):
-        got = np.round(np.asarray(pcm[i]) * 32768.0).astype(np.int16)
+        got2 = np.asarray(pcm[i]).reshape(-1, 2)  # flat interleaved out
+        got = np.round(got2 * 32768.0).astype(np.int16)
         np.testing.assert_array_equal(got, ref)
 
 
@@ -82,7 +83,7 @@ def test_sharded_mp3_decode_matches_single(mesh8, rng):
     ref, _ = MO.decode(blob)
     n = min(len(ref), ln.n_granules * 576)
     for i in range(B):  # every data shard decodes identically + correctly
-        got = np.asarray(pcm[i])[:n, : ln.channels]
+        got = np.asarray(pcm[i]).reshape(-1, ln.channels)[:n]
         rms = float(np.sqrt(((ref[:n] - got) ** 2).mean()))
         assert rms < 5e-7, f"shard {i}: rms {rms}"
 
@@ -159,7 +160,8 @@ def test_uneven_batch_pads_and_masks(mesh8, rng):
     # consensus collective ignored the padding rows
     assert int(rate) == 44100 and int(ch) == 2
     for i, ref in enumerate(refs):
-        got = np.round(np.asarray(pcm[i]) * 32768.0).astype(np.int16)
+        got2 = np.asarray(pcm[i]).reshape(-1, 2)  # flat interleaved out
+        got = np.round(got2 * 32768.0).astype(np.int16)
         np.testing.assert_array_equal(got, ref)
 
 
@@ -273,6 +275,6 @@ def test_sharded_flac_decode_matches_single(mesh8, rng):
     ).flac_decode_batch(*args, **statics)
     np.testing.assert_array_equal(np.asarray(pcm), np.asarray(single))
     for i, ref in enumerate(refs):
-        got = np.round(np.asarray(pcm[i, :S]).astype(np.float64)
-                       * 2.0 ** 15).astype(np.int64)
+        got3 = np.asarray(pcm[i]).reshape(-1, 2)[:S]  # flat interleaved
+        got = np.round(got3.astype(np.float64) * 2.0 ** 15).astype(np.int64)
         np.testing.assert_array_equal(got, ref)

@@ -61,8 +61,8 @@ def test_consensus_resample_batch():
     pcm = np.zeros((2, S, 2), np.float32)
     pcm[0, : xa.shape[0]] = xa
     pcm[1, : xb.shape[0]] = xb
-    batch = AudioBatch(
-        pcm=jnp.asarray(pcm),
+    batch = AudioBatch.from_pcm(
+        jnp.asarray(pcm),
         sample_rate=jnp.asarray([rate_a, rate_b], jnp.int32),
         num_channels=jnp.asarray([2, 2], jnp.int32),
         bits_per_sample=jnp.asarray([16, 16], jnp.int32),
@@ -121,8 +121,8 @@ def test_resample_length_policy():
     B, S, C = 1, 1000, 1
     pcm = jnp.asarray(np.random.default_rng(2).uniform(-0.5, 0.5, (B, S, C)),
                       jnp.float32)
-    batch = AudioBatch(
-        pcm=pcm, sample_rate=jnp.asarray([22050]),
+    batch = AudioBatch.from_pcm(
+        pcm, sample_rate=jnp.asarray([22050]),
         num_channels=jnp.asarray([1]), bits_per_sample=jnp.asarray([16]),
         valid_frames=jnp.asarray([999]), err=jnp.asarray([0]),
         names=("a",), formats=("wav",),
@@ -132,8 +132,8 @@ def test_resample_length_policy():
     assert int(flo.valid_frames[0]) == 999 * 2  # (999//1)*2, M=1 L=2
     assert int(exa.valid_frames[0]) == 1998
     # a ratio with M>1: 48000->44100 is L=147 M=160
-    batch48 = AudioBatch(
-        pcm=pcm, sample_rate=jnp.asarray([48000]),
+    batch48 = AudioBatch.from_pcm(
+        pcm, sample_rate=jnp.asarray([48000]),
         num_channels=jnp.asarray([1]), bits_per_sample=jnp.asarray([16]),
         valid_frames=jnp.asarray([999]), err=jnp.asarray([0]),
         names=("a",), formats=("wav",),
