@@ -29,9 +29,14 @@ from .device import K_CODES, flac_decode_batch
 
 
 def _bucket(n: int, minimum: int = 1) -> int:
+    """Round n up to a power of two OR 3/4 of one (two sizes per octave,
+    like the MPEG family's _bucket): pure powers of two waste up to 50%
+    padding on wire bytes and scan lanes; the 3/4 step caps it at ~1/3."""
     size = minimum
     while size < n:
         size *= 2
+    if size > minimum and n <= size // 4 * 3:
+        return size // 4 * 3
     return size
 
 

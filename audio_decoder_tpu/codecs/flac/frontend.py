@@ -46,6 +46,14 @@ FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 # directly (``dv_*`` lanes), so ANY legal stream decodes exactly.
 Q_CAP = 40
 
+#: max rice codes per device lane: long partitions are cut at every
+#: RICE_SPLIT-th code during the walk (the cursor passes every code
+#: anyway, so recording the cut positions is free).  Bounds the device
+#: scan to RICE_SPLIT/K_CODES sequential steps and keeps the value
+#: scatter dense — unsplit, one whole-frame partition forces every
+#: lane's padding to the worst case (measured 2.9 s -> see PERFORMANCE).
+RICE_SPLIT = 256
+
 _BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608, 8: 256, 9: 512,
               10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
 _SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
@@ -160,23 +168,29 @@ class _Bits:
         self.pos = t + 1
         return q
 
-    def skip_rice(self, count: int, param: int) -> list:
+    def skip_rice(self, count: int, param: int,
+                  split: int = 0) -> tuple[list, np.ndarray]:
         """Advance past ``count`` rice codes with parameter ``param`` —
         the hot inner loop of the structural walk.
 
-        Returns the quotient *outliers*: ``(code_idx, end_bitpos,
-        value)`` for every code whose unary quotient exceeds ``Q_CAP``
-        (``value`` is the final unzigzagged residual; ``end_bitpos`` the
-        first bit after the code) so the residual walk can split the
-        device lane around them."""
+        Returns ``(outliers, splits)``.  Outliers are ``(code_idx,
+        end_bitpos, value)`` for every code whose unary quotient exceeds
+        ``Q_CAP`` (``value`` is the final unzigzagged residual;
+        ``end_bitpos`` the first bit after the code) so the residual
+        walk can split the device lane around them.  With ``split`` > 0,
+        ``splits[k]`` is the bit cursor before code ``(k+1)*split`` —
+        the walk cuts lanes there so no device lane exceeds ``split``
+        codes (bounded scan depth, dense scatter)."""
         fast = _native.skip_rice(self.raw, self.n, self.pos, count,
-                                 param, Q_CAP)
+                                 param, Q_CAP, split)
         if fast is not None:
             self.pos = fast[0]
-            return fast[1]
+            return fast[1], fast[2]
         # pure-Python fallback (also the native path's tested contract);
         # the native path declines EOF-crossing runs so the error
         # taxonomy below stays authoritative
+        scap = (count - 1) // split if split > 0 else 0
+        splits = np.empty((scap,), np.int64)
         ones, pos = self.ones, self.pos
         i = int(np.searchsorted(ones, pos))
         n1 = ones.shape[0]
@@ -194,9 +208,13 @@ class _Bits:
             for j in np.flatnonzero(q > Q_CAP):
                 v = int(q[j])
                 out.append((int(j), int(seg[j]) + 1, (v >> 1) ^ -(v & 1)))
+            if scap:
+                splits[:] = starts[split::split][:scap]
             self.pos = int(seg[-1]) + 1 if count else pos
-            return out
+            return out, splits
         for j in range(count):
+            if split > 0 and j > 0 and j % split == 0:
+                splits[j // split - 1] = pos
             if i >= n1:
                 raise E.UnexpectedEofError("rice run past end of stream")
             t = int(ones[i])
@@ -214,7 +232,7 @@ class _Bits:
         self.pos = pos
         if pos > self.n:
             raise E.UnexpectedEofError("rice run past end of stream")
-        return out
+        return out, splits
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -388,8 +406,30 @@ def _walk_residual(bits: _Bits, sub_idx: int, n: int, order: int,
                 raise E.UnexpectedEofError("escaped partition past end")
         else:
             start = bits.pos
+            outs, splits = bits.skip_rice(cnt, param, split=RICE_SPLIT)
+            # merged emission: outlier cuts (code shipped host-decoded)
+            # and RICE_SPLIT-boundary cuts (lane-depth bound) — every
+            # emitted lane has count <= RICE_SPLIT, so the device scan
+            # depth and the per-lane value padding stay bounded
+            oi, no = 0, len(outs)
             prev_j, prev_pos = 0, start
-            for j, end_pos, val in bits.skip_rice(cnt, param):
+            for k in range(splits.shape[0]):
+                sj = (k + 1) * RICE_SPLIT
+                while oi < no and outs[oi][0] < sj:
+                    j, end_pos, val = outs[oi]
+                    oi += 1
+                    if j > prev_j:
+                        rl.append((sub_idx, prev_pos, j - prev_j, param,
+                                   dest + prev_j))
+                    dv.append((sub_idx, dest + j, val))
+                    prev_j, prev_pos = j + 1, end_pos
+                if sj > prev_j:
+                    rl.append((sub_idx, prev_pos, sj - prev_j, param,
+                               dest + prev_j))
+                    prev_j, prev_pos = sj, int(splits[k])
+            while oi < no:
+                j, end_pos, val = outs[oi]
+                oi += 1
                 if j > prev_j:
                     rl.append((sub_idx, prev_pos, j - prev_j, param,
                                dest + prev_j))

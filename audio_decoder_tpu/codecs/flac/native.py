@@ -63,7 +63,7 @@ def _load():
         lib.flacfe_skip_rice.argtypes = [
             C.c_char_p, C.c_int64, C.c_int64, C.c_int64, C.c_int32,
             C.c_int32, C.POINTER(C.c_int64), C.c_int64,
-            C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64), C.c_int64, C.POINTER(C.c_int64),
         ]
         lib.flacfe_crc8.restype = C.c_uint32
         lib.flacfe_crc8.argtypes = [C.c_char_p, C.c_int64]
@@ -78,25 +78,31 @@ def available() -> bool:
 
 
 def skip_rice(blob: bytes, nbits: int, pos: int, count: int,
-              param: int, q_cap: int) -> tuple[int, list] | None:
-    """(new_pos, outlier triples) — or None when the native path can't
-    serve this call (no library / EOF semantics / outlier overflow), in
-    which case the caller falls back to the Python walk, whose error
-    taxonomy is the contract."""
+              param: int, q_cap: int, split: int = 0,
+              ) -> tuple[int, list, np.ndarray] | None:
+    """(new_pos, outlier triples, split bit positions) — or None when
+    the native path can't serve this call (no library / EOF semantics /
+    outlier overflow), in which case the caller falls back to the
+    Python walk, whose error taxonomy is the contract.  With
+    ``split`` > 0, entry k of the positions array is the bit cursor
+    before code (k+1)*split — the lane-cut points."""
     lib = _load()
     if lib is None:
         return None
     out = np.empty((_OUT_CAP, 3), np.int64)
+    scap = (count - 1) // split if split > 0 else 0
+    splits = np.empty((max(scap, 1),), np.int64)
     n_out = C.c_int64(0)
     new_pos = lib.flacfe_skip_rice(
         blob, nbits, pos, count, param, q_cap,
         out.ctypes.data_as(C.POINTER(C.c_int64)), _OUT_CAP,
-        C.byref(n_out),
+        C.byref(n_out), split,
+        splits.ctypes.data_as(C.POINTER(C.c_int64)),
     )
     if new_pos < 0:
         return None
     triples = [(int(a), int(b), int(c)) for a, b, c in out[: n_out.value]]
-    return int(new_pos), triples
+    return int(new_pos), triples, splits[:scap]
 
 
 def crc8(data) -> int | None:

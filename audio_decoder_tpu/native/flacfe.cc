@@ -58,14 +58,20 @@ extern "C" {
 // Advance past `count` rice codes with parameter `param` starting at bit
 // `pos` of an `nbits`-bit stream.  Quotient outliers (q > q_cap) are
 // written to `out` as (code_idx, end_bitpos, unzigzagged_value) triples,
-// capacity `cap` triples.  Returns the new bit position, -1 if any code
+// capacity `cap` triples.  When `split` > 0, the bit position BEFORE
+// code j is recorded in `splits[j/split - 1]` for every positive
+// multiple j of `split` below `count` (capacity (count-1)/split, exact
+// by construction) — the walk uses these to cut long partitions into
+// bounded device lanes.  Returns the new bit position, -1 if any code
 // runs past the end of the stream, -2 on outlier-capacity overflow.
 int64_t flacfe_skip_rice(const uint8_t* buf, int64_t nbits, int64_t pos,
                          int64_t count, int32_t param, int32_t q_cap,
-                         int64_t* out, int64_t cap, int64_t* n_out) {
+                         int64_t* out, int64_t cap, int64_t* n_out,
+                         int64_t split, int64_t* splits) {
     const int64_t nbytes = (nbits + 7) >> 3;
     int64_t nout = 0;
     for (int64_t j = 0; j < count; ++j) {
+        if (split > 0 && j > 0 && j % split == 0) splits[j / split - 1] = pos;
         int64_t q = 0;
         for (;;) {
             if (pos >= nbits) return -1;
