@@ -207,12 +207,29 @@ def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
     like every family); walked files group by channel count."""
     analyses: dict[int, frontend.FlacAnalysis] = {}
     failed: list[tuple[int, int]] = []
+
+    def _walk(i_a):
+        i, a = i_a
+        try:
+            return i, frontend.analyze(a.data), 0
+        except E.DecodeError as e:
+            return i, None, e.code
+
     with TRACE.stage("flac/walk"):
-        for i, a in enumerate(assets):
-            try:
-                analyses[i] = frontend.analyze(a.data)
-            except E.DecodeError as e:
-                failed.append((i, e.code))
+        # per-file walks are independent, and the native rice skipper
+        # (the walk's hot loop) releases the GIL — thread across files
+        if len(assets) > 1:
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(min(8, len(assets))) as ex:
+                results = list(ex.map(_walk, enumerate(assets)))
+        else:
+            results = [_walk(ia) for ia in enumerate(assets)]
+        for i, an, code in results:
+            if an is None:
+                failed.append((i, code))
+            else:
+                analyses[i] = an
 
     pieces: list[tuple[list[int], AudioBatch]] = []
     if failed:
