@@ -197,3 +197,41 @@ def test_model_registry_is_the_dispatch_surface():
     assert idxs == [0]
     got = np.round(np.asarray(batch.pcm[0, :300]) * 32768.0).astype(np.int16)
     np.testing.assert_array_equal(got, pcm)
+
+
+def test_flat_device_layout_invariants():
+    """AudioBatch stores PCM flat interleaved (core/batch.py): data is
+    [B, S*C] (TPU tile-friendly — a trailing channel dim would pad
+    64-128x), .pcm is the free planar view, and from_pcm round-trips."""
+    b = _batch(2, 200, 2)
+    assert b.data.ndim == 2 and b.data.shape == (2, 400)
+    assert b.channels == 2 and b.max_frames == 200 and b.max_channels == 2
+    # the planar view is the C-order reshape of the flat rows
+    np.testing.assert_array_equal(
+        np.asarray(b.pcm), np.asarray(b.data).reshape(2, 200, 2))
+    # interleaving: (frame s, channel c) sits at flat index s*C + c
+    np.testing.assert_array_equal(
+        np.asarray(b.pcm[0, 3, 1]), np.asarray(b.data[0, 3 * 2 + 1]))
+    # from_pcm(planar) -> identical flat storage
+    import jax.numpy as jnp
+
+    b2 = AudioBatch.from_pcm(
+        b.pcm, sample_rate=b.sample_rate, num_channels=b.num_channels,
+        bits_per_sample=b.bits_per_sample, valid_frames=b.valid_frames,
+        err=b.err, names=b.names, formats=b.formats)
+    assert b2.channels == 2
+    np.testing.assert_array_equal(np.asarray(b2.data), np.asarray(b.data))
+    # file() trims from the flat row without a device-side 3-D relayout
+    f = b.file(1)
+    np.testing.assert_array_equal(
+        f.pcm, np.asarray(b.data[1]).reshape(200, 2))
+    # mono stored in stereo storage: file() trims the channel axis too
+    wide = AudioBatch(
+        data=jnp.asarray(np.arange(12, dtype=np.float32)[None] / 16.0),
+        sample_rate=jnp.asarray([8000]), num_channels=jnp.asarray([1]),
+        bits_per_sample=jnp.asarray([16]), valid_frames=jnp.asarray([5]),
+        err=jnp.asarray([0]), names=("m",), formats=("wav",), channels=2)
+    fm = wide.file(0)
+    assert fm.pcm.shape == (5, 1)
+    np.testing.assert_array_equal(
+        fm.pcm[:, 0], np.arange(0, 10, 2, dtype=np.float32) / 16.0)
