@@ -185,8 +185,18 @@ def cmd_transcode(args) -> int:
     surface and the export surface joined end-to-end."""
     from .codecs.registry import decode_paths
     from .dsp.resample import resample_batch
-    from .io.encode import write_audio
+    from .io.encode import FLOAT_CONTAINERS, write_audio
 
+    ext = args.out.rsplit(".", 1)[-1].lower() if "." in args.out else ""
+    if args.float_:
+        if ext not in FLOAT_CONTAINERS:
+            print(f"error: container {ext!r} has no float form",
+                  file=sys.stderr)
+            return 1
+        if args.bits not in (16, 32):  # 16 = the flag's default
+            print("error: --float output is 32-bit", file=sys.stderr)
+            return 1
+        args.bits = 32  # float forms are IEEE f32 in every container
     batch = decode_paths([args.input])
     f = batch.file(0)
     if f.err:
@@ -198,7 +208,7 @@ def cmd_transcode(args) -> int:
         rate = args.rate
     kw = {"bits": args.bits}
     if args.float_:
-        kw["float_"] = True  # writers without a float form reject it
+        kw["float_"] = True  # container validated float-capable above
     write_audio(args.out, pcm, rate, **kw)
     print(f"{args.input}: {f.format} {f.sample_rate} Hz "
           f"{f.num_channels} ch → {args.out} ({rate} Hz, "

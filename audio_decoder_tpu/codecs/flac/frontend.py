@@ -494,6 +494,16 @@ def _walk_subframe(bits: _Bits, sub_idx: int, n: int, bps: int,
         raise E.InvalidDataError(f"reserved subframe type {ftype}")
 
 
+def _dv_i32(vals: np.ndarray) -> np.ndarray:
+    """Host-decoded outlier residuals ride an int32 device scatter; a
+    pathological-but-syntactically-valid stream can rice-code values
+    past that — refuse instead of silently wrapping (no real encoder
+    emits them: residuals of legal ≤26-bit audio fit i32 easily)."""
+    if vals.size and (vals.max() > 2**31 - 1 or vals.min() < -(2**31)):
+        raise E.UnsupportedFormatError("rice residual exceeds 32-bit range")
+    return vals.astype(np.int32)
+
+
 def analyze(blob: bytes) -> FlacAnalysis:
     """Full structural walk of one FLAC stream → flat lane descriptors.
 
@@ -635,5 +645,5 @@ def analyze(blob: bytes) -> FlacAnalysis:
         fw_dest=np.asarray([w[4] for w in fw], np.int32),
         dv_sub=np.asarray([d[0] for d in dv], np.int32),
         dv_dest=np.asarray([d[1] for d in dv], np.int32),
-        dv_val=np.asarray([d[2] for d in dv], np.int64).astype(np.int32),
+        dv_val=_dv_i32(np.asarray([d[2] for d in dv], np.int64)),
     )

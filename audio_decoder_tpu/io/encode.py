@@ -262,6 +262,12 @@ _WRITERS = {
     "flac": _encode_flac,
 }
 
+#: containers with a 32-bit IEEE-float form (FLAC is integer-only by
+#: spec; AIFF float would be AIFC fl32, which the writer doesn't emit)
+#: — callers validate against this instead of catching the writers'
+#: errors
+FLOAT_CONTAINERS = frozenset({"wav", "au", "snd", "caf"})
+
 
 def export_batch(
     out_dir: str,

@@ -14,6 +14,7 @@
 // structure-finding cursor does, and it runs in C.
 
 #include <cstdint>
+#include <mutex>
 
 namespace {
 
@@ -33,22 +34,25 @@ inline uint64_t win64(const uint8_t* buf, int64_t nbytes, int64_t bitpos) {
 
 uint8_t CRC8_TAB[256];
 uint16_t CRC16_TAB[256];
-bool tabs_ready = false;
+std::once_flag tabs_once;
 
+// callers race here: decode_group threads the per-file walk and the
+// ctypes calls drop the GIL, so first-touch must be call_once, not a
+// check-then-write flag
 void init_tabs() {
-    if (tabs_ready) return;
-    for (int b = 0; b < 256; ++b) {
-        uint32_t r = b;
-        for (int i = 0; i < 8; ++i)
-            r = (r & 0x80) ? ((r << 1) ^ 0x07) & 0xFF : (r << 1) & 0xFF;
-        CRC8_TAB[b] = (uint8_t)r;
-        r = b << 8;
-        for (int i = 0; i < 8; ++i)
-            r = (r & 0x8000) ? ((r << 1) ^ 0x8005) & 0xFFFF
-                             : (r << 1) & 0xFFFF;
-        CRC16_TAB[b] = (uint16_t)r;
-    }
-    tabs_ready = true;
+    std::call_once(tabs_once, [] {
+        for (int b = 0; b < 256; ++b) {
+            uint32_t r = b;
+            for (int i = 0; i < 8; ++i)
+                r = (r & 0x80) ? ((r << 1) ^ 0x07) & 0xFF : (r << 1) & 0xFF;
+            CRC8_TAB[b] = (uint8_t)r;
+            r = b << 8;
+            for (int i = 0; i < 8; ++i)
+                r = (r & 0x8000) ? ((r << 1) ^ 0x8005) & 0xFFFF
+                                 : (r << 1) & 0xFFFF;
+            CRC16_TAB[b] = (uint16_t)r;
+        }
+    });
 }
 
 }  // namespace

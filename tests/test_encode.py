@@ -213,6 +213,11 @@ def test_transcode_cli(tmp_path, rng):
     g = _decode_one(out2.read_bytes(), "wav")
     assert g.err == 0 and g.sample_rate == 22050
     assert abs(g.pcm.shape[0] - 250) <= 2
+    # --float into a container with no float form (FLAC is integer-only
+    # by spec): clean one-line error + nonzero exit, not a TypeError
+    assert main(["transcode", str(src), str(tmp_path / "x.flac"),
+                 "--float"]) == 1
+    assert not (tmp_path / "x.flac").exists()
 
 
 def test_export_cli(tmp_path, rng):
