@@ -97,6 +97,14 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
     rice_steps, fw_imax = sz["rice_steps"], sz["fw_imax"]
     F, Lr, Lw, Ld = sz["F"], sz["Lr"], sz["Lw"], sz["Ld"]
 
+    # bit positions ride int32 on the device — the PHYSICAL limit; the
+    # routing policy (frontend.BIT_CAP) sends bigger files through the
+    # chunked path before they ever reach here
+    for a in analyses:
+        if len(a.data) * 8 >= (1 << 31):
+            raise E.UnsupportedFormatError(
+                "file exceeds int32 device bit positions; decode chunked")
+
     # --- byte tensor (nbytes includes +4 so _be_words' 4-byte fold
     #     never truncates a partial trailing word)
     bufs = np.zeros((B, nbytes), np.uint8)
@@ -200,36 +208,119 @@ def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
     )
 
 
+def _host_piece(idxs: list[int], assets) -> tuple[list[int], AudioBatch]:
+    """Decode 26-32-bit files on the host (int64-exact; host.decode_ints)
+    and batch the nearest-f32 PCM — the f32 surface is lossless through
+    25 bits, same contract as 32-bit-int WAV."""
+    from . import host
+
+    names, codes, pcms, infos = [], [], [], []
+    for i in idxs:
+        names.append(assets[i].name)
+        try:
+            ints, info = host.decode_ints(assets[i].data)
+            pcms.append(ints.astype(np.float64)
+                        * 2.0 ** (1 - info["bits"]))
+            infos.append(info)
+            codes.append(0)
+        except E.DecodeError as e:
+            pcms.append(np.zeros((0, 1)))
+            infos.append(dict(rate=0, channels=0, bits=0, total=0))
+            codes.append(e.code)
+    smax = max((p.shape[0] for p in pcms), default=1) or 1
+    cmax = max((p.shape[1] for p in pcms), default=1) or 1
+    data = np.zeros((len(idxs), smax * cmax), np.float32)
+    for k, p in enumerate(pcms):
+        if p.size:
+            row = np.zeros((smax, cmax), np.float32)
+            row[: p.shape[0], : p.shape[1]] = p.astype(np.float32)
+            data[k] = row.reshape(-1)
+    return idxs, AudioBatch(
+        data=jnp.asarray(data), channels=cmax,
+        sample_rate=jnp.asarray([i_["rate"] for i_ in infos], jnp.int32),
+        num_channels=jnp.asarray([i_["channels"] for i_ in infos],
+                                 jnp.int32),
+        bits_per_sample=jnp.asarray([i_["bits"] for i_ in infos],
+                                    jnp.int32),
+        valid_frames=jnp.asarray([i_["total"] for i_ in infos], jnp.int32),
+        err=jnp.asarray(codes, jnp.int32),
+        names=tuple(names), formats=("flac",) * len(idxs),
+    )
+
+
+def _chunked_piece(i: int, an: frontend.FlacAnalysis, name: str
+                   ) -> tuple[list[int], AudioBatch]:
+    """One-shot decode of a >BIT_CAP file through the frame-chunked path
+    (stream.slice_frames rebases every chunk's bit positions near zero,
+    so int32 device lanes hold them no matter the file size)."""
+    from .stream import slice_frames
+
+    F = an.n_frames
+    # greedy frame windows: each chunk's byte span stays far inside the
+    # cap (so the sliced analyses pass pack_group's int32 guard), and at
+    # most 2048 frames so device memory stays bounded
+    byte_cap = max(frontend.BIT_CAP // 8 // 16,
+                   int((an.byte_offs[1:] - an.byte_offs[:-1]).max()))
+    cuts = [0]
+    while cuts[-1] < F:
+        a = cuts[-1]
+        b = min(a + 2048, F)
+        while b > a + 1 and int(an.byte_offs[b] - an.byte_offs[a]) > byte_cap:
+            b = a + max(1, (b - a) // 2)
+        cuts.append(b)
+    outs = []
+    slices = [slice_frames(an, a, b) for a, b in zip(cuts, cuts[1:])]
+    sz = sizing_for(slices) if slices else None
+    for sl in slices:
+        b = _decode_batch([sl], [name], sizing=sz)
+        E.raise_for_code(int(np.asarray(b.err)[0]), name)
+        outs.append(np.asarray(b.data)[0].reshape(
+            -1, b.channels)[: sl.total])
+    pcm = (np.concatenate(outs, axis=0) if outs
+           else np.zeros((0, an.channels), np.float32))
+    return [i], AudioBatch(
+        data=jnp.asarray(pcm.reshape(1, -1)), channels=an.channels,
+        sample_rate=jnp.asarray([an.sample_rate], jnp.int32),
+        num_channels=jnp.asarray([an.channels], jnp.int32),
+        bits_per_sample=jnp.asarray([an.bits], jnp.int32),
+        valid_frames=jnp.asarray([an.total], jnp.int32),
+        err=jnp.zeros((1,), jnp.int32),
+        names=(name,), formats=("flac",),
+    )
+
+
 def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
     """Family decoder: ``[(family_local_indices, AudioBatch), ...]``.
 
     Per-file walk failures become error-batch pieces (catch-and-skip,
-    like every family); walked files group by channel count."""
+    like every family); walked files group by channel count.  Two
+    routes exist beside the fused batch program: 26-32-bit streams
+    decode on the host (int64-exact, ``host.decode_ints``), and files
+    past BIT_CAP decode frame-chunked (rebased int32 lane positions) —
+    no legal RFC 9639 stream is rejected."""
     analyses: dict[int, frontend.FlacAnalysis] = {}
     failed: list[tuple[int, int]] = []
+    host_route: list[int] = []
+    walk_idx: list[int] = []
 
-    def _walk(i_a):
-        i, a = i_a
+    for i, a in enumerate(assets):
         try:
-            return i, frontend.analyze(a.data), 0
-        except E.DecodeError as e:
-            return i, None, e.code
+            if frontend.parse_streaminfo(a.data)["bits"] > frontend.MAX_BPS:
+                host_route.append(i)
+                continue
+        except E.DecodeError:
+            pass  # let the walk assign the authoritative error code
+        walk_idx.append(i)
 
     with TRACE.stage("flac/walk"):
-        # per-file walks are independent, and the native rice skipper
-        # (the walk's hot loop) releases the GIL — thread across files
-        if len(assets) > 1:
-            import concurrent.futures as _cf
-
-            with _cf.ThreadPoolExecutor(min(8, len(assets))) as ex:
-                results = list(ex.map(_walk, enumerate(assets)))
-        else:
-            results = [_walk(ia) for ia in enumerate(assets)]
-        for i, an, code in results:
-            if an is None:
-                failed.append((i, code))
+        # one native session walks every blob exactly once, threaded in
+        # C (frontend.analyze_batch; Python thread-pool fallback inside)
+        results = frontend.analyze_batch([assets[i].data for i in walk_idx])
+        for i, r in zip(walk_idx, results):
+            if isinstance(r, E.DecodeError):
+                failed.append((i, r.code))
             else:
-                analyses[i] = an
+                analyses[i] = r
 
     pieces: list[tuple[list[int], AudioBatch]] = []
     if failed:
@@ -238,10 +329,17 @@ def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
             _error_batch([assets[i].name for i, _ in failed],
                          [c for _, c in failed]),
         ))
+    if host_route:
+        with TRACE.stage("flac/host"):
+            pieces.append(_host_piece(host_route, assets))
 
     groups: dict[int, list[int]] = {}
     for i, an in analyses.items():
-        groups.setdefault(an.channels, []).append(i)
+        if len(an.data) * 8 >= frontend.BIT_CAP:
+            with TRACE.stage("flac/device"):
+                pieces.append(_chunked_piece(i, an, assets[i].name))
+        else:
+            groups.setdefault(an.channels, []).append(i)
     for chn, idxs in sorted(groups.items()):
         with TRACE.stage("flac/device"):
             batch = _decode_batch([analyses[i] for i in idxs],

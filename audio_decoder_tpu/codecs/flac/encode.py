@@ -42,6 +42,8 @@ __all__ = ["encode_flac", "flac_analyze_batch"]
 
 _ORDERS = 5       # FIXED predictor orders 0..4
 _KMAX = 30        # largest rice parameter considered (method-1 space)
+_LPC_PREC = 15    # quantized LPC coefficient precision (field = prec-1)
+MAX_LPC_ORDER = 8  # default -5-ish analysis depth (encode_flac knob)
 _BS_CODE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
             1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
 _RATE_CODE = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
@@ -54,28 +56,37 @@ _MODE_CODE = np.array([0, 8, 9, 10], np.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "channels", "nmax", "npart", "dither")
+    jax.jit,
+    static_argnames=("bits", "channels", "nmax", "maxo", "dither"),
 )
-def flac_analyze_batch(
+def flac_cost_batch(
     pcm: jax.Array,      # f32 [F, nmax, C] frame-blocked PCM (padding 0)
     nvalid: jax.Array,   # i32 [F] valid samples per frame
     *,
     bits: int,
     channels: int,
     nmax: int,
-    npart: int,
+    maxo: int,
     dither: int | None = None,
 ):
-    """Whole-file FLAC encode analysis → per-frame coding decisions.
+    """Encode pass A — per-frame predictor ECONOMICS, not residuals.
+
+    Quantizes the input, builds the four stereo-decorrelation candidates,
+    runs the FIXED residual ladder's closed-form rice cost model, and
+    computes windowed autocorrelation lags 0..maxo for LPC analysis.
+    The host picks predictors from these (Levinson-Durbin + coefficient
+    quantization are O(F·maxo²) scalar-chain work — see ``_levinson``);
+    pass B (``flac_residual_batch``) then does the O(S) residual math on
+    device for whatever the host chose.
 
     Returns a dict of device arrays:
-      ints  i32 [F, C, nmax]   quantized input samples (MD5/verbatim src)
-      mode  i32 [F]            frame channel-mode code (0 / 8 / 9 / 10)
-      kind  i32 [F, C]         0 = FIXED, 1 = CONSTANT, per subchannel
-      order i32 [F, C]         chosen FIXED order (when kind == 0)
-      sub   i32 [F, C, nmax]   derived-channel samples (warmup source)
-      resid i32 [F, C, nmax]   chosen-order residuals (valid from `order`)
-      psums f32 [F, C, npart]  Σ zigzag(residual) per partition cell
+      ints        i32 [F, C, nmax]     quantized input (MD5/verbatim src)
+      cands       i32 [F, NC, nmax]    decorrelation candidates (stays on
+                                       device; feeds pass B)
+      fixed_cost  f32 [F, NC]          best modeled FIXED subframe bits
+      fixed_order i32 [F, NC]          arg of that minimum (0..4)
+      is_const    bool [F, NC]         all-equal detector
+      acorr       f32 [F, NC, maxo+1]  Tukey(0.5)-windowed autocorrelation
     """
     F, C = pcm.shape[0], channels
     scale = float(1 << (bits - 1))
@@ -124,45 +135,249 @@ def flac_analyze_batch(
     cost = jnp.min(kbits, axis=0) + (
         jnp.arange(_ORDERS, dtype=jnp.float32)[:, None, None]
         * jnp.asarray(cbps, jnp.float32)[None, None, :])  # + warmup bits
-    best_order = jnp.argmin(cost, axis=0).astype(jnp.int32)   # [F, NC]
-    best_cost = jnp.min(cost, axis=0)
+    fixed_order = jnp.argmin(cost, axis=0).astype(jnp.int32)   # [F, NC]
+    fixed_cost = jnp.min(cost, axis=0)
 
     is_const = jnp.all(
         jnp.where(valid[:, None, :], cands == cands[:, :, :1], True), axis=-1)
-    ch_cost = jnp.where(
-        is_const, jnp.asarray(cbps, jnp.float32)[None, :] + 8.0,
-        best_cost + 14.0)  # + subframe/residual header overhead
+
+    # windowed autocorrelation for LPC analysis (Tukey 0.5, the libFLAC
+    # default apodization; the window shapes the *estimate* only — the
+    # residual itself is computed on raw samples in pass B)
+    if maxo > 0:
+        t = idx.astype(jnp.float32) / float(max(nmax - 1, 1))
+        wedge = 0.5 * (1.0 + jnp.cos(jnp.pi * (4.0 * jnp.minimum(
+            t, 1.0 - t) - 1.0)))
+        win = jnp.where((t >= 0.25) & (t <= 0.75), 1.0, wedge)
+        xw = cands.astype(jnp.float32) * win[None, None, :]
+        xw = jnp.where(valid[:, None, :], xw, 0.0)
+        acorr = jnp.stack(
+            [jnp.sum(xw[:, :, : nmax - l] * xw[:, :, l:], axis=-1)
+             for l in range(maxo + 1)], axis=-1)       # [F, NC, maxo+1]
+    else:
+        acorr = jnp.zeros((F, NC, 1), jnp.float32)
+
+    return dict(ints=x, cands=cands, fixed_cost=fixed_cost,
+                fixed_order=fixed_order, is_const=is_const, acorr=acorr)
+
+
+def _exact_shift_dot(lo: jax.Array, accf: jax.Array,
+                     shift: jax.Array) -> jax.Array:
+    """Exact ``sum >> shift`` recombination for ≤46-bit integer sums on
+    i32+f32 hardware, given the i32 wrap-exact sum ``lo`` and an f32
+    estimate ``accf`` within << 2^31 of the true sum (see ``_exact_mac``
+    for the error budget)."""
+    k = jnp.floor((accf - lo.astype(jnp.float32)) * jnp.float32(2.0 ** -32)
+                  + jnp.float32(0.5)).astype(jnp.int32)
+    hi = k - (lo < 0)  # (lo<0) ⇔ lo_u ≥ 2^31 folded into the rounding
+    lo_u = lo.astype(jnp.uint32)
+    sh = shift.astype(jnp.uint32)
+    part = (lo_u >> sh).astype(jnp.int32)
+    full = (hi << jnp.minimum(32 - shift, 31).astype(jnp.uint32)) + part
+    return jnp.where(shift == 0, lo, full)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("channels", "nmax", "npart", "maxo")
+)
+def flac_residual_batch(
+    cands: jax.Array,    # i32 [F, NC, nmax] pass-A candidates
+    nvalid: jax.Array,   # i32 [F]
+    sel: jax.Array,      # i32 [F, C] chosen candidate per subchannel
+    order: jax.Array,    # i32 [F, C] predictor order (0..maxo)
+    coeffs: jax.Array,   # i32 [F, C, maxo] quantized predictor coefficients
+    shift: jax.Array,    # i32 [F, C] predictor right-shift (0 for FIXED)
+    *,
+    channels: int,
+    nmax: int,
+    npart: int,
+    maxo: int,
+):
+    """Encode pass B — exact residuals for the host-chosen predictors.
+
+    One scheme serves FIXED and LPC: residual[i] = x[i] −
+    (Σ_j c_j·x[i−1−j] >> shift) for i ≥ order (FIXED is integer
+    coefficients with shift 0).  The ≤46-bit dot runs exactly on
+    i32+f32 hardware: i32 shifted-multiply-adds give the sum mod 2^32,
+    an f32 replica locates it (|c| < 2^15, |x| < 2^26 ⇒ same budget as
+    ``_exact_mac``), and ``_exact_shift_dot`` recombines.
+
+    Returns dict(sub i32 [F,C,nmax], resid i32 [F,C,nmax],
+    psums f32 [F,C,npart] — Σ zigzag(residual) per partition cell)."""
+    F = cands.shape[0]
+    C = channels
+    sub = jnp.take_along_axis(cands, sel[:, :, None], axis=1)  # [F, C, nmax]
+    sub_f = sub.astype(jnp.float32)
+    lo = jnp.zeros((F, C, nmax), jnp.int32)
+    accf = jnp.zeros((F, C, nmax), jnp.float32)
+    for j in range(maxo):
+        xs = jnp.pad(sub, ((0, 0), (0, 0), (j + 1, 0)))[:, :, :nmax]
+        xsf = jnp.pad(sub_f, ((0, 0), (0, 0), (j + 1, 0)))[:, :, :nmax]
+        cj = coeffs[:, :, j][:, :, None]
+        lo = lo + xs * cj
+        accf = accf + xsf * cj.astype(jnp.float32)
+    pred = _exact_shift_dot(lo, accf, shift[:, :, None])
+    idx = jnp.arange(nmax, dtype=jnp.int32)
+    warm = idx[None, None, :] < order[:, :, None]
+    valid = idx[None, :] < nvalid[:, None]              # [F, nmax]
+    resid = jnp.where(warm, sub, sub - pred)
+    resid = jnp.where(valid[:, None, :], resid, 0)
+
+    zz = ((resid << 1) ^ (resid >> 31)).astype(jnp.uint32)
+    mres = ~warm & valid[:, None, :]
+    psize = nmax // npart
+    psums = (jnp.where(mres, zz, 0).astype(jnp.float32)
+             .reshape(F, C, npart, psize).sum(-1))
+    return dict(sub=sub, resid=resid, psums=psums)
+
+
+def _levinson(r: np.ndarray, maxo: int):
+    """Vectorized Levinson-Durbin over M lanes.
+
+    ``r`` f64 [M, maxo+1] autocorrelation lags.  Returns
+    (lpc f64 [M, maxo, maxo] — row o-1 holds the order-o coefficients
+    in c_0..c_{o-1}, and err f64 [M, maxo+1] — modeled residual energy
+    per order, err[:, 0] = r[:, 0]).  Degenerate lanes (r0 ≤ 0 or a
+    non-positive error, e.g. constant frames) freeze: their remaining
+    orders keep the last valid coefficients and error."""
+    M = r.shape[0]
+    lpc = np.zeros((M, maxo, maxo))
+    err = np.zeros((M, maxo + 1))
+    err[:, 0] = np.maximum(r[:, 0], 0.0)
+    a = np.zeros((M, maxo))
+    for o in range(1, maxo + 1):
+        acc = r[:, o] - np.sum(a[:, : o - 1] * r[:, o - 1:0:-1][:, : o - 1],
+                               axis=1)
+        ok = err[:, o - 1] > 0.0
+        k = np.where(ok, acc / np.where(ok, err[:, o - 1], 1.0), 0.0)
+        k = np.clip(k, -1.0, 1.0)
+        new = a.copy()
+        new[:, o - 1] = k
+        if o > 1:
+            new[:, : o - 1] = a[:, : o - 1] - k[:, None] * a[:, o - 2::-1]
+        a = np.where(ok[:, None], new, a)
+        err[:, o] = np.where(ok, err[:, o - 1] * (1.0 - k * k),
+                             err[:, o - 1])
+        lpc[:, o - 1, :] = a
+    return lpc, err
+
+
+def _quantize_lpc(c: np.ndarray, order: np.ndarray, prec: int):
+    """Quantize float LPC coefficients with error feedback.
+
+    ``c`` f64 [M, O] (taps past ``order[m]`` are ignored and quantize to
+    exactly 0 — the bitstream carries only ``order`` coefficients, so a
+    nonzero tail would desynchronize encoder and decoder predictions).
+    Returns (q i32 [M, O] in [-2^(prec-1), 2^(prec-1)), shift i32 [M]
+    in [0, 15])."""
+    M, O = c.shape
+    live0 = np.arange(O)[None, :] < order[:, None]     # [M, O]
+    cm = np.where(live0, c, 0.0)
+    cmax = np.abs(cm).max(axis=1)
+    # shift chosen so max|c|·2^shift just fits prec-1 integer bits
+    safe = np.where(cmax > 0, cmax, 1.0)
+    shift = (prec - 1) - (np.floor(np.log2(safe)).astype(np.int64) + 1)
+    shift = np.clip(shift, 0, 15).astype(np.int64)
+    lo, hi = -(1 << (prec - 1)), (1 << (prec - 1)) - 1
+    q = np.zeros((M, O), np.int64)
+    e = np.zeros((M,))
+    for j in range(O):
+        live = live0[:, j]
+        v = cm[:, j] * np.exp2(shift.astype(np.float64)) + e
+        qj = np.where(live, np.clip(np.rint(v), lo, hi), 0.0)
+        e = np.where(live, v - qj, e)
+        q[:, j] = qj.astype(np.int64)
+    return q.astype(np.int32), shift.astype(np.int32)
+
+
+def _plan_predictors(out: dict, nvalid: np.ndarray, *, bits: int,
+                     channels: int, maxo: int, nmax: int):
+    """Host half of the encode analysis: Levinson-Durbin on the pass-A
+    autocorrelation, coefficient quantization, LPC-vs-FIXED-vs-CONSTANT
+    selection under one rice cost model, and stereo-mode choice.
+
+    Returns (mode i32 [F], sel/kind/order/shift i32 [F, C],
+    coeffs i32 [F, C, maxo], prec int).  kind: 0 = FIXED, 1 = CONSTANT,
+    2 = LPC (coeffs/shift meaningful for 0 and 2; FIXED rows carry the
+    spec coefficients with shift 0 so pass B runs one scheme)."""
+    F = out["fixed_cost"].shape[0]
+    C = channels
+    fixed_cost = np.asarray(out["fixed_cost"])          # [F, NC]
+    fixed_order = np.asarray(out["fixed_order"])
+    is_const = np.asarray(out["is_const"])
+    NC = fixed_cost.shape[1]
+    if C == 2:
+        cbps = np.array([bits, bits, bits + 1, bits], np.int32)
+    else:
+        cbps = np.full((C,), bits, np.int32)
+    n = nvalid.astype(np.float64)[:, None]              # [F, 1]
+
+    prec = _LPC_PREC
+    if maxo > 0:
+        acorr = np.asarray(out["acorr"], np.float64)    # [F, NC, maxo+1]
+        lpc, errs = _levinson(acorr.reshape(F * NC, maxo + 1), maxo)
+        # modeled bits per order: residual entropy ~ ½log2(err/n) per
+        # sample plus warmup/coefficient/header overhead (the estimate
+        # every production encoder uses — selection only, any pick is a
+        # valid stream)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma2 = errs[:, 1:] / np.maximum(n.repeat(NC, 1).reshape(-1, 1),
+                                              1.0)
+            bps_est = 0.5 * np.log2(np.maximum(sigma2, 1e-9)) + 2.0
+        ordv = np.arange(1, maxo + 1, dtype=np.float64)[None, :]
+        cbpsv = cbps[None].repeat(F, 0).reshape(-1, 1).astype(np.float64)
+        lbits = (np.maximum(bps_est, 1.0)
+                 * (n.repeat(NC, 1).reshape(-1, 1) - ordv)
+                 + ordv * (cbpsv + prec) + 4 + 5)
+        lbest = np.argmin(lbits, axis=1)                # [F·NC] order-1
+        lcost = lbits[np.arange(F * NC), lbest].reshape(F, NC)
+        lorder = (lbest + 1).reshape(F, NC).astype(np.int32)
+        csel = lpc[np.arange(F * NC), lbest]            # [F·NC, maxo]
+        qc, qshift = _quantize_lpc(csel, lbest + 1, prec)
+        qc = qc.reshape(F, NC, maxo)
+        qshift = qshift.reshape(F, NC)
+    else:
+        lcost = np.full((F, NC), np.inf)
+        lorder = np.zeros((F, NC), np.int32)
+        qc = np.zeros((F, NC, max(maxo, 1)), np.int32)
+        qshift = np.zeros((F, NC), np.int32)
+
+    # per-candidate best coding + cost (same overhead model as pass A)
+    use_lpc = lcost < fixed_cost
+    # degenerate/short frames: no LPC when order ≥ n
+    use_lpc &= lorder < nvalid[:, None]
+    ch_cost = np.where(use_lpc, lcost, fixed_cost) + 14.0
+    ch_cost = np.where(is_const, cbps[None].astype(np.float64) + 8.0,
+                       ch_cost)
 
     if C == 2:
-        tot = (jnp.take(ch_cost, jnp.asarray(_MODE_A), axis=1)
-               + jnp.take(ch_cost, jnp.asarray(_MODE_B), axis=1))  # [F, 4]
-        mi = jnp.argmin(tot, axis=1)
-        mode = jnp.asarray(_MODE_CODE)[mi]
-        sel = jnp.stack(
-            [jnp.asarray(_MODE_A)[mi], jnp.asarray(_MODE_B)[mi]], axis=1)
+        tot = ch_cost[:, _MODE_A] + ch_cost[:, _MODE_B]  # [F, 4]
+        mi = np.argmin(tot, axis=1)
+        mode = _MODE_CODE[mi]
+        sel = np.stack([_MODE_A[mi], _MODE_B[mi]], axis=1).astype(np.int32)
     else:
-        mode = jnp.zeros((F,), jnp.int32)
-        sel = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (F, C))
+        mode = np.zeros((F,), np.int32)
+        sel = np.broadcast_to(np.arange(C, dtype=np.int32)[None],
+                              (F, C)).copy()
 
-    sub = jnp.take_along_axis(cands, sel[:, :, None], axis=1)  # [F, C, nmax]
-    order = jnp.take_along_axis(best_order, sel, axis=1)
-    kind = jnp.take_along_axis(is_const, sel, axis=1).astype(jnp.int32)
-
-    r_sel = jnp.take_along_axis(
-        r_all, jnp.broadcast_to(sel[None, :, :, None], (_ORDERS, F, C, nmax)),
-        axis=2)
-    resid = jnp.take_along_axis(
-        r_sel, jnp.broadcast_to(order[None, :, :, None], (1, F, C, nmax)),
-        axis=0)[0]                                             # [F, C, nmax]
-
-    zz_sel = ((resid << 1) ^ (resid >> 31)).astype(jnp.uint32)
-    mres = (idx[None, None, :] >= order[:, :, None]) & valid[:, None, :]
-    psize = nmax // npart
-    psums = (jnp.where(mres, zz_sel, 0).astype(jnp.float32)
-             .reshape(F, C, npart, psize).sum(-1))  # Σ zigzag per cell
-
-    return dict(ints=x, mode=mode, kind=kind, order=order, sub=sub,
-                resid=resid, psums=psums)
+    fi = np.arange(F)[:, None]
+    kind = np.where(is_const[fi, sel], 1,
+                    np.where(use_lpc[fi, sel], 2, 0)).astype(np.int32)
+    order = np.where(kind == 2, lorder[fi, sel],
+                     fixed_order[fi, sel]).astype(np.int32)
+    shift = np.where(kind == 2, qshift[fi, sel], 0).astype(np.int32)
+    W = max(maxo, _ORDERS - 1)  # room for FIXED coefficients either way
+    fixed_tab = np.zeros((_ORDERS, W), np.int32)
+    for o, cs in enumerate(((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))):
+        fixed_tab[o, : len(cs)] = cs
+    if maxo > 0:
+        lpc_rows = np.zeros((F, C, W), np.int32)
+        lpc_rows[:, :, :maxo] = qc[fi, sel]
+    else:
+        lpc_rows = np.zeros((F, C, W), np.int32)
+    coeffs = np.where((kind == 2)[:, :, None], lpc_rows,
+                      fixed_tab[np.minimum(order, _ORDERS - 1)])
+    return mode, sel, kind, order, shift, coeffs.astype(np.int32), prec
 
 
 class _Tokens:
@@ -303,7 +518,9 @@ def _residual_tokens(t: _Tokens, res: np.ndarray, n: int, order: int,
 
 def _subframe_tokens(t: _Tokens, sub: np.ndarray, res: np.ndarray,
                      kind: int, order: int, bpc: int, n: int,
-                     psums: np.ndarray, full: bool, npart: int) -> None:
+                     psums: np.ndarray, full: bool, npart: int,
+                     coefs: np.ndarray | None = None, shift: int = 0,
+                     prec: int = _LPC_PREC) -> None:
     if kind == 1:          # CONSTANT
         t.u(0, 8)          # reserved(1)=0, type(6)=0, wasted-flag(1)=0
         t.s(int(sub[0]), bpc)
@@ -313,15 +530,24 @@ def _subframe_tokens(t: _Tokens, sub: np.ndarray, res: np.ndarray,
         for v in sub[:n]:
             t.s(int(v), bpc)
         return
-    t.u((8 | order) << 1, 8)   # FIXED
-    for v in sub[:order]:
-        t.s(int(v), bpc)
+    if kind == 2:          # LPC
+        t.u((32 | (order - 1)) << 1, 8)
+        for v in sub[:order]:
+            t.s(int(v), bpc)
+        t.u(prec - 1, 4)
+        t.u(shift, 5)      # s(5), always ≥ 0 here
+        for c in coefs[:order]:
+            t.s(int(c), prec)
+    else:                  # FIXED
+        t.u((8 | order) << 1, 8)
+        for v in sub[:order]:
+            t.s(int(v), bpc)
     _residual_tokens(t, res[:n], n, order, psums, full, npart)
 
 
 def encode_flac(
     pcm, sample_rate: int, *, bits: int = 16, blocksize: int = 4096,
-    dither: int | None = None,
+    dither: int | None = None, lpc_order: int = MAX_LPC_ORDER,
 ) -> bytes:
     """f32 PCM ``[S, C]`` (or ``[S]``) → FLAC bytes.
 
@@ -329,6 +555,10 @@ def encode_flac(
     round-half-even, clip; optional seeded TPDF dither), so integer PCM
     decoded by this framework round-trips losslessly:
     decode → encode_flac → decode is bit-exact.
+
+    ``lpc_order``: max LPC analysis order (device autocorrelation + host
+    Levinson-Durbin per frame; 8 ≈ ``flac -5``); 0 restricts subframes
+    to CONSTANT/FIXED/VERBATIM.
     """
     x = np.asarray(pcm, np.float32)
     if x.ndim == 1:
@@ -356,15 +586,30 @@ def encode_flac(
     xb = np.pad(x, ((0, pad), (0, 0))).reshape(Fb, blocksize, C)
     nvalid = np.clip(S - np.arange(Fb) * blocksize, 0, blocksize)
 
-    out = flac_analyze_batch(
+    maxo = int(lpc_order)
+    if not 0 <= maxo <= 32:
+        raise ValueError(f"lpc_order {maxo} out of range [0, 32]")
+    maxo = min(maxo, blocksize - 1)
+    out = flac_cost_batch(
         jnp.asarray(xb), jnp.asarray(nvalid.astype(np.int32)),
-        bits=bits, channels=C, nmax=blocksize, npart=npart, dither=dither)
-    out = {k: np.asarray(v) for k, v in out.items()}
+        bits=bits, channels=C, nmax=blocksize, maxo=maxo, dither=dither)
+
+    mode_a, sel, kind, order, shift, coeffs, prec = _plan_predictors(
+        out, nvalid, bits=bits, channels=C, maxo=maxo, nmax=blocksize)
+
+    res = flac_residual_batch(
+        out["cands"], jnp.asarray(nvalid.astype(np.int32)),
+        jnp.asarray(sel), jnp.asarray(order), jnp.asarray(coeffs),
+        jnp.asarray(shift), channels=C, nmax=blocksize, npart=npart,
+        maxo=max(maxo, _ORDERS - 1))
+    sub_h = np.asarray(res["sub"])
+    resid_h = np.asarray(res["resid"])
+    psums_h = np.asarray(res["psums"])
 
     frames = []
     for f in range(F):
         n = int(nvalid[f])
-        mode = int(out["mode"][f])
+        mode = int(mode_a[f])
         t = _Tokens()
         t.u((0x3FFE << 2) | 0, 16)  # sync, reserved, fixed-blocksize
         full = n == blocksize
@@ -384,16 +629,17 @@ def encode_flac(
         side = {8: 1, 9: 0, 10: 1}.get(mode, -1)
         for c in range(C):
             _subframe_tokens(
-                t, out["sub"][f, c], out["resid"][f, c],
-                int(out["kind"][f, c]), int(out["order"][f, c]),
+                t, sub_h[f, c], resid_h[f, c],
+                int(kind[f, c]), int(order[f, c]),
                 bits + (1 if c == side else 0), n,
-                out["psums"][f, c], full, npart)
+                psums_h[f, c], full, npart,
+                coefs=coeffs[f, c], shift=int(shift[f, c]), prec=prec)
         t.align()
         body = hdr + bytes([crc8(hdr)]) + t.pack()
         frames.append(body + crc16(body).to_bytes(2, "big"))
 
     payload = b"".join(frames)
-    ints = np.transpose(out["ints"], (0, 2, 1)).reshape(-1, C)[:S]
+    ints = np.transpose(np.asarray(out["ints"]), (0, 2, 1)).reshape(-1, C)[:S]
     t = _Tokens()
     t.u(blocksize, 16)
     t.u(blocksize, 16)

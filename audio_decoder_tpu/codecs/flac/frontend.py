@@ -46,6 +46,19 @@ FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 # directly (``dv_*`` lanes), so ANY legal stream decodes exactly.
 Q_CAP = 40
 
+#: decoder-wide sample-size cap: device predictor arithmetic is exact for
+#: samples to 26 bits (i32 + f32 residue reconstruction) and stereo side
+#: channels carry one extra bit
+MAX_BPS = 25
+
+#: one-shot device bitstream cap: rice-lane bit positions ride int32 on
+#: the device (codecs/flac/decoder.py packs rl_bitpos as i32), so one
+#: fused program covers files to 2^31 bits (256 MiB); bigger files are
+#: ROUTED, not rejected — decode_group rides the frame-chunked path
+#: (stream.slice_frames rebases every chunk's positions near zero).
+#: The walk itself carries int64 positions and has no size limit.
+BIT_CAP = 1 << 31
+
 #: max rice codes per device lane: long partitions are cut at every
 #: RICE_SPLIT-th code during the walk (the cursor passes every code
 #: anyway, so recording the cut positions is free).  Bounds the device
@@ -507,15 +520,54 @@ def _dv_i32(vals: np.ndarray) -> np.ndarray:
 def analyze(blob: bytes) -> FlacAnalysis:
     """Full structural walk of one FLAC stream → flat lane descriptors.
 
-    Raises DecodeError subclasses on malformed streams (per-file
-    catch-and-skip happens in the group decoder, like every family)."""
+    Rides the native whole-file walker (native/flacfe.cc session API)
+    when built; the Python walk below is the behavioral contract, the
+    fallback, and — for any file the walker rejects — the authority on
+    which DecodeError to raise (per-file catch-and-skip happens in the
+    group decoder, like every family)."""
+    res = _native.walk_batch([blob], Q_CAP, RICE_SPLIT, MAX_BPS, 1 << 62)
+    if res is not None and isinstance(res[0], dict):
+        return _from_walk(blob, res[0])
+    return _analyze_py(blob)
+
+
+def analyze_batch(blobs: list[bytes]) -> list["FlacAnalysis | E.DecodeError"]:
+    """Walk a batch of streams — one FlacAnalysis or caught DecodeError
+    per input.  Clean files ride ONE threaded native session (each blob
+    walked exactly once, in C); rejected files re-walk in Python for the
+    authoritative exception.  Without the native library, the Python
+    walk threads across files (its rice skipper drops the GIL)."""
+    res = _native.walk_batch(blobs, Q_CAP, RICE_SPLIT, MAX_BPS, 1 << 62)
+
+    def _py(blob) -> "FlacAnalysis | E.DecodeError":
+        try:
+            return _analyze_py(blob)
+        except E.DecodeError as e:
+            return e
+
+    if res is None:
+        if len(blobs) > 1:
+            import concurrent.futures as _cf
+
+            with _cf.ThreadPoolExecutor(min(8, len(blobs))) as ex:
+                return list(ex.map(_py, blobs))
+        return [_py(b) for b in blobs]
+    return [_from_walk(b, r) if isinstance(r, dict) else _py(b)
+            for b, r in zip(blobs, res)]
+
+
+def _from_walk(blob: bytes, d: dict) -> FlacAnalysis:
+    """Native walk result dict → FlacAnalysis (field names match)."""
+    return FlacAnalysis(data=blob, **d)
+
+
+def _analyze_py(blob: bytes) -> FlacAnalysis:
+    """The pure walk (native rice-skip/CRC fast paths still apply when
+    built; tests monkeypatch those away to pin the full-Python tier)."""
     info = parse_streaminfo(blob)
-    if len(blob) * 8 >= 1 << 31:
-        raise E.UnsupportedFormatError("FLAC file >256 MiB")
-    if info["bits"] > 25:
-        # device predictor arithmetic is exact for samples to 26 bits
-        # (i32 + f32 residue reconstruction) and stereo side channels
-        # carry one extra bit; 32-bit streams are rare and host-fallback
+    if info["bits"] > MAX_BPS:
+        # the analysis's value lanes are i32-exact only; 26-32-bit
+        # streams decode via host.decode_ints (decode_group routes them)
         raise E.UnsupportedFormatError("sample size > 25 bits")
     bits = _Bits(blob)
     bits.pos = info["frames_start"] * 8
@@ -563,7 +615,7 @@ def analyze(blob: bytes) -> FlacAnalysis:
         if ss_code == 0b011:
             raise E.InvalidDataError("reserved sample size code")
         bps = info["bits"] if ss_code == 0 else _SAMPLE_SIZE[ss_code]
-        if bps > 25:
+        if bps > MAX_BPS:
             raise E.UnsupportedFormatError("frame sample size > 25 bits")
         hdr_end = bits.pos >> 3
         if crc8(blob[frame_off:hdr_end]) != bits.u(8):

@@ -69,6 +69,21 @@ def _load():
         lib.flacfe_crc8.argtypes = [C.c_char_p, C.c_int64]
         lib.flacfe_crc16.restype = C.c_uint32
         lib.flacfe_crc16.argtypes = [C.c_char_p, C.c_int64]
+        lib.flacfe_walk_open.restype = C.c_void_p
+        lib.flacfe_walk_open.argtypes = [
+            C.POINTER(C.c_char_p), C.POINTER(C.c_int64), C.c_int32,
+            C.c_int32, C.c_int64, C.c_int32, C.c_int64, C.c_int32,
+        ]
+        lib.flacfe_walk_info.restype = None
+        lib.flacfe_walk_info.argtypes = [
+            C.c_void_p, C.POINTER(C.c_int64), C.POINTER(C.c_uint8)]
+        lib.flacfe_walk_fill.restype = None
+        lib.flacfe_walk_fill.argtypes = [C.c_void_p, C.c_int32] + (
+            [C.c_void_p] * 24)
+        lib.flacfe_walk_free.restype = None
+        lib.flacfe_walk_free.argtypes = [C.c_void_p]
+        lib.flacfe_walks.restype = C.c_int64
+        lib.flacfe_walks.argtypes = []
         _lib = lib
         return _lib
 
@@ -103,6 +118,83 @@ def skip_rice(blob: bytes, nbits: int, pos: int, count: int,
         return None
     triples = [(int(a), int(b), int(c)) for a, b, c in out[: n_out.value]]
     return int(new_pos), triples, splits[:scap]
+
+
+def walks() -> int | None:
+    """Cumulative native whole-file walks (test pin counter)."""
+    lib = _load()
+    return int(lib.flacfe_walks()) if lib is not None else None
+
+
+def walk_batch(blobs: list[bytes], q_cap: int, split: int, max_bps: int,
+               bit_cap: int) -> list[dict | int] | None:
+    """Whole-file walks of a batch, threaded in C — one dict of
+    FlacAnalysis fields per clean file, the walker's int error code
+    (core.errors ERR_*) per rejected file (the caller re-walks those in
+    Python so its exception taxonomy/messages stay authoritative).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not blobs:
+        return None if lib is None else []
+    n = len(blobs)
+    blobs = [bytes(b) for b in blobs]
+    arr = (C.c_char_p * n)(*blobs)
+    lens = (C.c_int64 * n)(*[len(b) for b in blobs])
+    sess = lib.flacfe_walk_open(arr, lens, n, q_cap, split, max_bps,
+                                bit_cap, 0)
+    try:
+        info = np.zeros((n, 12), np.int64)
+        md5 = np.zeros((n, 16), np.uint8)
+        lib.flacfe_walk_info(
+            sess, info.ctypes.data_as(C.POINTER(C.c_int64)),
+            md5.ctypes.data_as(C.POINTER(C.c_uint8)))
+        out: list[dict | int] = []
+        for i in range(n):
+            err, rate, ch, bits, total, got, _fs, F, S, R, W, D = (
+                int(v) for v in info[i])
+            if err:
+                out.append(err)
+                continue
+            d = dict(
+                sample_rate=rate, channels=ch, bits=bits,
+                total=total or got, md5=md5[i].tobytes(),
+                blocksizes=np.empty(F, np.int32),
+                starts=np.empty(F, np.int64),
+                ch_mode=np.empty(F, np.int32),
+                byte_offs=np.empty(F + 1, np.int64),
+                sub_frame=np.empty(S, np.int32),
+                sub_ch=np.empty(S, np.int32),
+                sub_kind=np.empty(S, np.int32),
+                sub_order=np.empty(S, np.int32),
+                sub_shift=np.empty(S, np.int32),
+                sub_wasted=np.empty(S, np.int32),
+                sub_coeffs=np.empty((S, 32), np.int32),
+                rl_sub=np.empty(R, np.int32),
+                rl_bitpos=np.empty(R, np.int64),
+                rl_count=np.empty(R, np.int32),
+                rl_param=np.empty(R, np.int32),
+                rl_dest=np.empty(R, np.int32),
+                fw_sub=np.empty(W, np.int32),
+                fw_bitpos=np.empty(W, np.int64),
+                fw_count=np.empty(W, np.int32),
+                fw_width=np.empty(W, np.int32),
+                fw_dest=np.empty(W, np.int32),
+                dv_sub=np.empty(D, np.int32),
+                dv_dest=np.empty(D, np.int32),
+                dv_val=np.empty(D, np.int32),
+            )
+            lib.flacfe_walk_fill(
+                sess, i, *(d[k].ctypes.data_as(C.c_void_p) for k in (
+                    "blocksizes", "starts", "ch_mode", "byte_offs",
+                    "sub_frame", "sub_ch", "sub_kind", "sub_order",
+                    "sub_shift", "sub_wasted", "sub_coeffs",
+                    "rl_sub", "rl_bitpos", "rl_count", "rl_param", "rl_dest",
+                    "fw_sub", "fw_bitpos", "fw_count", "fw_width", "fw_dest",
+                    "dv_sub", "dv_dest", "dv_val")))
+            out.append(d)
+        return out
+    finally:
+        lib.flacfe_walk_free(sess)
 
 
 def crc8(data) -> int | None:

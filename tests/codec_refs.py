@@ -329,3 +329,25 @@ def ffdec_decode_flac(blob: bytes, bps: int) -> tuple[np.ndarray, int]:
     elif fmt.value in (1, 6) and raw_bits < 16:  # AV_SAMPLE_FMT_S16(P)
         vals >>= 16 - raw_bits
     return vals, rate.value
+
+
+def ffdec_encode_flac_size(pcm: np.ndarray, rate: int, bits: int,
+                           level: int = 5) -> int:
+    """Total FLAC byte size libavcodec's encoder produces for int PCM
+    ``[S, C]`` at the given compression level (5 = flac's default) —
+    the compression-ratio oracle for codecs/flac/encode.py."""
+    assert have_ffdec()
+    lib = _ffdec
+    if not hasattr(lib, "_flac_enc_bound"):
+        lib.ffdec_encode_flac_size.restype = C.c_int64
+        lib.ffdec_encode_flac_size.argtypes = [
+            C.POINTER(C.c_int32), C.c_int64, C.c_int, C.c_int, C.c_int,
+            C.c_int,
+        ]
+        lib._flac_enc_bound = True
+    x = np.ascontiguousarray(pcm, np.int32)
+    S, ch = x.shape
+    n = lib.ffdec_encode_flac_size(
+        x.ctypes.data_as(C.POINTER(C.c_int32)), S, ch, rate, bits, level)
+    assert n > 0, f"ffdec flac encode error {n}"
+    return int(n)

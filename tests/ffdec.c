@@ -251,3 +251,64 @@ int64_t ffdec_decode_flac(const uint8_t* data, int64_t len, int32_t* out,
   av_parser_close(parser);
   return written;
 }
+
+// Encode interleaved int32 PCM as FLAC via libavcodec and report the
+// total compressed byte size (frames + STREAMINFO + 8-byte header) —
+// the compression-ratio oracle for the framework's own encoder.
+// `level` maps to libavcodec's compression_level (5 = flac's default).
+int64_t ffdec_encode_flac_size(const int32_t* pcm, int64_t nframes,
+                               int channels, int rate, int bits,
+                               int level) {
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_FLAC);
+  if (!codec) return -1;
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  if (!ctx) return -2;
+  ctx->sample_rate = rate;
+  av_channel_layout_default(&ctx->ch_layout, channels);
+  ctx->sample_fmt = bits <= 16 ? AV_SAMPLE_FMT_S16 : AV_SAMPLE_FMT_S32;
+  ctx->bits_per_raw_sample = bits;
+  ctx->compression_level = level;
+  if (avcodec_open2(ctx, codec, NULL) < 0) {
+    avcodec_free_context(&ctx);
+    return -3;
+  }
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  if (!pkt || !frame) return -4;
+  int64_t total = 8 + ctx->extradata_size;  // fLaC + block hdr + STREAMINFO
+  int64_t pos = 0;
+  int bs = ctx->frame_size > 0 ? ctx->frame_size : 4096;
+  while (pos < nframes) {
+    int n = (int)(nframes - pos < bs ? nframes - pos : bs);
+    frame->nb_samples = n;
+    frame->format = ctx->sample_fmt;
+    av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+    if (av_frame_get_buffer(frame, 0) < 0) break;
+    for (int i = 0; i < n; i++)
+      for (int k = 0; k < channels; k++) {
+        int32_t v = pcm[(pos + i) * channels + k];
+        if (ctx->sample_fmt == AV_SAMPLE_FMT_S16)
+          ((int16_t*)frame->extended_data[0])[i * channels + k] = (int16_t)v;
+        else
+          // libavcodec reads s32 shifted to the container's top bits
+          ((int32_t*)frame->extended_data[0])[i * channels + k] =
+              v << (32 - bits);
+      }
+    if (avcodec_send_frame(ctx, frame) < 0) break;
+    while (avcodec_receive_packet(ctx, pkt) == 0) {
+      total += pkt->size;
+      av_packet_unref(pkt);
+    }
+    av_frame_unref(frame);
+    pos += n;
+  }
+  avcodec_send_frame(ctx, NULL);
+  while (avcodec_receive_packet(ctx, pkt) == 0) {
+    total += pkt->size;
+    av_packet_unref(pkt);
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  return total;
+}

@@ -236,7 +236,8 @@ def encode_frame(
         assert ch == 2
         ch_code = {"left_side": 8, "right_side": 9, "mid_side": 10}[stereo]
     w.u(ch_code, 4)
-    w.u(BPS_TO_CODE[bps], 3)
+    # sizes without a 3-bit code (e.g. 26/28) use 0 = "from STREAMINFO"
+    w.u(BPS_TO_CODE.get(bps, 0), 3)
     w.u(0, 1)
     _utf8_number(w, frame_no)
     if bs_code == 7:

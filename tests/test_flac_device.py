@@ -137,11 +137,20 @@ def test_error_pieces_mixed_with_good(rng):
     np.testing.assert_array_equal(res[1][0], x)
 
 
-def test_unsupported_sample_size(rng):
-    x = _material(rng, frames=300, ch=1, hi=1 << 30)
-    blob = FW.encode_file(x.astype(np.int64), 44100, 32, blocksize=256)
-    (res, err), = _device_decode([blob])
-    assert (res, err) == (None, E.ERR_UNSUPPORTED)
+def test_wide_sample_size_decodes_via_host(rng):
+    """32-bit streams are beyond the fused device program's i32/f32
+    exactness window but MUST still decode (RFC 9639 allows them): the
+    group dispatcher routes them to the host decoder and the batch PCM
+    is the nearest-f32 of the exact integers (test_flac_host.py pins
+    the exact-integer surface)."""
+    x = _material(rng, frames=300, ch=1, hi=1 << 30).astype(np.int64)
+    blob = FW.encode_file(x, 44100, 32, blocksize=256)
+    (ints, err), = _device_decode([blob])
+    assert err == E.ERR_OK
+    want = np.round(
+        (x.astype(np.float64) * 2.0 ** -31).astype(np.float32)
+        .astype(np.float64) * 2.0 ** 31).astype(np.int64)
+    np.testing.assert_array_equal(ints, want)
 
 
 def test_registry_dispatch(rng, tmp_path):

@@ -225,3 +225,72 @@ def test_encode_validation():
         encode_flac(np.zeros((100, 9), np.float32), 44100)
     with pytest.raises(ValueError):
         encode_flac(np.zeros((0, 2), np.float32), 44100)
+
+
+def _music(rng, S, C=2, rate=44100):
+    """Correlated tonal material with noise — the content class LPC
+    analysis exists for."""
+    t = np.arange(S) / rate
+    m = sum(a * np.sin(2 * np.pi * f * t + 0.1 * np.sin(2 * np.pi * 3 * t))
+            for f, a in ((82.4, 0.3), (164.8, 0.22), (329.6, 0.18),
+                         (659.3, 0.08), (1318.5, 0.04)))
+    m = m * (0.6 + 0.4 * np.sin(2 * np.pi * 1.7 * t))
+    m = m + 0.004 * rng.standard_normal(S)
+    x = np.stack([m, np.roll(m, 7) * 0.9][:C], 1)
+    return np.clip(np.round(x * 2.0 ** 15 * 0.6),
+                   -2 ** 15, 2 ** 15 - 1).astype(np.int64)
+
+
+def test_lpc_subframes_emitted_and_exact(rng):
+    """Default analysis (lpc_order=8) must actually choose LPC subframes
+    on tonal content and survive every oracle (incl. our device decoder
+    — the LPC path exercises quantized coefficients with shift > 0)."""
+    x = _music(rng, 30000)
+    blob = encode_flac(_pcm(x, 16), 44100, bits=16, blocksize=4096)
+    _check_all(blob, x, 16)
+    an = frontend.analyze(blob)
+    # sub_kind 0 with a nonzero shift ⇔ a real LPC subframe
+    assert np.any((np.asarray(an.sub_kind) == 0)
+                  & (np.asarray(an.sub_shift) > 0)), "no LPC subframes"
+    # and LPC must beat the FIXED-only stream on this content
+    fixed_blob = encode_flac(_pcm(x, 16), 44100, bits=16, blocksize=4096,
+                             lpc_order=0)
+    assert len(blob) < len(fixed_blob)
+
+
+def test_lpc_order_zero_fixed_only(rng):
+    """lpc_order=0 restores the FIXED/CONSTANT/VERBATIM-only encoder."""
+    x = _music(rng, 12000)
+    blob = encode_flac(_pcm(x, 16), 44100, bits=16, lpc_order=0)
+    _check_all(blob, x, 16)
+    an = frontend.analyze(blob)
+    assert np.all(np.asarray(an.sub_shift) == 0)
+    with pytest.raises(ValueError):
+        encode_flac(_pcm(x, 16), 44100, lpc_order=40)
+
+
+@pytest.mark.skipif(not have_ffdec(), reason="libavcodec unavailable")
+def test_compression_vs_libav_level5(rng):
+    """VERDICT r2 #3 completion bar: compression within ~10% of
+    ``flac -5`` on music-like content, measured against libavcodec's
+    encoder at compression_level 5."""
+    from .codec_refs import ffdec_encode_flac_size
+
+    x = _music(rng, 44100 * 3)
+    blob = encode_flac(_pcm(x, 16), 44100, bits=16)
+    ref = ffdec_encode_flac_size(x.astype(np.int32), 44100, 16, 5)
+    assert len(blob) <= 1.10 * ref, (len(blob), ref)
+
+
+@pytest.mark.skipif(not have_ffdec(), reason="libavcodec unavailable")
+@pytest.mark.parametrize("bits", [16, 24])
+def test_lpc_noise_and_quiet_exact(rng, bits):
+    """Adversarial LPC content: incompressible noise (k-floor region,
+    rice escapes) and near-silence (deep shifts) — both bit-exact
+    through every oracle."""
+    hi = 2 ** (bits - 1)
+    for amp in (0.55 * hi, 12.0):
+        x = np.clip(np.round(rng.standard_normal((22050, 2)) * amp),
+                    -hi, hi - 1).astype(np.int64)
+        blob = encode_flac(_pcm(x, bits), 44100, bits=bits)
+        _check_all(blob, x, bits)

@@ -20,7 +20,9 @@ from .test_flac_oracle import SUBFRAME_CASES, _material
 
 
 def _analyze_both(monkeypatch, blob):
-    a_native = frontend.analyze(blob)
+    a_native = frontend.analyze(blob)  # whole-file C walker when built
+    monkeypatch.setattr(frontend._native, "walk_batch",
+                        lambda *a, **k: None)
     monkeypatch.setattr(frontend._native, "skip_rice",
                         lambda *a, **k: None)
     monkeypatch.setattr(frontend._native, "crc8", lambda *a: None)
@@ -91,6 +93,8 @@ def test_truncation_error_parity(monkeypatch, rng):
             native_err = None
         except E.DecodeError as e:
             native_err = type(e)
+        monkeypatch.setattr(frontend._native, "walk_batch",
+                            lambda *a, **k: None)
         monkeypatch.setattr(frontend._native, "skip_rice",
                             lambda *a, **k: None)
         try:
@@ -100,6 +104,58 @@ def test_truncation_error_parity(monkeypatch, rng):
             python_err = type(e)
         monkeypatch.undo()
         assert native_err == python_err, cut
+
+
+def test_whole_file_walker_serves_analyze(rng):
+    """The session walker (flacfe_walk_open) must actually serve the
+    walk — exactly one native whole-file walk per analyze, pinned by the
+    flacfe_walks counter the way mp3fe_frame_walks pins the MPEG walk."""
+    if not FN.available():
+        pytest.skip("native library not built")
+    x = _material(rng, frames=3000)
+    blob = FW.encode_file(x, 44100, 16, blocksize=512)
+    w0 = FN.walks()
+    frontend.analyze(blob)
+    assert FN.walks() == w0 + 1
+    frontend.analyze_batch([blob] * 5)
+    assert FN.walks() == w0 + 6
+
+
+def test_analyze_batch_mixed_errors(monkeypatch, rng):
+    """A batch with corrupt members: clean files ride the C walker and
+    match the pure-Python walk field-for-field; rejected files surface
+    the same DecodeError type the Python walk raises."""
+    from audio_decoder_tpu.core import errors as E
+
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    x = _material(rng, frames=2100)
+    good = FW.encode_file(x, 44100, 16, blocksize=256, stereo="mid_side",
+                          subframe_kw=kinds)
+    bad_trunc = good[: len(good) * 2 // 3]
+    bad_magic = b"XXXX" + good[4:]
+    bad_crc = bytearray(good)
+    bad_crc[-40] ^= 0x10  # flip a bit inside the last frame body
+    batch = [good, bad_trunc, good, bytes(bad_crc), bad_magic]
+    res = frontend.analyze_batch(batch)
+    assert isinstance(res[0], frontend.FlacAnalysis)
+    assert isinstance(res[2], frontend.FlacAnalysis)
+    assert isinstance(res[1], E.DecodeError)
+    assert isinstance(res[3], E.InvalidDataError)
+    assert isinstance(res[4], E.InvalidDataError)
+
+    monkeypatch.setattr(frontend._native, "walk_batch",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(frontend._native, "skip_rice",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(frontend._native, "crc8", lambda *a: None)
+    monkeypatch.setattr(frontend._native, "crc16", lambda *a: None)
+    res_py = frontend.analyze_batch(batch)
+    for r_n, r_p in zip(res, res_py):
+        if isinstance(r_p, E.DecodeError):
+            assert type(r_n) is type(r_p)
+        else:
+            _assert_same(r_n, r_p)
+            assert (r_n.sample_rate, r_n.md5) == (r_p.sample_rate, r_p.md5)
 
 
 def test_crc_parity(rng):
