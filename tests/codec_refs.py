@@ -161,6 +161,64 @@ def mpg123_decode(blob: bytes) -> tuple[np.ndarray, int]:
     return pcm, int(rate.value)
 
 
+class _Mp3Data(C.Structure):
+    """lame.h mp3data_struct — hip decoder stream info."""
+
+    _fields_ = [
+        ("header_parsed", C.c_int), ("stereo", C.c_int),
+        ("samplerate", C.c_int), ("bitrate", C.c_int),
+        ("mode", C.c_int), ("mode_ext", C.c_int),
+        ("framesize", C.c_int), ("nsamp", C.c_ulong),
+        ("totalframes", C.c_int), ("framenum", C.c_int),
+    ]
+
+
+def hip_decode_mp3(blob: bytes) -> tuple[np.ndarray, int]:
+    """Third MPEG decoder: LAME's built-in `hip` (the mpglib lineage —
+    a 1997 fork of mpg123 0.59, ~25 years divergent from modern
+    libmpg123's float core).  Decodes MP3 bytes → (float32 pcm
+    [N, ch] normalized to ±1, sample_rate).  Output is int16-quantized
+    by the library (~3e-5 RMS floor), coarse but far below the
+    ~1.5e-3 inter-oracle divergence it arbitrates (docs/PARITY.md)."""
+    assert have_lame()
+    L = _lame
+    L.hip_decode_init.restype = C.c_void_p
+    hip = C.c_void_p(L.hip_decode_init())
+    assert hip.value, "hip_decode_init failed"
+    cap = 65536
+    pcm_l = (C.c_short * cap)()
+    pcm_r = (C.c_short * cap)()
+    md = _Mp3Data()
+    left: list[np.ndarray] = []
+    right: list[np.ndarray] = []
+
+    def drain(chunk: bytes) -> None:
+        first = True
+        while True:
+            n = L.hip_decode1_headers(
+                hip, chunk if first else b"", len(chunk) if first else 0,
+                pcm_l, pcm_r, C.byref(md))
+            first = False
+            assert n >= 0, f"hip decode error {n}"
+            if n == 0:
+                return
+            left.append(np.ctypeslib.as_array(pcm_l)[:n].copy())
+            right.append(np.ctypeslib.as_array(pcm_r)[:n].copy())
+
+    for at in range(0, len(blob), 4096):
+        drain(blob[at: at + 4096])
+    rate = int(md.samplerate)
+    ch = 2 if md.stereo == 2 else 1
+    L.hip_decode_exit(hip)
+    l = (np.concatenate(left) if left else np.zeros(0, np.int16))
+    cols = [l]
+    if ch == 2:
+        cols.append(np.concatenate(right) if right
+                    else np.zeros(0, np.int16))
+    pcm = np.stack(cols, axis=1).astype(np.float32) / 32768.0
+    return pcm, rate
+
+
 _twolame = None
 
 
