@@ -57,7 +57,8 @@ def _build_engine(asset_dir: str, resample: bool, realtime: bool,
         names=tuple(kept), formats=(),
     )
     tracks, lens, chs = ES.tracks_from_batch(kept_batch, channels)
-    st = ES.empty_state(tracks, lens, chs, out_channels=channels)
+    st = ES.empty_state(tracks, lens, chs, out_channels=channels,
+                        channels=channels)
     reg = ES.HostRegistry(kept)
     sink = Sink(device, rate, channels, realtime=realtime)
     return EngineLoop(st, reg, rate, channels, sink=sink), rate, channels

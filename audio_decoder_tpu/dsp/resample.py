@@ -10,10 +10,14 @@ For a rational ratio ``dst/src = L/M`` (reduced), every block of L output
 samples is a linear function of one window of ``M + K`` input samples, so
 the whole resample is
 
-    patches [B, F, M+K, C]  @  W [L, M+K]  →  y [B, F, L, C]
+    patches [B, F, (M+K)·C]  @  Wf [(M+K)·C, L·C]  →  y [B, F, L·C]
 
-— a single batched matmul on the MXU, no sequential state.  W folds the
-Kaiser-windowed sinc interpolation filter at each of the L phases.
+— a single batched matmul on the MXU, no sequential state.  Wf folds the
+Kaiser-windowed sinc interpolation filter at each of the L phases,
+expanded channel-block-diagonal so the whole pipeline runs on the FLAT
+interleaved [B, S*C] layout (AudioBatch.data) — a trailing C dim of 1-2
+would tile-pad every 128-lane TPU tile to 1-2 used elements, a 64-128x
+HBM tax on the patches tensor (core/batch.py docstring).
 """
 
 from __future__ import annotations
@@ -64,23 +68,55 @@ def _ratio(src: int, dst: int) -> tuple[int, int]:
     return dst // g, src // g  # L (up), M (down)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "M"))
-def _resample_LM(pcm: jax.Array, *, L: int, M: int) -> jax.Array:
-    """pcm [B, S, C] → [B, S*L//M (frame-truncated), C]."""
-    B, S, C = pcm.shape
+@functools.lru_cache(maxsize=64)
+def _poly_matrix_flat(L: int, M: int, C: int, taps: int = _TAPS) -> np.ndarray:
+    """[(M+taps)*C, L*C] channel-block-diagonal polyphase matrix.
+
+    The flat-interleaved kernel contracts the whole (window x channel)
+    axis at once; expanding W so ``Wf[k*C+c, j*C+c] = W[j, k]`` keeps
+    channels independent.  The off-channel zeros cost Cx MXU FLOPs —
+    noise next to the 64-128x HBM tile-padding tax a trailing C dim of
+    1-2 would impose on the patches tensor (core/batch.py docstring)."""
+    W = _poly_matrix(L, M, taps)  # [L, M+taps]
+    K = M + taps
+    Wf = np.zeros((K * C, L * C), np.float32)
+    for c in range(C):
+        Wf[c::C, c::C] = W.T
+    return Wf
+
+
+@functools.partial(jax.jit, static_argnames=("L", "M", "C"))
+def _resample_LM_flat(data: jax.Array, *, L: int, M: int, C: int) -> jax.Array:
+    """Flat interleaved [B, S*C] → [B, (S//M)*L*C].
+
+    The hot-path form: patches, weights and output all keep a large
+    minor dim, so nothing tile-pads.  Bitwise the same filter as the
+    planar form (identical weights; the interleaved contraction only
+    adds exact zeros)."""
+    B, SC = data.shape
+    S = SC // C
     taps = _TAPS
     half = taps // 2
     # pad so every frame window [f*M - half + 1, f*M + M + half] is valid
-    xp = jnp.pad(pcm, ((0, 0), (half, M + half), (0, 0)))
+    xp = jnp.pad(data, ((0, 0), (half * C, (M + half) * C)))
     F = S // M
-    # frame windows via gather: idx [F, M+taps]
-    idx = (jnp.arange(F) * M)[:, None] + jnp.arange(M + taps)[None, :]
-    patches = xp[:, idx, :]  # [B, F, M+taps, C]
-    W = jnp.asarray(_poly_matrix(L, M))
+    # frame windows via gather over the flat axis: idx [F, (M+taps)*C]
+    idx = (jnp.arange(F) * M * C)[:, None] + jnp.arange((M + taps) * C)[None, :]
+    patches = xp[:, idx]  # [B, F, (M+taps)*C]
+    Wf = jnp.asarray(_poly_matrix_flat(L, M, C))
     y = jnp.einsum(
-        "bfkc,jk->bfjc", patches, W, precision=jax.lax.Precision.HIGHEST
-    )
-    return y.reshape(B, F * L, C)
+        "bfk,kj->bfj", patches, Wf, precision=jax.lax.Precision.HIGHEST
+    )  # [B, F, L*C]
+    return y.reshape(B, F * L * C)
+
+
+def _resample_LM(pcm: jax.Array, *, L: int, M: int) -> jax.Array:
+    """Planar [B, S, C] → [B, S*L//M (frame-truncated), C] (convenience
+    wrapper over the flat kernel for tests/host callers)."""
+    B, S, C = pcm.shape
+    flat = jnp.reshape(jnp.asarray(pcm), (B, S * C))
+    y = _resample_LM_flat(flat, L=L, M=M, C=C)
+    return y.reshape(B, -1, C)
 
 
 def resample_batch(
@@ -119,7 +155,9 @@ def resample_to_consensus(batch, consensus_rate: int, length: str = "floor"):
     rates = np.asarray(batch.sample_rate)
     valid = np.asarray(batch.valid_frames)
     err = np.asarray(batch.err)
-    B, S, C = batch.pcm.shape
+    B = batch.batch_size
+    S = batch.max_frames
+    C = batch.channels
     uniq = sorted({int(r) for r, e in zip(rates, err) if e == 0 and r > 0})
     if uniq in ([], [int(consensus_rate)]):
         return batch
@@ -132,26 +170,30 @@ def resample_to_consensus(batch, consensus_rate: int, length: str = "floor"):
         plans[r] = (L, M, out_len)
         max_out = max(max_out, out_len)
 
-    pcm_out = jnp.zeros((B, max_out, C), jnp.float32)
+    # everything stays flat interleaved [B, S*C] end to end — no 3-D
+    # (tile-padded) intermediate ever materializes on device
+    data_out = jnp.zeros((B, max_out * C), jnp.float32)
     new_valid = valid.copy()
     for r in uniq:
         L, M, out_len = plans[r]
         rows = np.nonzero((rates == r) & (err == 0))[0]
         sel = jnp.asarray(rows, jnp.int32)
         if r == int(consensus_rate):
-            piece = batch.pcm[sel]
+            piece = batch.data[sel]
             out_len = S
         else:
-            piece = _resample_LM(batch.pcm[sel], L=L, M=M)
-        pcm_out = pcm_out.at[sel, :out_len, :].set(piece[:, :out_len, :])
+            piece = _resample_LM_flat(batch.data[sel], L=L, M=M, C=C)
+        data_out = data_out.at[sel, : out_len * C].set(
+            piece[:, : out_len * C])
         if length == "exact" and r != int(consensus_rate):
             new_valid[rows] = np.minimum(
                 -(-valid[rows] * L // M), out_len
             )
         else:
             new_valid[rows] = (valid[rows] // M) * L
-    return AudioBatch.from_pcm(
-        pcm_out,
+    return AudioBatch(
+        data=data_out,
+        channels=C,
         sample_rate=jnp.where(jnp.asarray(err == 0), consensus_rate,
                               batch.sample_rate),
         num_channels=batch.num_channels,

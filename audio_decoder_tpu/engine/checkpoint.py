@@ -23,7 +23,7 @@ from .state import (
     build_track_rows,
 )
 
-_VERSION = 2
+_VERSION = 3
 
 
 def _migrate_1_to_2(z: dict) -> dict:
@@ -55,8 +55,27 @@ def _migrate_1_to_2(z: dict) -> dict:
     return out
 
 
+def _migrate_2_to_3(z: dict) -> dict:
+    """v2 → v3: the track store went flat interleaved — ``tracks``
+    [T, S, C] became [T, S*C] plus the static channel count ``track_c``
+    (the engine's AudioBatch-style layout change; state.py docstring).
+    Flattening a C-order array is byte-identical, so the migration is a
+    reshape plus recording C."""
+    out = dict(z)
+    t = np.asarray(out["tracks"])
+    if t.ndim == 3:
+        T, _S, C = t.shape
+        out["tracks"] = t.reshape(T, -1)
+        out["track_c"] = np.asarray(C, np.int32)
+    elif "track_c" not in out:  # already flat but width unrecorded
+        raise ValueError("v2 checkpoint with flat tracks lacks track_c")
+    # rows derive from the same flat bytes; drop any v2-era copy
+    out.pop("track_rows", None)
+    return out
+
+
 #: version k → migration producing a version-(k+1) array dict
-_MIGRATIONS = {1: _migrate_1_to_2}
+_MIGRATIONS = {1: _migrate_1_to_2, 2: _migrate_2_to_3}
 
 #: general forward-compat rule: a field absent from a version-k
 #: checkpoint gets its documented default before that version migrates
@@ -68,12 +87,9 @@ _FIELD_DEFAULTS: dict = {
         "s_jitter": lambda z: np.zeros_like(np.asarray(z["s_chance"],
                                                        np.float32)),
     },
+    # every process-chain field defaults to "empty chain" so a stripped
+    # v2/v3 npz still loads
     2: {
-        # derived data need not ship in the checkpoint
-        "track_rows": lambda z: np.asarray(
-            build_track_rows(jnp.asarray(z["tracks"], jnp.float32))),
-        # every process-chain field defaults to "empty chain" so a
-        # stripped v2 npz still loads
         "p_kind": lambda z: np.zeros(
             (np.asarray(z["v_used"]).shape[0], MAX_PROCS), np.int32),
         "p_period": lambda z: np.ones(
@@ -87,6 +103,14 @@ _FIELD_DEFAULTS: dict = {
         "p_depth": lambda z: np.zeros(
             (np.asarray(z["v_used"]).shape[0], MAX_PROCS), np.float32),
     },
+}
+
+_FIELD_DEFAULTS[3] = {
+    # derived data (2x the track store) need not ship; rebuilt from
+    # the flat track bytes
+    "track_rows": lambda z: np.asarray(
+        build_track_rows(jnp.asarray(z["tracks"], jnp.float32))),
+    **_FIELD_DEFAULTS[2],
 }
 
 
@@ -145,11 +169,14 @@ def load_state(path: str) -> tuple[EngineArrays, HostRegistry]:
         if f_.name not in z:
             raise ValueError(f"checkpoint missing field {f_.name}")
         a = z[f_.name]
-        kwargs[f_.name] = (
-            jax.random.wrap_key_data(jnp.asarray(a))
-            if f_.name == "rng_key" and a.dtype != np.uint32
-            else jnp.asarray(a)
-        )
+        if f_.metadata.get("static"):
+            kwargs[f_.name] = int(a)  # static aux data stays a Python int
+        else:
+            kwargs[f_.name] = (
+                jax.random.wrap_key_data(jnp.asarray(a))
+                if f_.name == "rng_key" and a.dtype != np.uint32
+                else jnp.asarray(a)
+            )
     st = EngineArrays(**kwargs)
     reg = HostRegistry(list(meta["tracks"]))
     reg.tracks = {k: int(v) for k, v in meta["tracks"].items()}

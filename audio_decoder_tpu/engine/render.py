@@ -181,14 +181,14 @@ def render_block(
     in_range = (pos >= 0.0) & (pos <= end[:, None])
     audible = sounding[:, None] & in_range  # [V, F]
 
-    S = st.tracks.shape[1]
-    C_t = st.tracks.shape[2]
+    C_t = st.track_c  # static storage channel count of the flat store
+    S = st.tracks.shape[1] // C_t
     base = jnp.clip(jnp.floor(pos).astype(i32), 0, S - 1)
     frac = pos - base.astype(f32)
     # ONE 8-wide row gather per (voice, frame) delivers both interp taps
     # for every channel: row k of track_rows is flat[4k:4k+8] over the
-    # [T, S, C] store, and the window (2C consecutive samples starting at
-    # the tap's flat index) always fits one stride-4 row.  ~2.7x fewer
+    # flat [T, S*C] store, and the window (2C consecutive samples starting
+    # at the tap's flat index) always fits one stride-4 row.  ~2.7x fewer
     # gathered elements than the per-tap-per-channel element gathers for
     # stereo (row gather ~1.5 element-equivalents; docs/PERFORMANCE.md).
     # Bit-exact: at pos == end, frac == 0 zeroes the (out-of-track) s1.
@@ -210,7 +210,8 @@ def render_block(
         # keep the per-tap element gather (static branch: C_t is a trace
         # constant, so only one path compiles)
         nxt = jnp.minimum(base + 1, S - 1)
-        flat = st.tracks.reshape(-1, C_t)  # [T*S, C]
+        flat = st.tracks.reshape(-1, C_t)  # [T*S, C] (device relayout —
+        # only on this >2-channel fallback path, never for mono/stereo)
         off = (st.v_track * S)[:, None]
         s0 = flat[off + base]  # [V, F, C]
         s1 = flat[off + nxt]
@@ -237,6 +238,7 @@ def render_block(
     active_next = st.v_active & (~sounding | has_seq | ~ran_off)
 
     st2 = EngineArrays(
+        track_c=st.track_c,
         tracks=st.tracks, track_rows=st.track_rows,
         track_len=st.track_len, track_ch=st.track_ch,
         v_used=st.v_used, v_active=active_next, v_track=st.v_track,

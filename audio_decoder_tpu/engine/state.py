@@ -51,8 +51,12 @@ TEMPO_CONTEXT = 2
 class EngineArrays:
     """Device-resident engine state (one pytree through the renderer)."""
 
-    # tracks
-    tracks: jax.Array  # f32 [T, S, C] padded decoded PCM
+    # tracks — FLAT interleaved [T, S*C] with a static storage channel
+    # count, NOT [T, S, C]: a trailing dim of 1-2 would tile-pad every
+    # 128-lane TPU tile to 1-2 used elements, a 64-128x resident-HBM tax
+    # on the whole track store (same rationale as AudioBatch.data,
+    # core/batch.py module docstring)
+    tracks: jax.Array  # f32 [T, S*C] padded decoded PCM, flat interleaved
     track_rows: jax.Array  # f32 [R, 8] stride-4 rows over flat tracks
     #                        (derived; see build_track_rows)
     track_len: jax.Array  # i32 [T]
@@ -96,9 +100,12 @@ class EngineArrays:
     clock: jax.Array  # i32 scalar (samples since engine start)
     rng_key: jax.Array
 
+    # static storage channel count C of the track interleaving
+    track_c: int = dataclasses.field(metadata=dict(static=True), default=1)
+
 
 def build_track_rows(tracks: jax.Array) -> jax.Array:
-    """Stride-4, 8-wide sample rows over the flattened [T, S, C] store.
+    """Stride-4, 8-wide sample rows over the flattened track store.
 
     Row k = flat[4k : 4k+8].  Any two-tap interpolation window (both
     taps, every channel, C <= 2) fits inside ONE row regardless of the
@@ -116,12 +123,25 @@ def build_track_rows(tracks: jax.Array) -> jax.Array:
 
 
 def empty_state(
-    tracks: jax.Array, track_len, track_ch, out_channels: int
+    tracks: jax.Array, track_len, track_ch, out_channels: int,
+    *, channels: int | None = None,
 ) -> EngineArrays:
+    """Build a fresh engine state.
+
+    ``tracks`` is planar ``[T, S, C]`` (flattened here; free in C order)
+    or already-flat ``[T, S*C]`` with ``channels`` giving C."""
     V, G, X = MAX_VOICES, MAX_GROUPS, MAX_CONTEXTS
     lanes = V + G + X
     tracks = jnp.asarray(tracks, jnp.float32)
+    if tracks.ndim == 3:
+        T, _S, C = tracks.shape
+        tracks = tracks.reshape(T, -1)
+    else:
+        if channels is None:
+            raise ValueError("flat tracks need an explicit channels=")
+        C = int(channels)
     return EngineArrays(
+        track_c=C,
         tracks=tracks,
         track_rows=build_track_rows(tracks),
         track_len=jnp.asarray(track_len, jnp.int32),
@@ -152,13 +172,20 @@ def empty_state(
 
 
 def tracks_from_batch(batch, consensus_channels: int):
-    """AudioBatch → (tracks [T,S,C], lens, chs) device tensors."""
+    """AudioBatch → (flat tracks [T, S*C], lens, chs) device tensors,
+    C = consensus_channels.  When the batch is already interleaved at
+    the consensus width the data passes through with NO device relayout;
+    otherwise one load-time reshape/pad/slice rewidths it."""
+    if batch.channels == consensus_channels:
+        return batch.data, batch.valid_frames, batch.num_channels
     pcm = batch.pcm
     if pcm.shape[2] < consensus_channels:
         pcm = jnp.pad(
             pcm, ((0, 0), (0, 0), (0, consensus_channels - pcm.shape[2]))
         )
-    return pcm[:, :, :consensus_channels], batch.valid_frames, batch.num_channels
+    pcm = pcm[:, :, :consensus_channels]
+    return (pcm.reshape(pcm.shape[0], -1), batch.valid_frames,
+            batch.num_channels)
 
 
 class HostRegistry:

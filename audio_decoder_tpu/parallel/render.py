@@ -31,33 +31,38 @@ _VOICE_FIELDS = (
 )
 
 
-def state_shardings(mesh: Mesh) -> EngineArrays:
-    """A pytree of NamedShardings matching EngineArrays: per-voice arrays
-    split over 'model', everything else replicated."""
+def state_shardings(mesh: Mesh, st: EngineArrays) -> EngineArrays:
+    """A pytree of NamedShardings matching ``st``: per-voice arrays split
+    over 'model', everything else replicated.  Built with tree_map so
+    static aux fields (track_c) ride along and the spec's treedef equals
+    the state's."""
     rep = NamedSharding(mesh, P())
     voice = NamedSharding(mesh, P("model"))
-    kw = {
-        f.name: (voice if f.name in _VOICE_FIELDS else rep)
-        for f in dataclasses.fields(EngineArrays)
-    }
-    return EngineArrays(**kw)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: voice if path[0].name in _VOICE_FIELDS else rep, st
+    )
 
 
 def sharded_render_fn(mesh: Mesh, *, frames: int, out_channels: int):
     """Bind render_block to a mesh: voice-dim state sharded over 'model',
     the mixed block replicated (the psum over voice shards is the only
-    collective)."""
-    shards = state_shardings(mesh)
+    collective).  Shardings are constrained inside the jitted step (from
+    the state's own structure), so the caller just passes a state placed
+    by shard_engine_state."""
     rep = NamedSharding(mesh, P())
 
     def step(st: EngineArrays):
-        return render_block(st, frames=frames, out_channels=out_channels)
+        st = jax.lax.with_sharding_constraint(st, state_shardings(mesh, st))
+        block, st2 = render_block(
+            st, frames=frames, out_channels=out_channels)
+        return (
+            jax.lax.with_sharding_constraint(block, rep),
+            jax.lax.with_sharding_constraint(st2, state_shardings(mesh, st2)),
+        )
 
-    return jax.jit(
-        step, in_shardings=(shards,), out_shardings=(rep, shards)
-    )
+    return jax.jit(step)
 
 
 def shard_engine_state(st: EngineArrays, mesh: Mesh) -> EngineArrays:
     """Place an engine state on the mesh per state_shardings."""
-    return jax.device_put(st, state_shardings(mesh))
+    return jax.device_put(st, state_shardings(mesh, st))
