@@ -151,7 +151,9 @@ def test_numpy_oracle_close_to_libavcodec(rng, ch, ba):
     the predictor WITHIN a block, but every block re-syncs exactly at
     its verbatim header sample — so the families agree exactly at block
     heads and within a small tolerance elsewhere (same shape as the MP3
-    suite's inter-oracle RMS bound)."""
+    suite's inter-oracle RMS bound).  Which family is canonical is
+    settled by the spec's own pseudocode vectors:
+    test_ima_spec_pseudocode_vectors_settle_the_family."""
     if not CR.have_ffdec():
         pytest.skip("libavcodec unavailable")
     spb = _spb(ba, ch)
@@ -183,6 +185,123 @@ def test_ima_stream_equals_batch_and_seeks(rng):
         got = (np.concatenate(parts) if parts
                else np.zeros((0, ch), np.float32))
         np.testing.assert_array_equal(got, whole[s:], err_msg=f"seek {s}")
+
+
+# ------------------------------------------------- IMA spec arbitration
+# The two in-block formula families (see test_numpy_oracle_close_to_
+# libavcodec) are settled by the spec itself: the IMA Digital Audio
+# Technical Working Group's "Recommended Practices for Enhancing Digital
+# Audio Compatibility in Multimedia Systems" rev 3.00 (1992-10-21)
+# presents the ADPCM reference decompression algorithm in Section 6.4 as
+# explicit pseudocode whose difference reconstruction is the BIT-TEST
+# form.  _spec_decode_nibble below is a literal transcription of that
+# pseudocode (variable names kept); the vectors it generates are the
+# canonical answers.
+
+
+def _spec_decode_nibble(originalSample: int, predictedSample: int,
+                        index: int) -> tuple[int, int]:
+    """IMA rev 3.00 §6.4 'ADPCM Decompression' pseudocode, verbatim
+    structure: difference = step>>3 (+ step if b2) (+ step>>1 if b1)
+    (+ step>>2 if b0), negated on the sign bit, predictor clamped to
+    16 bits, index stepped by indexTable and clamped to [0, 88]."""
+    stepsize = int(IR.STEPS[index])
+    difference = stepsize >> 3
+    if originalSample & 4:
+        difference += stepsize
+    if originalSample & 2:
+        difference += stepsize >> 1
+    if originalSample & 1:
+        difference += stepsize >> 2
+    if originalSample & 8:
+        predictedSample -= difference
+    else:
+        predictedSample += difference
+    if predictedSample > 32767:
+        predictedSample = 32767
+    elif predictedSample < -32768:
+        predictedSample = -32768
+    index += int(IR.INDEX[originalSample & 0xF])
+    if index < 0:
+        index = 0
+    elif index > 88:
+        index = 88
+    return predictedSample, index
+
+
+def test_ima_spec_pseudocode_vectors_settle_the_family():
+    """Exhaustive spec vectors: every (step index, nibble) transition x a
+    predictor sweep, answered by the literal rev 3.00 §6.4 transcription.
+
+    Verdict (VERDICT r2 item 6): our oracle/device family IS the spec's
+    reference algorithm — _decode_nibble matches the spec transcription
+    on ALL 89x16x5 transitions.  ffmpeg's exact-multiply form
+    ((2n+1)·step >> 3) deviates from the spec vectors on 45 of the 89
+    step indices (wherever the split shifts truncate more than the
+    single >>3 does), so the small in-block tolerance against libavcodec
+    is ffmpeg's deviation from the published pseudocode, not ambiguity
+    in ours."""
+    exact_differs = 0
+    for index in range(89):
+        step = int(IR.STEPS[index])
+        row_differs = False
+        for nib in range(16):
+            for pred in (-32768, -12345, 0, 777, 32767):
+                want = _spec_decode_nibble(nib, pred, index)
+                got = IR._decode_nibble(nib, pred, index)
+                assert got == want, (index, nib, pred)
+            # the other family's magnitude for this (index, nibble)
+            mag = nib & 7
+            exact = ((2 * mag + 1) * step) >> 3
+            spec = ((step >> 3) + (step if mag & 4 else 0)
+                    + ((step >> 1) if mag & 2 else 0)
+                    + ((step >> 2) if mag & 1 else 0))
+            if exact != spec:
+                row_differs = True
+        exact_differs += bool(row_differs)
+    # the families genuinely split (everywhere a shift drops bits), so
+    # agreement with the spec vectors is a real arbitration, not vacuous
+    assert exact_differs == 45
+
+
+def test_ima_device_matches_spec_vectors_in_block(rng):
+    """A full crafted stream walked nibble-by-nibble with the spec
+    pseudocode must equal the DEVICE decode at every in-block position
+    (not just block heads) — the end-to-end form of the arbitration."""
+    ch, ba = 2, 256
+    spb = _spb(ba, ch)
+    pcm = _signal(rng, 3 * spb, ch)
+    data = IR.encode(pcm, ba)
+    f = _decode_one(_blob(data, ch, ba))
+    assert f.err == 0
+    got = np.round(np.asarray(f.pcm) * 32768.0).astype(np.int64)
+
+    # independent walk: parse blocks and run the spec transcription
+    w = (ba - 4 * ch) // (4 * ch)
+    out = np.zeros((3 * spb, ch), np.int64)
+    at = 0
+    for b0 in range(3):
+        blk = data[b0 * ba: (b0 + 1) * ba]
+        pred, idx = [0] * ch, [0] * ch
+        for c in range(ch):
+            pred[c] = int.from_bytes(blk[4 * c: 4 * c + 2], "little",
+                                     signed=True)
+            idx[c] = blk[4 * c + 2]
+            out[b0 * spb, c] = pred[c]
+        body = blk[4 * ch:]
+        nibs = [[] for _ in range(ch)]
+        for g in range(w):
+            for c in range(ch):
+                for k in range(4):
+                    byte = body[(g * ch + c) * 4 + k]
+                    nibs[c] += [byte & 0xF, byte >> 4]
+        for k in range(spb - 1):
+            for c in range(ch):
+                pred[c], idx[c] = _spec_decode_nibble(
+                    nibs[c][k], pred[c], idx[c])
+                out[b0 * spb + 1 + k, c] = pred[c]
+        at += spb
+    np.testing.assert_array_equal(got[: 3 * spb], out)
 
 
 # ------------------------------------------------------------------ MS ADPCM
