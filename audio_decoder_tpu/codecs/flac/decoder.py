@@ -40,6 +40,23 @@ def _bucket(n: int, minimum: int = 1) -> int:
     return size
 
 
+def _bucket_fine(n: int, minimum: int = 1024) -> int:
+    """8 geometric steps per octave for the BYTE tensor — the one wire-
+    dominant dim.  Padding waste ≤ 1/8 (vs ≤ 1/3 for _bucket); compile
+    count stays logarithmic (8 shapes per octave)."""
+    size = minimum
+    while size < n:
+        size *= 2
+    if size <= minimum:
+        return size
+    half = size // 2
+    for k in range(1, 8):
+        cand = half + half * k // 8
+        if n <= cand:
+            return cand
+    return size
+
+
 def _pad1(arrs: list[np.ndarray], cap: int, dtype) -> jnp.ndarray:
     """Concatenate per-file 1-D descriptor arrays and zero-pad to cap."""
     out = np.zeros((cap,), dtype)
@@ -63,11 +80,25 @@ def _error_batch(names, codes) -> AudioBatch:
     )
 
 
-def sizing_for(analyses: list[frontend.FlacAnalysis]) -> dict:
+def _aligned_size(nbytes: int) -> int:
+    """Per-file byte footprint in the flat concatenated stream: files
+    start word-aligned so every local bit position maps to
+    ``start*8 + local`` with the word fold untouched."""
+    return (nbytes + 3) // 4 * 4
+
+
+def sizing_for(analyses: list[frontend.FlacAnalysis],
+               combine: str = "sum") -> dict:
     """Bucketed static dims of the fused program for a group — separable
-    so a stream can take the max over its chunks and compile ONCE."""
+    so a stream can take the max over its chunks and compile ONCE.
+
+    combine: how the flat byte tensor sizes across the analyses —
+    "sum" for a group packed together (decode_group), "max" when each
+    analysis packs ALONE against this sizing (stream / chunked paths)."""
+    sizes = [_aligned_size(len(a.data)) for a in analyses]
+    ntot = (sum(sizes) if combine == "sum" else max(sizes)) + 4
     return dict(
-        nbytes=_bucket(max(len(a.data) for a in analyses) + 4, 1024),
+        ntot=_bucket_fine(ntot, 1024),
         nmax=_bucket(max(int(a.blocksizes.max()) if a.n_frames else 1
                          for a in analyses), 64),
         smax=_bucket(max(a.total for a in analyses) or 1, 256),
@@ -93,26 +124,31 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
     ch = analyses[0].channels
 
     sz = sizing or sizing_for(analyses)
-    nbytes, nmax, smax = sz["nbytes"], sz["nmax"], sz["smax"]
+    ntot, nmax, smax = sz["ntot"], sz["nmax"], sz["smax"]
     rice_steps, fw_imax = sz["rice_steps"], sz["fw_imax"]
     F, Lr, Lw, Ld = sz["F"], sz["Lr"], sz["Lw"], sz["Ld"]
 
-    # bit positions ride int32 on the device — the PHYSICAL limit; the
-    # routing policy (frontend.BIT_CAP) sends bigger files through the
-    # chunked path before they ever reach here
-    for a in analyses:
-        if len(a.data) * 8 >= (1 << 31):
-            raise E.UnsupportedFormatError(
-                "file exceeds int32 device bit positions; decode chunked")
+    # bit positions ride int32 on the device — the PHYSICAL limit on the
+    # whole CONCATENATED stream; the routing policy (frontend.BIT_CAP +
+    # decode_group's group splitting) keeps packed groups under it
+    if ntot * 8 >= (1 << 31):
+        raise E.UnsupportedFormatError(
+            "group exceeds int32 device bit positions; split the group")
 
-    # --- byte tensor (nbytes includes +4 so _be_words' 4-byte fold
-    #     never truncates a partial trailing word)
-    bufs = np.zeros((B, nbytes), np.uint8)
+    # --- flat byte stream: files concatenate word-aligned, so the wire
+    #     carries actual bytes (+ one bucket step of tail padding), not
+    #     a [B, max_file] rectangle (ntot includes +4 so _be_words'
+    #     4-byte fold never truncates a partial trailing word)
+    bufs = np.zeros((ntot,), np.uint8)
+    file_off = np.zeros((B,), np.int32)   # absolute START BIT per file
     file_bits = np.zeros((B,), np.int32)
+    at = 0
     for i, a in enumerate(analyses):
         raw = np.frombuffer(a.data, np.uint8)
-        bufs[i, : raw.shape[0]] = raw
+        bufs[at: at + raw.shape[0]] = raw
+        file_off[i] = at * 8
         file_bits[i] = raw.shape[0] * 8
+        at += _aligned_size(raw.shape[0])
 
     # --- per-file offsets: frames and sublanes concatenate in stream
     #     order, so global sublane index = (frame_base + f)*ch + c and
@@ -138,13 +174,17 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
         sub_off = frame_base * ch
         rl["file"].append(np.full(a.rl_sub.shape, i, np.int32))
         rl["sub"].append(a.rl_sub + sub_off)
-        rl["bitpos"].append(a.rl_bitpos.astype(np.int32))
+        rl["bitpos"].append(
+            (a.rl_bitpos.astype(np.int64) + int(file_off[i]))
+            .astype(np.int32))  # in-range: ntot*8 < 2^31 checked above
         rl["count"].append(a.rl_count)
         rl["param"].append(a.rl_param)
         rl["dest"].append(a.rl_dest)
         fw["file"].append(np.full(a.fw_sub.shape, i, np.int32))
         fw["sub"].append(a.fw_sub + sub_off)
-        fw["bitpos"].append(a.fw_bitpos.astype(np.int32))
+        fw["bitpos"].append(
+            (a.fw_bitpos.astype(np.int64) + int(file_off[i]))
+            .astype(np.int32))
         fw["count"].append(a.fw_count)
         fw["width"].append(a.fw_width)
         fw["dest"].append(a.fw_dest)
@@ -167,7 +207,7 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
         coeffs[: cat.shape[0]] = cat
 
     args = (
-        jnp.asarray(bufs), jnp.asarray(file_bits),
+        jnp.asarray(bufs), jnp.asarray(file_off), jnp.asarray(file_bits),
         _pad1(rl["file"], Lr, np.int32), _pad1(rl["sub"], Lr, np.int32),
         _pad1(rl["bitpos"], Lr, np.int32), _pad1(rl["count"], Lr, np.int32),
         _pad1(rl["param"], Lr, np.int32), _pad1(rl["dest"], Lr, np.int32),
@@ -270,7 +310,7 @@ def _chunked_piece(i: int, an: frontend.FlacAnalysis, name: str
         cuts.append(b)
     outs = []
     slices = [slice_frames(an, a, b) for a, b in zip(cuts, cuts[1:])]
-    sz = sizing_for(slices) if slices else None
+    sz = sizing_for(slices, combine="max") if slices else None
     for sl in slices:
         b = _decode_batch([sl], [name], sizing=sz)
         E.raise_for_code(int(np.asarray(b.err)[0]), name)
@@ -341,8 +381,21 @@ def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
         else:
             groups.setdefault(an.channels, []).append(i)
     for chn, idxs in sorted(groups.items()):
-        with TRACE.stage("flac/device"):
-            batch = _decode_batch([analyses[i] for i in idxs],
-                                  [assets[i].name for i in idxs])
-        pieces.append((idxs, batch))
+        # the flat concatenated stream rides int32 bit positions, so a
+        # GROUP is also bounded by BIT_CAP — split greedily (each file
+        # here is < BIT_CAP itself, so every sub-group is packable)
+        sub: list[int] = []
+        bits = 0
+        for i in idxs + [-1]:
+            fb = (_aligned_size(len(analyses[i].data)) * 8
+                  if i >= 0 else frontend.BIT_CAP)
+            if sub and bits + fb + 64 >= frontend.BIT_CAP:
+                with TRACE.stage("flac/device"):
+                    batch = _decode_batch([analyses[j] for j in sub],
+                                          [assets[j].name for j in sub])
+                pieces.append((sub, batch))
+                sub, bits = [], 0
+            if i >= 0:
+                sub.append(i)
+                bits += fb
     return pieces

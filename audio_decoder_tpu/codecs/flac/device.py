@@ -195,7 +195,10 @@ def _stereo(sub_pcm, fr_mode, channels: int):
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax"),
 )
 def flac_decode_batch(
-    bytes_u8,       # u8 [B, N] raw file bytes
+    bytes_u8,       # u8 [Ntot] raw bytes of ALL files, concatenated
+    #                 word-aligned (the wire carries actual bytes, not a
+    #                 [B, max_file] rectangle)
+    file_off,       # i32 [B] absolute start BIT of each file
     file_bits,      # i32 [B] valid bit length per file
     rl_file, rl_sub, rl_bitpos, rl_count, rl_param, rl_dest,  # [Lr]
     fw_file, fw_sub, fw_bitpos, fw_count, fw_width, fw_dest,  # [Lw]
@@ -214,10 +217,13 @@ def flac_decode_batch(
     """Whole-batch FLAC decode → (pcm f32 [B, smax, channels],
     ovf bool [B]).  Sublanes are frame-major/channel-minor, so
     Ls == F * channels and the predictor output reshapes straight into
-    frames."""
-    words = _be_words(bytes_u8)
+    frames.  Lane bit positions are ABSOLUTE into the flat stream; the
+    per-file lane index only selects the scan limit and the overflow
+    slot."""
+    words = _be_words(bytes_u8[None, :])
     rows8 = _overlap_rows(words)
-    limit = jnp.minimum(file_bits, words.shape[1] * 32 - K_MAX - 256)
+    limit = jnp.minimum(file_off + file_bits,
+                        words.shape[1] * 32 - K_MAX - 256)
 
     Ls = sub_kind.shape[0]
     F = fr_file.shape[0]
@@ -234,7 +240,8 @@ def flac_decode_batch(
     oob = np.int32(2**31 - 256)
 
     # --- fixed-width lanes (warmups, verbatim, constant, escapes)
-    fwv = _fixed_width(rows8, fw_file, fw_bitpos, fw_width,
+    # (row gathers all hit batch row 0 — the flat stream)
+    fwv = _fixed_width(rows8, jnp.zeros_like(fw_file), fw_bitpos, fw_width,
                        limit[fw_file], fw_imax)
     fi = jnp.arange(fw_imax, dtype=jnp.int32)[None, :]
     fvalid = fi < fw_count[:, None]
@@ -242,8 +249,8 @@ def flac_decode_batch(
         fvalid, fw_sub[:, None] * (nmax + 1) + fw_dest[:, None] + fi, oob)
 
     # --- rice lanes
-    rv, ovf_l = _rice_scan(rows8, rl_file, rl_bitpos, rl_count, rl_param,
-                           limit[rl_file], rice_steps)
+    rv, ovf_l = _rice_scan(rows8, jnp.zeros_like(rl_file), rl_bitpos,
+                           rl_count, rl_param, limit[rl_file], rice_steps)
     ri = jnp.arange(rice_steps * K_CODES, dtype=jnp.int32)[None, :]
     rvalid = ri < rl_count[:, None]
     rdst = jnp.where(rvalid, rl_sub[:, None] * (nmax + 1) + rl_dest[:, None]
@@ -271,7 +278,7 @@ def flac_decode_batch(
     pcm_f = sub_pcm.astype(jnp.float32) * fr_scale[:, None, None]
 
     # --- assemble frames into per-file streams
-    out = jnp.zeros((B_out := bytes_u8.shape[0]) * smax * channels,
+    out = jnp.zeros((B_out := file_bits.shape[0]) * smax * channels,
                     jnp.float32)
     si = jnp.arange(nmax, dtype=jnp.int32)[None, :]
     svalid = si < fr_n[:, None]

@@ -88,7 +88,8 @@ class FlacStream:
         ]
         self._starts = [int(self.an.starts[a])
                         for a in range(0, F, self.fpc)]
-        self._sizing = sizing_for(self._slices) if self._slices else None
+        self._sizing = (sizing_for(self._slices, combine="max")
+                        if self._slices else None)
 
     def chunks(self, start_sample: int = 0) -> Iterator[np.ndarray]:
         """Yield PCM from ``start_sample`` onward (sample-exact seek)."""

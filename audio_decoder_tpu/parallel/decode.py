@@ -143,19 +143,22 @@ def sharded_flac_fn(mesh: Mesh, **static):
     """Bind the fused FLAC decode to a mesh.
 
     FLAC decode is embarrassingly parallel too, but its work axes are
-    LANES (rice partitions / fixed-width runs), not files: the per-file
-    byte rows and the per-lane descriptor arrays all shard over 'data'.
-    The host packs lanes in file order (codecs/flac/decoder.pack_group),
-    so lane shards mostly window into their own shard's byte rows; the
-    final frame scatter re-assembles per-file PCM across shards."""
+    LANES (rice partitions / fixed-width runs), not files: the per-lane
+    descriptor arrays and per-file metadata shard over 'data'.  The flat
+    concatenated byte stream (decoder.pack_group) REPLICATES — lanes
+    window into it at absolute bit positions, so a replicated buffer
+    costs no collectives on the row gathers (its HBM cost is the
+    compressed bytes, small next to the PCM); the final frame scatter
+    re-assembles per-file PCM across shards."""
     from ..codecs.flac.device import flac_decode_batch
 
     data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
 
     def step(*args):
         return flac_decode_batch(*args, **static)
 
-    return jax.jit(step, in_shardings=(data,) * 27,
+    return jax.jit(step, in_shardings=(rep,) + (data,) * 27,
                    out_shardings=(data, data))
 
 
