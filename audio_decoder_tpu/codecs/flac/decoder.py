@@ -28,6 +28,13 @@ from . import frontend
 from .device import K_CODES, flac_decode_batch
 
 
+#: the PHYSICAL packing limit: lane bit positions ride int32 on the
+#: device.  Distinct from frontend.BIT_CAP (the ROUTING policy, equal in
+#: production but shrunk by tests): the chunked path legitimately packs
+#: single frames whose span exceeds a shrunken BIT_CAP, and the int32
+#: bound never moves.
+POS_CAP = 1 << 31
+
 def _bucket(n: int, minimum: int = 1) -> int:
     """Round n up to a power of two OR 3/4 of one (two sizes per octave,
     like the MPEG family's _bucket): pure powers of two waste up to 50%
@@ -130,8 +137,13 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
 
     # bit positions ride int32 on the device — the PHYSICAL limit on the
     # whole CONCATENATED stream; the routing policy (frontend.BIT_CAP +
-    # decode_group's group splitting) keeps packed groups under it
-    if ntot * 8 >= (1 << 31):
+    # decode_group's group splitting) keeps packed groups under it.
+    # Guard on the ACTUAL packed size, not the bucketed ntot: bucketing
+    # may round a legal 240-256 MiB group up to exactly 2^28 bytes, and
+    # lane positions only ever reach the actual concatenated length
+    # (device.py clamps its own limit arithmetic to int32 range).
+    packed = sum(_aligned_size(len(a.data)) for a in analyses) + 4
+    if packed * 8 >= POS_CAP:
         raise E.UnsupportedFormatError(
             "group exceeds int32 device bit positions; split the group")
 
@@ -313,7 +325,11 @@ def _chunked_piece(i: int, an: frontend.FlacAnalysis, name: str
     sz = sizing_for(slices, combine="max") if slices else None
     for sl in slices:
         b = _decode_batch([sl], [name], sizing=sz)
-        E.raise_for_code(int(np.asarray(b.err)[0]), name)
+        code = int(np.asarray(b.err)[0])
+        if code:
+            # per-file catch-and-skip, same contract as _host_piece: a
+            # bad chunk fails THIS file (error piece), not the family
+            return [i], _error_batch([name], [code])
         outs.append(np.asarray(b.data)[0].reshape(
             -1, b.channels)[: sl.total])
     pcm = (np.concatenate(outs, axis=0) if outs
@@ -375,7 +391,10 @@ def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
 
     groups: dict[int, list[int]] = {}
     for i, an in analyses.items():
-        if len(an.data) * 8 >= frontend.BIT_CAP:
+        # admission mirrors pack_group's guard on the PACKED size
+        # (word alignment + the +4 fold tail), so a file a few bytes
+        # under BIT_CAP cannot slip into the fused route and raise there
+        if (_aligned_size(len(an.data)) + 4) * 8 >= frontend.BIT_CAP:
             with TRACE.stage("flac/device"):
                 pieces.append(_chunked_piece(i, an, assets[i].name))
         else:

@@ -222,8 +222,12 @@ def flac_decode_batch(
     slot."""
     words = _be_words(bytes_u8[None, :])
     rows8 = _overlap_rows(words)
+    # the static bound is a Python int: clamp it to int32 range — a
+    # 240-256 MiB group buckets to a 2^28-byte array whose bit length
+    # exceeds int32 (actual lane positions are guarded < 2^31 by the
+    # packer, so the clamp never bites a real position)
     limit = jnp.minimum(file_off + file_bits,
-                        words.shape[1] * 32 - K_MAX - 256)
+                        min(words.shape[1] * 32 - K_MAX - 256, 2**31 - 1))
 
     Ls = sub_kind.shape[0]
     F = fr_file.shape[0]

@@ -62,11 +62,24 @@ def decode_ints(blob: bytes) -> tuple[np.ndarray, dict]:
     if lib is not None:
         info = parse_streaminfo(blob)  # authoritative early errors
         cap = info["total"] or (len(blob) * 4 + 65536)
-        out = np.zeros((cap * info["channels"],), np.int32)
-        meta = np.zeros((4,), np.int64)
-        n = lib.flacfe_decode(
-            blob, len(blob), out.ctypes.data_as(C.POINTER(C.c_int32)),
-            cap, meta.ctypes.data_as(C.POINTER(C.c_int64)))
+        # unknown-length streams (total == 0) size the buffer by a 4:1
+        # heuristic; constant/silent frames compress far past that, so a
+        # capacity miss (the native decoder's only Unsupported return)
+        # retries with a doubled buffer up to the spec ceiling (~2048
+        # samples/channel per byte for constant frames of 32768) rather
+        # than rejecting a legal stream the Python tier would decode
+        hard = len(blob) * 4096 + 65536
+        while True:
+            out = np.zeros((cap * info["channels"],), np.int32)
+            meta = np.zeros((4,), np.int64)
+            n = lib.flacfe_decode(
+                blob, len(blob), out.ctypes.data_as(C.POINTER(C.c_int32)),
+                cap, meta.ctypes.data_as(C.POINTER(C.c_int64)))
+            if (n == -E.ERR_UNSUPPORTED and not info["total"]
+                    and cap < hard):
+                cap = min(cap * 4, hard)
+                continue
+            break
         if n < 0:
             E.raise_for_code(int(-n), "flac host decode")
         ch = int(meta[1])

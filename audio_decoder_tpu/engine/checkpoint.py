@@ -127,7 +127,7 @@ def save_state(path: str, st: EngineArrays, reg: HostRegistry) -> None:
         f.name: np.asarray(getattr(st, f.name))
         for f in dataclasses.fields(st)
         # derived data (2x the track store) is rebuilt on load by the
-        # version-2 defaulting rule, not shipped
+        # version-3 defaulting rule, not shipped
         if f.name != "track_rows"
     }
     np.savez_compressed(path + ".npz", **arrays)

@@ -173,3 +173,99 @@ def test_pack_group_guards_bit_cap(rng, monkeypatch):
     big = dataclasses.replace(an, data=an.data + bytes((1 << 28) - len(an.data)))
     with pytest.raises(E.UnsupportedFormatError):
         flac_decoder.pack_group([big])
+
+
+def test_pack_group_keys_on_actual_size_not_bucket(rng, monkeypatch):
+    """A group whose ACTUAL packed size fits int32 bit positions must
+    pack even when _bucket_fine rounds the byte tensor past the cap
+    (the real-scale repro: a 240-256 MiB group buckets to 2^28 bytes).
+    The guard keys on the unbucketed sum; device.py clamps its static
+    limit arithmetic separately."""
+    x = _wide(rng, 1200, 16)
+    blob = FW.encode_file(x, 44100, 16, blocksize=512)
+    an = frontend.analyze(blob)
+    analyses = [an, an, an]
+    actual = sum(flac_decoder._aligned_size(len(a.data))
+                 for a in analyses) + 4
+    sz = flac_decoder.sizing_for(analyses)
+    if sz["ntot"] == actual:  # dodge an exact bucket step
+        analyses = analyses + [dataclasses.replace(
+            an, data=an.data + bytes(36))]
+        actual = sum(flac_decoder._aligned_size(len(a.data))
+                     for a in analyses) + 4
+        sz = flac_decoder.sizing_for(analyses)
+    assert sz["ntot"] > actual
+    monkeypatch.setattr(flac_decoder, "POS_CAP", actual * 8 + 8)
+    assert sz["ntot"] * 8 >= flac_decoder.POS_CAP  # bucket alone trips it
+    args, statics = flac_decoder.pack_group(analyses)  # must not raise
+    assert int(args[0].shape[0]) == sz["ntot"]
+
+
+def test_decode_group_file_at_cap_edge_routes_chunked(rng, monkeypatch):
+    """A file a few bytes under BIT_CAP (len*8 < cap but word alignment
+    + the +4 fold tail reach it) must take the frame-chunked route, not
+    the fused route where pack_group would raise — and decode equal to
+    the one-shot result."""
+    x = _wide(rng, 6000, 16)
+    blob = FW.encode_file(x, 44100, 16, blocksize=512)
+    (_, b1), = flac_decoder.decode_group([_Asset("f", blob)])
+    aligned = flac_decoder._aligned_size(len(blob))
+    monkeypatch.setattr(frontend, "BIT_CAP", (aligned + 4) * 8)
+    # with the physical cap shrunk alongside, the old admission (len*8
+    # vs BIT_CAP alone) sent this file into the fused route, where
+    # pack_group's guard raised uncaught
+    monkeypatch.setattr(flac_decoder, "POS_CAP", (aligned + 4) * 8)
+    assert len(blob) * 8 < frontend.BIT_CAP
+    (idxs, b2), = flac_decoder.decode_group([_Asset("f", blob)])
+    assert idxs == [0]
+    assert int(np.asarray(b2.err)[0]) == 0
+    n1 = int(np.asarray(b1.valid_frames)[0])
+    n2 = int(np.asarray(b2.valid_frames)[0])
+    assert n1 == n2 == 6000
+    np.testing.assert_array_equal(
+        np.asarray(b1.data)[0].reshape(-1, 2)[:n1],
+        np.asarray(b2.data)[0].reshape(-1, 2)[:n2])
+
+
+def test_chunked_route_bad_chunk_fails_per_file(rng, monkeypatch):
+    """A device error inside the >BIT_CAP chunked path must become an
+    error piece for THAT file (the family catch-and-skip contract), not
+    an exception that aborts the whole family decode."""
+    x = _wide(rng, 6000, 16)
+    blob = FW.encode_file(x, 44100, 16, blocksize=512)
+    monkeypatch.setattr(frontend, "BIT_CAP", 4096)
+
+    def bad_batch(analyses, names, sizing=None):
+        return flac_decoder._error_batch(names,
+                                         [E.ERR_INVALID] * len(names))
+
+    monkeypatch.setattr(flac_decoder, "_decode_batch", bad_batch)
+    (idxs, b), = flac_decoder.decode_group([_Asset("f", blob)])
+    assert idxs == [0]
+    assert int(np.asarray(b.err)[0]) == E.ERR_INVALID
+
+
+def test_host_unknown_length_compressed_stream(rng):
+    """STREAMINFO total == 0 with constant (hugely compressed) frames:
+    the native tier's 4:1 output-sizing heuristic undershoots; it must
+    grow the buffer and decode — not surface kErrUnsup for a stream the
+    pure-Python tier decodes fine (tier-divergent rejection)."""
+    S = 441000
+    x = np.zeros((S, 2), np.int64)
+    blob = bytearray(FW.encode_file(x, 44100, 16, blocksize=4096,
+                                    subframe_kw=dict(kind="constant")))
+    # zero the 36-bit total_samples field (STREAMINFO bits 108-143 →
+    # blob[21] low nibble + blob[22:26])
+    blob[21] &= 0xF0
+    blob[22:26] = b"\x00\x00\x00\x00"
+    blob = bytes(blob)
+    assert frontend.parse_streaminfo(blob)["total"] == 0
+    assert S > len(blob) * 4 + 65536  # the heuristic cap undershoots
+    ints, info = host.decode_ints(blob)
+    assert info["total"] == S
+    assert info["rate"] == 44100 and info["channels"] == 2
+    assert ints.shape == (S, 2)
+    assert not ints.any()
+    pure, pinfo = host._decode_py(blob)
+    assert pinfo["total"] == S
+    np.testing.assert_array_equal(ints, pure)

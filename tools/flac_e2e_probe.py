@@ -1,5 +1,7 @@
 import time, numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from audio_decoder_tpu.codecs.flac import frontend, decoder
 from audio_decoder_tpu.codecs.flac.encode import encode_flac
 from audio_decoder_tpu.codecs.flac.device import flac_decode_batch
