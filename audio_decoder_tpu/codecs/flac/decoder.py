@@ -25,7 +25,7 @@ from ...core import errors as E
 from ...core.batch import AudioBatch
 from ...utils.trace import TRACE
 from . import frontend
-from .device import K_CODES, flac_decode_batch
+from .device import K_CODES, flac_decode_batch, flac_decode_wire
 
 
 #: the PHYSICAL packing limit: lane bit positions ride int32 on the
@@ -64,13 +64,13 @@ def _bucket_fine(n: int, minimum: int = 1024) -> int:
     return size
 
 
-def _pad1(arrs: list[np.ndarray], cap: int, dtype) -> jnp.ndarray:
+def _pad1(arrs: list[np.ndarray], cap: int, dtype) -> np.ndarray:
     """Concatenate per-file 1-D descriptor arrays and zero-pad to cap."""
     out = np.zeros((cap,), dtype)
     if arrs:
         cat = np.concatenate(arrs)
         out[: cat.shape[0]] = cat
-    return jnp.asarray(out)
+    return out
 
 
 def _error_batch(names, codes) -> AudioBatch:
@@ -121,12 +121,54 @@ def sizing_for(analyses: list[frontend.FlacAnalysis],
     )
 
 
-def pack_group(analyses: list[frontend.FlacAnalysis],
-               sizing: dict | None = None) -> tuple[tuple, dict]:
-    """Pack one same-channel-count group into the fused program's
-    ``(positional args, static kwargs)`` — the shared front half of the
-    local, sharded (parallel.decode.sharded_flac_fn) and streaming
-    paths."""
+def _plan_stream(datas: list[bytes]) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flat-stream layout for a list of blobs — knowable BEFORE the walk
+    (decode_group ships the bytes while the walk runs).  Returns
+    (file_off bits i32 [B], file_bits i32 [B], packed bytes incl. the
+    +4 fold tail)."""
+    B = len(datas)
+    file_off = np.zeros((B,), np.int64)
+    file_bits = np.zeros((B,), np.int64)
+    at = 0
+    for i, d in enumerate(datas):
+        file_off[i] = at * 8
+        file_bits[i] = len(d) * 8
+        at += _aligned_size(len(d))
+    packed = at + 4
+    # bit positions ride int32 on the device — the PHYSICAL limit on the
+    # whole CONCATENATED stream; the routing policy (frontend.BIT_CAP +
+    # decode_group's group splitting) keeps packed groups under it.
+    # Guard on the ACTUAL packed size, not the bucketed ntot: bucketing
+    # may round a legal 240-256 MiB group up to exactly 2^28 bytes, and
+    # lane positions only ever reach the actual concatenated length
+    # (device.py clamps its own limit arithmetic to int32 range).
+    if packed * 8 >= POS_CAP:
+        raise E.UnsupportedFormatError(
+            "group exceeds int32 device bit positions; split the group")
+    return file_off.astype(np.int32), file_bits.astype(np.int32), packed
+
+
+def _build_stream(datas: list[bytes], file_off: np.ndarray,
+                  ntot: int) -> np.ndarray:
+    """Materialize the flat byte stream: files concatenate word-aligned,
+    so the wire carries actual bytes (+ one bucket step of tail
+    padding), not a [B, max_file] rectangle (ntot includes +4 so
+    _be_words' 4-byte fold never truncates a partial trailing word)."""
+    bufs = np.zeros((ntot,), np.uint8)
+    for off, d in zip(file_off, datas):
+        b = off // 8
+        bufs[b: b + len(d)] = np.frombuffer(d, np.uint8)
+    return bufs
+
+
+def _pack_np(analyses: list[frontend.FlacAnalysis],
+             sizing: dict | None = None,
+             stream: tuple | None = None) -> tuple[list, dict]:
+    """Shared packer: per-field numpy arrays in wire order + statics.
+
+    ``stream`` = (file_off, file_bits) skips rebuilding the byte tensor
+    (fields[0] is None then) — decode_group ships the bytes before the
+    walk and packs descriptors against the same layout afterwards."""
     B = len(analyses)
     ch = analyses[0].channels
 
@@ -135,32 +177,13 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
     rice_steps, fw_imax = sz["rice_steps"], sz["fw_imax"]
     F, Lr, Lw, Ld = sz["F"], sz["Lr"], sz["Lw"], sz["Ld"]
 
-    # bit positions ride int32 on the device — the PHYSICAL limit on the
-    # whole CONCATENATED stream; the routing policy (frontend.BIT_CAP +
-    # decode_group's group splitting) keeps packed groups under it.
-    # Guard on the ACTUAL packed size, not the bucketed ntot: bucketing
-    # may round a legal 240-256 MiB group up to exactly 2^28 bytes, and
-    # lane positions only ever reach the actual concatenated length
-    # (device.py clamps its own limit arithmetic to int32 range).
-    packed = sum(_aligned_size(len(a.data)) for a in analyses) + 4
-    if packed * 8 >= POS_CAP:
-        raise E.UnsupportedFormatError(
-            "group exceeds int32 device bit positions; split the group")
-
-    # --- flat byte stream: files concatenate word-aligned, so the wire
-    #     carries actual bytes (+ one bucket step of tail padding), not
-    #     a [B, max_file] rectangle (ntot includes +4 so _be_words'
-    #     4-byte fold never truncates a partial trailing word)
-    bufs = np.zeros((ntot,), np.uint8)
-    file_off = np.zeros((B,), np.int32)   # absolute START BIT per file
-    file_bits = np.zeros((B,), np.int32)
-    at = 0
-    for i, a in enumerate(analyses):
-        raw = np.frombuffer(a.data, np.uint8)
-        bufs[at: at + raw.shape[0]] = raw
-        file_off[i] = at * 8
-        file_bits[i] = raw.shape[0] * 8
-        at += _aligned_size(raw.shape[0])
+    if stream is None:
+        file_off, file_bits, _ = _plan_stream([a.data for a in analyses])
+        bufs = _build_stream([a.data for a in analyses], file_off, ntot)
+    else:
+        file_off, file_bits = stream
+        _plan_stream([a.data for a in analyses])  # re-assert the guard
+        bufs = None
 
     # --- per-file offsets: frames and sublanes concatenate in stream
     #     order, so global sublane index = (frame_base + f)*ch + c and
@@ -218,36 +241,75 @@ def pack_group(analyses: list[frontend.FlacAnalysis],
         cat = np.concatenate(sub_coeffs, axis=0)
         coeffs[: cat.shape[0]] = cat
 
-    args = (
-        jnp.asarray(bufs), jnp.asarray(file_off), jnp.asarray(file_bits),
+    fields = [
+        bufs, file_off, file_bits,
         _pad1(rl["file"], Lr, np.int32), _pad1(rl["sub"], Lr, np.int32),
         _pad1(rl["bitpos"], Lr, np.int32), _pad1(rl["count"], Lr, np.int32),
         _pad1(rl["param"], Lr, np.int32), _pad1(rl["dest"], Lr, np.int32),
         _pad1(fw["file"], Lw, np.int32), _pad1(fw["sub"], Lw, np.int32),
         _pad1(fw["bitpos"], Lw, np.int32), _pad1(fw["count"], Lw, np.int32),
         _pad1(fw["width"], Lw, np.int32), _pad1(fw["dest"], Lw, np.int32),
-        _pad1(dv["sub"], Ld, np.int32), jnp.asarray(dv_dest),
+        _pad1(dv["sub"], Ld, np.int32), dv_dest,
         _pad1(dv["val"], Ld, np.int32),
         _pad1(sub_kind, F * ch, np.int32), _pad1(sub_order, F * ch, np.int32),
         _pad1(sub_shift, F * ch, np.int32),
         _pad1(sub_wasted, F * ch, np.int32),
-        jnp.asarray(coeffs),
+        coeffs,
         _pad1(fr_file, F, np.int32), _pad1(fr_start, F, np.int32),
         _pad1(fr_n, F, np.int32), _pad1(fr_mode, F, np.int32),
         _pad1(fr_scale, F, np.float32),
-    )
+    ]
     statics = dict(channels=ch, nmax=nmax, smax=smax,
                    rice_steps=rice_steps, fw_imax=fw_imax)
-    return args, statics
+    return fields, statics
+
+
+def pack_group(analyses: list[frontend.FlacAnalysis],
+               sizing: dict | None = None) -> tuple[tuple, dict]:
+    """Pack one same-channel-count group into the fused program's
+    ``(positional args, static kwargs)`` — the per-array surface the
+    mesh-sharded path (parallel.decode.sharded_flac_fn) and the device
+    tests consume.  The local decode path rides ``pack_wire`` instead
+    (two transfers beat 28 on high-latency wires)."""
+    fields, statics = _pack_np(analyses, sizing)
+    return tuple(jnp.asarray(f) for f in fields), statics
+
+
+def pack_wire(analyses: list[frontend.FlacAnalysis],
+              sizing: dict | None = None,
+              stream: tuple | None = None) -> tuple[tuple, dict]:
+    """Pack for ``device.flac_decode_wire``: (bytes, desc) — every
+    descriptor field concatenated into ONE int32 tensor so a group
+    costs two transfer-latency floors, not 28.
+
+    ``stream`` = (bufs_dev, file_off, file_bits): a byte tensor already
+    shipped (decode_group sends it before the walk); its layout MUST
+    match _plan_stream's for the same file list."""
+    if stream is not None:
+        bufs_dev, file_off, file_bits = stream
+        fields, statics = _pack_np(analyses, sizing,
+                                   stream=(file_off, file_bits))
+    else:
+        fields, statics = _pack_np(analyses, sizing)
+        bufs_dev = jnp.asarray(fields[0])
+    B = fields[1].shape[0]
+    Lr, Lw, Ld = fields[3].shape[0], fields[9].shape[0], fields[15].shape[0]
+    F = fields[23].shape[0]
+    desc = np.concatenate(
+        [f.reshape(-1) for f in fields[1:27]]
+        + [np.ascontiguousarray(fields[27]).view(np.int32)])
+    statics = dict(statics, B=B, F=F, Lr=Lr, Lw=Lw, Ld=Ld)
+    return (bufs_dev, jnp.asarray(desc)), statics
 
 
 def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
-                  sizing: dict | None = None) -> AudioBatch:
+                  sizing: dict | None = None,
+                  stream: tuple | None = None) -> AudioBatch:
     """Pack one same-channel-count group and run the fused program."""
     B = len(analyses)
     ch = analyses[0].channels
-    args, statics = pack_group(analyses, sizing)
-    pcm, ovf = flac_decode_batch(*args, **statics)
+    args, statics = pack_wire(analyses, sizing, stream=stream)
+    pcm, ovf = flac_decode_wire(*args, **statics)
     return AudioBatch(
         data=pcm, channels=ch,
         sample_rate=jnp.asarray([a.sample_rate for a in analyses], jnp.int32),
@@ -345,29 +407,79 @@ def _chunked_piece(i: int, an: frontend.FlacAnalysis, name: str
     )
 
 
+#: pipeline granularity: packed bytes per fused-program chunk.  Small
+#: enough that chunk k's device program overlaps chunk k+1's h2d (the
+#: wire is the binding constraint on tunnel/PCIe hosts), big enough to
+#: amortize per-dispatch latency and keep compile shapes few.
+CHUNK_BYTES = 12 << 20
+
+
 def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
     """Family decoder: ``[(family_local_indices, AudioBatch), ...]``.
 
-    Per-file walk failures become error-batch pieces (catch-and-skip,
-    like every family); walked files group by channel count.  Two
-    routes exist beside the fused batch program: 26-32-bit streams
+    Pipelined: STREAMINFO (cheap header parse) routes and chunk-plans
+    every file BEFORE the walk, so each chunk's flat byte stream ships
+    host→device while the native walk runs, and chunk k's fused device
+    program overlaps chunk k+1's transfer.  Per-file walk failures
+    become error-batch pieces (catch-and-skip, like every family).
+    Two routes exist beside the fused batch program: 26-32-bit streams
     decode on the host (int64-exact, ``host.decode_ints``), and files
     past BIT_CAP decode frame-chunked (rebased int32 lane positions) —
     no legal RFC 9639 stream is rejected."""
-    analyses: dict[int, frontend.FlacAnalysis] = {}
-    failed: list[tuple[int, int]] = []
     host_route: list[int] = []
     walk_idx: list[int] = []
+    chans: dict[int, int] = {}
 
     for i, a in enumerate(assets):
         try:
-            if frontend.parse_streaminfo(a.data)["bits"] > frontend.MAX_BPS:
+            si = frontend.parse_streaminfo(a.data)
+            if si["bits"] > frontend.MAX_BPS:
                 host_route.append(i)
                 continue
+            chans[i] = si["channels"]
         except E.DecodeError:
             pass  # let the walk assign the authoritative error code
         walk_idx.append(i)
 
+    # --- pre-walk chunk plan: same-channel files, flushed at
+    #     CHUNK_BYTES (pipeline granularity) and the packed-size caps
+    big: list[int] = []
+    plans: list[list[int]] = []
+    cur: dict[int, tuple[list[int], int]] = {}
+    cap_bytes = min(frontend.BIT_CAP, POS_CAP) // 8
+    for i in walk_idx:
+        ch = chans.get(i)
+        if ch is None:
+            continue  # walk will fail it with the authoritative code
+        fb = _aligned_size(len(assets[i].data))
+        # admission mirrors _plan_stream's guard on the PACKED size
+        # (word alignment + the +4 fold tail), so a file a few bytes
+        # under BIT_CAP cannot slip into the fused route and raise there
+        if fb + 8 >= cap_bytes:
+            big.append(i)
+            continue
+        sub, bts = cur.get(ch, ([], 0))
+        if sub and (bts + fb + 8 >= cap_bytes or bts + fb > CHUNK_BYTES):
+            plans.append(sub)
+            sub, bts = [], 0
+        sub.append(i)
+        cur[ch] = (sub, bts + fb)
+    plans.extend(sub for sub, _ in cur.values() if sub)
+
+    # --- EARLY h2d: ship every chunk's byte stream NOW, before the
+    #     walk — the stream layout needs only byte lengths.  On the
+    #     binding-constraint wire these transfers run while the host
+    #     walks the same bytes.
+    pending = []
+    for sub in plans:
+        datas = [assets[i].data for i in sub]
+        file_off, file_bits, packed = _plan_stream(datas)
+        ntot = _bucket_fine(packed, 1024)
+        bufs_dev = jnp.asarray(_build_stream(datas, file_off, ntot))
+        pending.append((sub, bufs_dev, file_off, file_bits, ntot))
+
+    analyses: dict[int, frontend.FlacAnalysis] = {}
+    failed: list[tuple[int, int]] = []
     with TRACE.stage("flac/walk"):
         # one native session walks every blob exactly once, threaded in
         # C (frontend.analyze_batch; Python thread-pool fallback inside)
@@ -389,32 +501,26 @@ def decode_group(assets) -> list[tuple[list[int], AudioBatch]]:
         with TRACE.stage("flac/host"):
             pieces.append(_host_piece(host_route, assets))
 
-    groups: dict[int, list[int]] = {}
-    for i, an in analyses.items():
-        # admission mirrors pack_group's guard on the PACKED size
-        # (word alignment + the +4 fold tail), so a file a few bytes
-        # under BIT_CAP cannot slip into the fused route and raise there
-        if (_aligned_size(len(an.data)) + 4) * 8 >= frontend.BIT_CAP:
+    for sub, bufs_dev, file_off, file_bits, ntot in pending:
+        ok = [i for i in sub if i in analyses]
+        if not ok:
+            continue  # every file already in the error piece
+        with TRACE.stage("flac/device"):
+            if len(ok) == len(sub):
+                sz = sizing_for([analyses[i] for i in sub])
+                sz["ntot"] = ntot  # MUST match the pre-shipped tensor
+                batch = _decode_batch(
+                    [analyses[i] for i in sub],
+                    [assets[i].name for i in sub], sizing=sz,
+                    stream=(bufs_dev, file_off, file_bits))
+            else:
+                # rare: a walk failure inside a pre-shipped chunk —
+                # repack the survivors fresh (their bytes re-ship)
+                batch = _decode_batch([analyses[i] for i in ok],
+                                      [assets[i].name for i in ok])
+        pieces.append((ok, batch))
+    for i in big:
+        if i in analyses:
             with TRACE.stage("flac/device"):
-                pieces.append(_chunked_piece(i, an, assets[i].name))
-        else:
-            groups.setdefault(an.channels, []).append(i)
-    for chn, idxs in sorted(groups.items()):
-        # the flat concatenated stream rides int32 bit positions, so a
-        # GROUP is also bounded by BIT_CAP — split greedily (each file
-        # here is < BIT_CAP itself, so every sub-group is packable)
-        sub: list[int] = []
-        bits = 0
-        for i in idxs + [-1]:
-            fb = (_aligned_size(len(analyses[i].data)) * 8
-                  if i >= 0 else frontend.BIT_CAP)
-            if sub and bits + fb + 64 >= frontend.BIT_CAP:
-                with TRACE.stage("flac/device"):
-                    batch = _decode_batch([analyses[j] for j in sub],
-                                          [assets[j].name for j in sub])
-                pieces.append((sub, batch))
-                sub, bits = [], 0
-            if i >= 0:
-                sub.append(i)
-                bits += fb
+                pieces.append(_chunked_piece(i, analyses[i], assets[i].name))
     return pieces

@@ -21,10 +21,14 @@ FLAC files from raw bytes to ``[B, S, C]`` float32 PCM:
 4. **Stereo decorrelation + assembly** — elementwise channel solves
    per frame mode, then one flat scatter into per-file PCM rows.
 
-The quotient cap: unary runs are unbounded in the spec; lanes that see
-q > Q_CAP (impossible for any rate-efficient encoder output — the 64-bit
-window handles q to 40 directly) raise a per-file overflow flag instead
-of mis-decoding, and the group decoder reports the file unsupported.
+The quotient cap: unary runs are unbounded in the spec; the walk counts
+each lane's worst quotient, and lanes that see q > Q_CAP (impossible for
+any rate-efficient encoder output — the 64-bit window handles q to 40
+directly) are routed OUT of the rice scan by the packer: the frontend
+decodes those rare values on the host and ships them down the dv
+(direct-value) lane, so any legal stream still decodes exactly
+(frontend.py outlier routing).  The in-program overflow flag remains as
+a belt-and-braces guard and is surfaced per file.
 """
 
 from __future__ import annotations
@@ -122,6 +126,28 @@ def _fixed_width(rows8, file_idx, bitpos, width, limit, imax: int):
     return _sign_extend(jnp.where(w > 0, u, 0), w).reshape(L, imax)
 
 
+def _window_add(x: jax.Array, starts: jax.Array, updates: jax.Array
+                ) -> jax.Array:
+    """Scatter-ADD contiguous windows: ``x[starts[l] + i] += updates[l, i]``.
+
+    The FLAC value layout makes every lane's destinations contiguous
+    (dest = lane base + i), so the value scatter is a ROW scatter — on
+    this hardware ~an order of magnitude faster than the equivalent
+    element scatter (docs/PERFORMANCE.md "row SCATTER is ~13x faster").
+    Overlap is harmless by construction: updates beyond a lane's live
+    count are zeros, and x starts at zero, so overlapping windows only
+    ever add zeros onto real values.  Callers must leave a window of
+    slack at the end of ``x`` (CLIP keeps the window in bounds; padding
+    lanes start at 0 and add zeros)."""
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    return lax.scatter_add(
+        x, starts[:, None], updates, dn,
+        indices_are_sorted=False, unique_indices=False,
+        mode=lax.GatherScatterMode.CLIP)
+
+
 def _exact_mac(hist: jax.Array, coef_i: jax.Array, coef_f: jax.Array,
                shift: jax.Array) -> jax.Array:
     """Exact ``(sum_j coef[j] * hist[j]) >> shift`` for 46-bit sums on
@@ -146,28 +172,40 @@ def _exact_mac(hist: jax.Array, coef_i: jax.Array, coef_f: jax.Array,
     return jnp.where(shift == 0, lo, full)
 
 
+K_PRED = 8      # samples reconstructed per predictor scan step
+
+
 def _predict(vals, kind, order, shift, wasted, coeffs, nmax: int):
     """Reconstruct samples from residuals+warmup for every sublane.
 
     ``vals`` i32 [Ls, nmax]: positions < order hold warmup samples,
     the rest residuals.  LPC recurrence s[i] = r[i] +
     (Σ c[j]·s[i-1-j] >> shift) via lax.scan over samples; FIXED and
-    VERBATIM ride the same path (integer coefficients / order 0)."""
+    VERBATIM ride the same path (integer coefficients / order 0).
+    The scan is unrolled K_PRED samples per step: the recurrence is
+    inherently serial (the shift truncation is nonlinear), so the win
+    is amortizing per-step scan overhead, not parallelism — nmax/8
+    steps instead of nmax (every bucketed nmax is a multiple of 8)."""
     Ls = vals.shape[0]
     coef_i = coeffs.astype(jnp.int32)
     coef_f = coeffs.astype(jnp.float32)
 
     def step(hist, xs):
-        r, i = xs
-        pred = _exact_mac(hist, coef_i, coef_f, shift)
-        s = jnp.where(i < order, r, r + pred)
-        hist = jnp.concatenate([s[:, None], hist[:, :-1]], axis=1)
-        return hist, s
+        rs, i0 = xs  # rs [K_PRED, Ls], i0 scalar sample base
+        outs = []
+        for k in range(K_PRED):
+            pred = _exact_mac(hist, coef_i, coef_f, shift)
+            s = jnp.where(i0 + k < order, rs[k], rs[k] + pred)
+            hist = jnp.concatenate([s[:, None], hist[:, :-1]], axis=1)
+            outs.append(s)
+        return hist, jnp.stack(outs)
 
     hist0 = jnp.zeros((Ls, 32), jnp.int32)
-    xs = (vals.T[:nmax], jnp.arange(nmax, dtype=jnp.int32))
+    steps = nmax // K_PRED
+    xs = (vals.T[:nmax].reshape(steps, K_PRED, Ls),
+          jnp.arange(steps, dtype=jnp.int32) * K_PRED)
     _, ys = lax.scan(step, hist0, xs)
-    s = ys.T  # [Ls, nmax]
+    s = ys.reshape(nmax, Ls).T  # [Ls, nmax]
     s = jnp.where(kind[:, None] == 1, vals[:, :1], s)  # CONSTANT broadcast
     return s << wasted[:, None].astype(jnp.uint32)
 
@@ -192,7 +230,8 @@ def _stereo(sub_pcm, fr_mode, channels: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax"),
+    static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
+                     "stage"),
 )
 def flac_decode_batch(
     bytes_u8,       # u8 [Ntot] raw bytes of ALL files, concatenated
@@ -213,6 +252,7 @@ def flac_decode_batch(
     smax: int,
     rice_steps: int,
     fw_imax: int,
+    stage: str = "full",
 ):
     """Whole-batch FLAC decode → (pcm f32 [B, smax, channels],
     ovf bool [B]).  Sublanes are frame-major/channel-minor, so
@@ -231,16 +271,13 @@ def flac_decode_batch(
 
     Ls = sub_kind.shape[0]
     F = fr_file.shape[0]
-    vals_flat = jnp.zeros((Ls * (nmax + 1),), jnp.int32)
+    # window slack so every lane's CLIPped window stays in bounds
+    W = rice_steps * K_CODES
+    vals_flat = jnp.zeros((Ls * (nmax + 1) + max(W, fw_imax),), jnp.int32)
 
-    # Scatter destinations are unique by construction — every value slot
-    # is written by exactly one (lane, code) — once padding entries are
-    # routed OUT of bounds (mode="drop" discards them).  Saying so
-    # (unique_indices) lets XLA skip the sort-based dedup lowering that
-    # otherwise dominates this program's device time (profiled: the
-    # three big scatters were ~70% of decode before these flags).
-    # > any array size → always dropped (headroom below INT32_MAX so
-    # per-channel offsets added later cannot wrap)
+    # element-scatter padding sentinel: > any array size → always
+    # dropped (headroom below INT32_MAX so per-channel offsets added
+    # later cannot wrap)
     oob = np.int32(2**31 - 256)
 
     # --- fixed-width lanes (warmups, verbatim, constant, escapes)
@@ -249,35 +286,38 @@ def flac_decode_batch(
                        limit[fw_file], fw_imax)
     fi = jnp.arange(fw_imax, dtype=jnp.int32)[None, :]
     fvalid = fi < fw_count[:, None]
-    fdst = jnp.where(
-        fvalid, fw_sub[:, None] * (nmax + 1) + fw_dest[:, None] + fi, oob)
 
     # --- rice lanes
     rv, ovf_l = _rice_scan(rows8, jnp.zeros_like(rl_file), rl_bitpos,
                            rl_count, rl_param, limit[rl_file], rice_steps)
-    ri = jnp.arange(rice_steps * K_CODES, dtype=jnp.int32)[None, :]
+    if stage == "scan":
+        return (rv.sum() + fwv.sum()).astype(jnp.float32)[None], \
+            ovf_l.any()[None]
+    ri = jnp.arange(W, dtype=jnp.int32)[None, :]
     rvalid = ri < rl_count[:, None]
-    rdst = jnp.where(rvalid, rl_sub[:, None] * (nmax + 1) + rl_dest[:, None]
-                     + ri, oob)
 
-    # one fused scatter for every value source — fixed-width, rice and
-    # the host-decoded outliers (rice quotients past Q_CAP; their
-    # padding rows carry an out-of-bounds dest from the packer).  The
-    # TPU lowering sorts updates by destination per scatter, so fewer,
-    # bigger scatters amortize that pass
-    vals_flat = vals_flat.at[jnp.concatenate([
-        fdst.reshape(-1), rdst.reshape(-1),
-        dv_sub * (nmax + 1) + dv_dest])].set(
-        jnp.concatenate([
-            jnp.where(fvalid, fwv, 0).reshape(-1),
-            jnp.where(rvalid, rv, 0).reshape(-1), dv_val]),
-        mode="drop", unique_indices=True)
+    # Every value source lands at a CONTIGUOUS per-lane window
+    # (dest = lane base + i), so the assembly is two row scatter-adds
+    # (an order of magnitude cheaper than the element scatter they
+    # replace — see _window_add) plus one small element scatter for the
+    # host-decoded rice outliers (q > Q_CAP; padding rows carry an
+    # out-of-bounds dest from the packer and drop).
+    vals_flat = _window_add(
+        vals_flat, rl_sub * (nmax + 1) + rl_dest, jnp.where(rvalid, rv, 0))
+    vals_flat = _window_add(
+        vals_flat, fw_sub * (nmax + 1) + fw_dest, jnp.where(fvalid, fwv, 0))
+    vals_flat = vals_flat.at[dv_sub * (nmax + 1) + dv_dest].add(
+        dv_val, mode="drop", unique_indices=True)
 
-    vals = vals_flat.reshape(Ls, nmax + 1)[:, :nmax]
+    vals = vals_flat[: Ls * (nmax + 1)].reshape(Ls, nmax + 1)[:, :nmax]
+    if stage == "vals":
+        return vals.sum()[None].astype(jnp.float32), ovf_l.any()[None]
 
     # --- predictors → samples, stereo, scale
     s = _predict(vals, sub_kind, sub_order, sub_shift, sub_wasted,
                  sub_coeffs, nmax)
+    if stage == "predict":
+        return s.sum().astype(jnp.float32)[None], ovf_l.any()[None]
     sub_pcm = _stereo(s.reshape(F, channels, nmax), fr_mode, channels)
     pcm_f = sub_pcm.astype(jnp.float32) * fr_scale[:, None, None]
 
@@ -304,3 +344,61 @@ def flac_decode_batch(
 
     ovf = jnp.zeros((B_out,), bool).at[rl_file].max(ovf_l, mode="drop")
     return pcm, ovf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
+                     "B", "F", "Lr", "Lw", "Ld", "stage"),
+)
+def flac_decode_wire(
+    bytes_u8,       # u8 [Ntot] flat concatenated stream (as decode_batch)
+    desc,           # i32 [D] ALL descriptor fields, one tensor
+    *,
+    channels: int,
+    nmax: int,
+    smax: int,
+    rice_steps: int,
+    fw_imax: int,
+    B: int,
+    F: int,
+    Lr: int,
+    Lw: int,
+    Ld: int,
+    stage: str = "full",
+):
+    """Two-transfer entry: identical to ``flac_decode_batch`` but every
+    descriptor rides ONE int32 tensor (decoder.pack_wire's layout).
+
+    Exists for the tunnel/PCIe wire, not the device: 28 separate
+    device_puts pay 28 transfer-latency floors per group (measured
+    26 ms each in tunnel-degraded windows — tools/wire_probe.py); one
+    tensor pays one.  The static-offset slices below fuse to nothing.
+    The per-array entry remains the mesh-sharding surface
+    (parallel.decode.sharded_flac_fn shards lanes over 'data'; a flat
+    heterogeneous block has no lane axis to shard)."""
+    Ls = F * channels
+    sizes = ([B, B] + [Lr] * 6 + [Lw] * 6 + [Ld] * 3 + [Ls] * 4
+             + [Ls * 32] + [F] * 5)
+    parts = []
+    at = 0
+    for s in sizes:
+        parts.append(lax.slice(desc, (at,), (at + s,)))
+        at += s
+    (file_off, file_bits,
+     rl_file, rl_sub, rl_bitpos, rl_count, rl_param, rl_dest,
+     fw_file, fw_sub, fw_bitpos, fw_count, fw_width, fw_dest,
+     dv_sub, dv_dest, dv_val,
+     sub_kind, sub_order, sub_shift, sub_wasted,
+     coeffs_flat, fr_file, fr_start, fr_n, fr_mode, fr_scale_i) = parts
+    return flac_decode_batch(
+        bytes_u8, file_off, file_bits,
+        rl_file, rl_sub, rl_bitpos, rl_count, rl_param, rl_dest,
+        fw_file, fw_sub, fw_bitpos, fw_count, fw_width, fw_dest,
+        dv_sub, dv_dest, dv_val,
+        sub_kind, sub_order, sub_shift, sub_wasted,
+        coeffs_flat.reshape(Ls, 32),
+        fr_file, fr_start, fr_n, fr_mode,
+        lax.bitcast_convert_type(fr_scale_i, jnp.float32),
+        channels=channels, nmax=nmax, smax=smax,
+        rice_steps=rice_steps, fw_imax=fw_imax, stage=stage)

@@ -264,3 +264,52 @@ def test_streaminfo_md5_verification(rng):
         bad = ints.copy()
         bad[5, 0] ^= 1
         assert frontend.verify_md5(an, bad) is False
+
+
+def test_wire_entry_matches_per_array_entry(rng):
+    """pack_wire/flac_decode_wire (the two-transfer local route) must be
+    value-identical to pack_group/flac_decode_batch (the per-array
+    mesh-sharding surface): the wire entry only re-slices the one
+    concatenated descriptor tensor back into the same fields."""
+    from audio_decoder_tpu.codecs.flac.device import (flac_decode_batch,
+                                                      flac_decode_wire)
+
+    blobs = []
+    for i, bps in enumerate((16, 16, 24)):
+        x = _material(rng, frames=700 + 64 * i, hi=1 << (bps - 1))
+        blobs.append(FW.encode_file(x, 44100, bps, blocksize=256,
+                                    stereo=STEREO_MODES[i]))
+    analyses = [frontend.analyze(b) for b in blobs]
+    args_a, st_a = decoder.pack_group(analyses)
+    pcm_a, ovf_a = flac_decode_batch(*args_a, **st_a)
+    args_w, st_w = decoder.pack_wire(analyses)
+    pcm_w, ovf_w = flac_decode_wire(*args_w, **st_w)
+    np.testing.assert_array_equal(np.asarray(pcm_a), np.asarray(pcm_w))
+    np.testing.assert_array_equal(np.asarray(ovf_a), np.asarray(ovf_w))
+
+
+def test_pipelined_chunk_plan_bit_exact(rng, monkeypatch):
+    """decode_group's pre-walk chunk plan (early h2d + chunk overlap)
+    must split at CHUNK_BYTES without changing results: force a tiny
+    chunk budget so a 6-file batch spans multiple fused programs, mixed
+    with a walk failure inside a pre-shipped chunk (the repack path)."""
+    monkeypatch.setattr(decoder, "CHUNK_BYTES", 1 << 14)
+    xs, blobs = [], []
+    for i in range(6):
+        x = _material(rng, frames=900 + 32 * i)
+        blobs.append(FW.encode_file(x, 44100, 16, blocksize=256,
+                                    stereo=STEREO_MODES[i % 4]))
+        xs.append(x)
+    bad = bytearray(blobs[3])
+    bad[-3] ^= 0x01  # CRC-16 mismatch → walk failure in a shipped chunk
+    blobs[3] = bytes(bad)
+    assets = [Asset(f"f{i}", f"f{i}", "flac", b)
+              for i, b in enumerate(blobs)]
+    pieces = decoder.decode_group(assets)
+    ok_pieces = [p for p in pieces
+                 if int(np.asarray(p[1].err)[0]) == E.ERR_OK]
+    assert len(ok_pieces) >= 2  # the tiny budget really split the batch
+    res = _device_decode(blobs)
+    assert res[3] == (None, E.ERR_INVALID)
+    for i in (0, 1, 2, 4, 5):
+        np.testing.assert_array_equal(res[i][0], xs[i])
