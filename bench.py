@@ -10,8 +10,12 @@ renders in real time; BASELINE.md), so ``vs_baseline`` is the raw
 real-time multiple.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
-informational extras: iteration count, a compressible-content WAV
-end-to-end figure when time permits).
+informational extras as time permits: iteration count, wire-attribution
+probes (dispatch floor ms, rand/zeros h2d MB/s — the host fingerprint
+that separates code regressions from tunnel variance across rounds),
+WAV/FLAC end-to-end figures, p50 per-file decode latency (the second
+half of BASELINE.json's metric), and a three-family
+``decode_throughput_mixed3`` combined figure).
 
 Robustness: the TPU here sits behind a network tunnel that intermittently
 stalls for minutes (round-1 captures ranged 842x-1575x on identical
@@ -177,6 +181,50 @@ def _chunked_h2d(jnp, bufs_np):
     return out
 
 
+def _wire_probe(jax, jnp) -> dict:
+    """10-second attribution preamble: host fingerprint for the capture.
+
+    Three numbers that separate "the code regressed" from "the tunnel was
+    slow" when captures drift across rounds (r02 1705x vs r03 1499x was
+    unattributable without these):
+      * ``probe_dispatch_ms``  — round-trip floor of one trivial jitted
+        dispatch + 1-element fetch (the per-dispatch tunnel latency);
+      * ``probe_h2d_rand_mbps``  — 8 MiB incompressible host->device;
+      * ``probe_h2d_zeros_mbps`` — 8 MiB of zeros (tunnel compression
+        headroom; = rand on a local PCIe link).
+    Transfers are forced by a 1-element fetch — on this tunnel
+    block_until_ready returns without executing."""
+    probes: dict = {}
+    one = jnp.ones((8,), jnp.float32)
+
+    @jax.jit
+    def bump(x):
+        return x + 1.0
+
+    float(bump(one)[0])  # compile/warm
+    best = 1e9
+    for _ in range(5):
+        t = time.perf_counter()
+        float(bump(one)[0])
+        best = min(best, time.perf_counter() - t)
+    probes["probe_dispatch_ms"] = round(best * 1e3, 2)
+
+    nbytes = 8 << 20
+    rnd = np.random.default_rng(3).integers(
+        0, 256, size=(nbytes,), dtype=np.uint8)
+    zer = np.zeros((nbytes,), np.uint8)
+    for label, buf in (("rand", rnd), ("zeros", zer)):
+        best = 1e9
+        for _ in range(3):
+            t = time.perf_counter()
+            d = jnp.asarray(buf)
+            int(d[-1])
+            best = min(best, time.perf_counter() - t)
+            del d
+        probes[f"probe_h2d_{label}_mbps"] = round(nbytes / 1e6 / best, 1)
+    return probes
+
+
 def _device_wav_batch(jax, jnp, header: bytes, n: int, frames: int,
                       channels: int, width: int):
     """Synthesize the padded [n, width] WAV byte tensor on device:
@@ -243,6 +291,13 @@ def main() -> None:
     while max_frames < int(seconds * rate):
         max_frames *= 2
 
+    probes: dict = {}
+    try:
+        probes = _wire_probe(jax, jnp)
+        _note(f"wire probe: {probes}")
+    except Exception as e:  # the preamble must never cost the line
+        _note(f"wire probe skipped: {e!r}")
+
     mp3 = _mp3_blob(rng, seconds, rate)
     mp3_assets = (
         [Asset(path=f"m{i}", name=f"m{i}", ext="mp3", data=mp3)
@@ -281,8 +336,9 @@ def main() -> None:
     dt = time.perf_counter() - t
     _note(f"warmup 2: {dt:.2f}s")
     # warmup 2 already runs at full speed; seed the result with it so the
-    # watchdog has a real number from here on
-    _record(audio / dt, iters=0)
+    # watchdog has a real number from here on (probes ride along: _RESULT
+    # only ever accumulates, so one mention persists them into the line)
+    _record(audio / dt, iters=0, **probes)
 
     # time-budgeted best-of-N: more iterations ride out slow tunnel
     # windows that a fixed best-of-5 averages in
@@ -335,6 +391,37 @@ def main() -> None:
         except Exception as e:  # the secondary must never cost the line
             _note(f"secondary skipped: {e!r}")
 
+    # p50 per-file decode latency — the second half of BASELINE.json's
+    # "metric" field (never reported before r4): one file end-to-end,
+    # host bytes -> h2d -> fused decode -> PCM-forced fetch, p50 of the
+    # run distribution (p50, not best: latency is what a caller waits)
+    if _remaining() > 90.0:
+        try:
+            one = _wav_blob(rng, seconds, rate, music=True)
+            obufs_np, olens_np = pack_bytes([one])
+            # warm the B=1 shape (fresh compile on the chip, cached after)
+            pcm, meta = decode_pcm_step(
+                jnp.asarray(obufs_np), jnp.asarray(olens_np), bits=16,
+                channels=2, max_frames=max_frames, family="wav")
+            float(jnp.sum(meta["n_frames"]) + pcm[:, -1].sum() * 0)
+            lat: list[float] = []
+            while len(lat) < 21 and _remaining() > 45.0:
+                t = time.perf_counter()
+                pcm, meta = decode_pcm_step(
+                    jnp.asarray(obufs_np), jnp.asarray(olens_np), bits=16,
+                    channels=2, max_frames=max_frames, family="wav")
+                # derive the scalar THROUGH pcm so the fetch forces decode
+                float(jnp.sum(meta["n_frames"]) + pcm[:, -1].sum() * 0)
+                lat.append(time.perf_counter() - t)
+            if lat:
+                extras["p50_file_latency_ms"] = round(
+                    float(np.percentile(lat, 50)) * 1e3, 1)
+                _record(best, iters=iters, **extras)
+                _note(f"p50 per-file latency: "
+                      f"{extras['p50_file_latency_ms']} ms over {len(lat)}")
+        except Exception as e:
+            _note(f"latency secondary skipped: {e!r}")
+
     # tertiary, time-permitting: FLAC end-to-end (our own encoder makes
     # the streams; decode = native walk + descriptor pack + h2d + fused
     # device program) — the lossless-codec counterpart of the MP3 number
@@ -365,9 +452,33 @@ def main() -> None:
                     secs += float(fb.audio_seconds() + anchor)
                 best_f = max(best_f, secs / (time.perf_counter() - t0))
             if best_f:
-                _record(best, iters=iters, **extras,
-                        flac_e2e_x=round(best_f, 1))
+                extras["flac_e2e_x"] = round(best_f, 1)
+                _record(best, iters=iters, **extras)
                 _note(f"flac e2e: {best_f:.0f}x")
+
+            # three-family combined figure (round-2 task 8): WAV device
+            # work dispatches first (async), then MP3 + FLAC host fronts
+            # run while it executes — one wall clock over all three
+            best_3 = 0.0
+            for _ in range(3):
+                if _remaining() < 45.0:
+                    break
+                t0 = time.perf_counter()
+                pcm, meta = decode_pcm_step(
+                    wav_bufs, wav_lens, bits=16, channels=2,
+                    max_frames=max_frames, family="wav")
+                wav_frames = jnp.sum(meta["n_frames"])
+                secs = 0.0
+                for _idxs, b in mpeg_decoder.decode_group(mp3_assets):
+                    secs += float(b.audio_seconds() + b.data[:, -1].sum() * 0)
+                for _idxs, fb in flac_dec.decode_group(fassets):
+                    secs += float(fb.audio_seconds() + fb.data[:, -1].sum() * 0)
+                secs += float(wav_frames) / rate
+                best_3 = max(best_3, secs / (time.perf_counter() - t0))
+            if best_3:
+                extras["decode_throughput_mixed3"] = round(best_3, 1)
+                _record(best, iters=iters, **extras)
+                _note(f"mixed3 (wav+mp3+flac): {best_3:.0f}x")
         except Exception as e:
             _note(f"flac secondary skipped: {e!r}")
 
