@@ -443,3 +443,101 @@ def test_trailing_tags_bound_the_frame_walk():
     # a blob that is ONLY tags has no frames (clean error, no crash)
     f = _decode_one("only", "mp3", ape + lyrics + id3v1)
     assert f.err != 0
+
+
+def test_flac_native_python_walk_agreement_on_corrupt_streams():
+    """Differential fuzz of the native FLAC session walker (the MPEG
+    pattern above, ported): random truncations and bit-flips over
+    mixed-feature streams must leave the C walk and the pure-Python walk
+    in agreement on (analysis fields | error code).  The dangerous
+    direction is native-accepts/Python-rejects — the walker would feed
+    the device program garbage the behavioral contract calls invalid;
+    the reverse (native declines, Python decodes) is the designed
+    fallback and only costs speed."""
+    from audio_decoder_tpu.codecs.flac import frontend as FF
+    from audio_decoder_tpu.codecs.flac import native as FN
+    from audio_decoder_tpu.core import errors as E
+    from .flac_writer import encode_file
+    from .test_flac_oracle import SUBFRAME_CASES, _material
+
+    if not FN.available():
+        pytest.skip("native flacfe unavailable")
+    rng = np.random.default_rng(29)
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    x = _material(rng, frames=2400)
+    base = encode_file(x, 44100, 16, blocksize=256, stereo="mid_side",
+                       subframe_kw=kinds)
+    offs = np.asarray(FF.analyze(base).byte_offs)
+
+    def py_walk(data):
+        try:
+            return FF._analyze_py(data)
+        except E.DecodeError as e:
+            return e
+
+    fields = ("blocksizes", "starts", "ch_mode", "sub_kind", "sub_order",
+              "sub_shift", "sub_wasted", "sub_coeffs", "rl_sub",
+              "rl_bitpos", "rl_count", "rl_param", "rl_dest", "fw_sub",
+              "fw_bitpos", "fw_count", "fw_width", "fw_dest", "dv_sub",
+              "dv_dest", "dv_val")
+    # the pure tier: strip the native micro-kernels so py_walk really is
+    # the independent implementation, not C-accelerated Python
+    import unittest.mock as mock
+    patches = [mock.patch.object(FF._native, n, lambda *a, **k: None)
+               for n in ("skip_rice", "crc8", "crc16")]
+    for p in patches:
+        p.start()
+    try:
+        fs = FF.parse_streaminfo(base)["frames_start"]
+        deep = 0
+        for trial in range(96):
+            mut = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                # truncate INSIDE the frame region so the walk itself
+                # (not the metadata parse) hits the edge
+                mut = mut[: int(rng.integers(fs + 1, len(mut)))]
+            elif mode == 1:
+                for _ in range(int(rng.integers(1, 4))):
+                    i = int(rng.integers(fs, len(mut)))
+                    mut[i] ^= int(rng.integers(1, 256))
+            else:
+                # CRC-FIXED flip: corrupt a frame body, then restore
+                # that frame's CRC-16 — the only mutations that get past
+                # the checksum wall and into the deep walk (subframe
+                # headers, rice params, residual layout), where a C/
+                # Python divergence would actually mis-decode
+                f = int(rng.integers(0, len(offs) - 1))
+                a, b = int(offs[f]), int(offs[f + 1])
+                i = int(rng.integers(a + 4, b - 2))
+                mut[i] ^= int(rng.integers(1, 256))
+                c = FF.crc16(bytes(mut[a:b - 2]))
+                mut[b - 2], mut[b - 1] = c >> 8, c & 0xFF
+            data = bytes(mut)
+            res = FN.walk_batch([data], FF.Q_CAP, FF.RICE_SPLIT,
+                                FF.MAX_BPS, 1 << 62)[0]
+            py = py_walk(data)
+            if isinstance(res, int):
+                # native rejected: Python (re-walked by analyze_batch)
+                # stays authoritative; when Python also rejects, the
+                # codes must agree so downstream routing is identical
+                if isinstance(py, E.DecodeError):
+                    assert res == py.code, (
+                        f"trial {trial}: native code {res} vs Python "
+                        f"{type(py).__name__} ({py.code})")
+                continue
+            assert not isinstance(py, E.DecodeError), (
+                f"trial {trial}: native walked a stream the Python "
+                f"contract rejects with {type(py).__name__}")
+            deep += 1
+            an = FF._from_walk(data, res)
+            for f in fields:
+                np.testing.assert_array_equal(
+                    getattr(an, f), getattr(py, f),
+                    err_msg=f"trial {trial}: {f}")
+            assert (an.channels, an.bits, an.total, an.md5) == (
+                py.channels, py.bits, py.total, py.md5), trial
+        assert deep >= 16  # the sweep really reached the deep walk
+    finally:
+        for p in patches:
+            p.stop()
