@@ -44,6 +44,70 @@ _ORDERS = 5       # FIXED predictor orders 0..4
 _KMAX = 30        # largest rice parameter considered (method-1 space)
 _LPC_PREC = 15    # quantized LPC coefficient precision (field = prec-1)
 MAX_LPC_ORDER = 8  # default -5-ish analysis depth (encode_flac knob)
+
+#: level → (max LPC order, apodization windows): the familiar flac(1)
+#: effort ladder.  Levels 0-2 are FIXED-only; 8 is the full search —
+#: order 12 with the three-window bank (whole-block Tukey + two
+#: partial-Tukeys + three punchout-Tukeys = 6 analysis windows/frame,
+#: libFLAC's -8 bank) — every (window, order) pair competes per frame.
+LEVELS = {
+    0: (0, ("tukey(0.5)",)),
+    1: (0, ("tukey(0.5)",)),
+    2: (0, ("tukey(0.5)",)),
+    3: (6, ("tukey(0.5)",)),
+    4: (8, ("tukey(0.5)",)),
+    5: (8, ("tukey(0.5)",)),
+    6: (8, ("tukey(0.5)",)),
+    7: (12, ("tukey(0.5)",)),
+    8: (12, ("tukey(0.5)", "partial_tukey(2)", "punchout_tukey(3)")),
+}
+
+
+def _tukey(n: int, p: float) -> np.ndarray:
+    """Tukey (tapered-cosine) window, taper fraction ``p``."""
+    if n == 1:
+        return np.ones(1)
+    t = np.arange(n) / (n - 1)
+    edge = p / 2.0
+    w = np.ones(n)
+    lo = t < edge
+    hi = t > 1.0 - edge
+    w[lo] = 0.5 * (1.0 + np.cos(np.pi * (2.0 * t[lo] / p - 1.0)))
+    w[hi] = 0.5 * (1.0 + np.cos(np.pi * (2.0 * (1.0 - t[hi]) / p - 1.0)))
+    return w
+
+
+def window_bank(names: tuple[str, ...], nmax: int) -> np.ndarray:
+    """Apodization names → f32 ``[NW, nmax]`` window bank.
+
+    ``tukey(p)`` — whole-block taper; ``partial_tukey(n)`` — n Tukey
+    windows each covering 1/n of the block (non-stationary frames:
+    analyze each region separately and let the best fit win);
+    ``punchout_tukey(n)`` — n windows each EXCLUDING 1/n of the block
+    (a transient in the punched-out region stops poisoning the fit)."""
+    rows: list[np.ndarray] = []
+    for name in names:
+        kind, _, arg = name.partition("(")
+        arg = arg.rstrip(")")
+        if kind == "tukey":
+            rows.append(_tukey(nmax, float(arg)))
+        elif kind == "partial_tukey":
+            parts = int(arg)
+            for i in range(parts):
+                w = np.zeros(nmax)
+                a, b = (nmax * i) // parts, (nmax * (i + 1)) // parts
+                w[a:b] = _tukey(b - a, 0.1)
+                rows.append(w)
+        elif kind == "punchout_tukey":
+            parts = int(arg)
+            for i in range(parts):
+                a, b = (nmax * i) // parts, (nmax * (i + 1)) // parts
+                w = _tukey(nmax, 0.1).copy()
+                w[a:b] = 0.0
+                rows.append(w)
+        else:
+            raise ValueError(f"unknown apodization {name!r}")
+    return np.stack(rows).astype(np.float32)
 _BS_CODE = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
             1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
 _RATE_CODE = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
@@ -62,6 +126,7 @@ _MODE_CODE = np.array([0, 8, 9, 10], np.int32)
 def flac_cost_batch(
     pcm: jax.Array,      # f32 [F, nmax, C] frame-blocked PCM (padding 0)
     nvalid: jax.Array,   # i32 [F] valid samples per frame
+    windows: jax.Array | None = None,  # f32 [NW, nmax] apodization bank
     *,
     bits: int,
     channels: int,
@@ -86,7 +151,7 @@ def flac_cost_batch(
       fixed_cost  f32 [F, NC]          best modeled FIXED subframe bits
       fixed_order i32 [F, NC]          arg of that minimum (0..4)
       is_const    bool [F, NC]         all-equal detector
-      acorr       f32 [F, NC, maxo+1]  Tukey(0.5)-windowed autocorrelation
+      acorr       f32 [F, NC, NW, maxo+1]  per-window autocorrelation
     """
     F, C = pcm.shape[0], channels
     scale = float(1 << (bits - 1))
@@ -141,21 +206,22 @@ def flac_cost_batch(
     is_const = jnp.all(
         jnp.where(valid[:, None, :], cands == cands[:, :, :1], True), axis=-1)
 
-    # windowed autocorrelation for LPC analysis (Tukey 0.5, the libFLAC
-    # default apodization; the window shapes the *estimate* only — the
-    # residual itself is computed on raw samples in pass B)
+    # windowed autocorrelation for LPC analysis (the window shapes the
+    # *estimate* only — the residual itself is computed on raw samples
+    # in pass B).  One lag loop over the whole [F, NC, NW, nmax] bank:
+    # every apodization window is an independent analysis whose
+    # (window, order) fit competes on the host's modeled-bits grid.
     if maxo > 0:
-        t = idx.astype(jnp.float32) / float(max(nmax - 1, 1))
-        wedge = 0.5 * (1.0 + jnp.cos(jnp.pi * (4.0 * jnp.minimum(
-            t, 1.0 - t) - 1.0)))
-        win = jnp.where((t >= 0.25) & (t <= 0.75), 1.0, wedge)
-        xw = cands.astype(jnp.float32) * win[None, None, :]
-        xw = jnp.where(valid[:, None, :], xw, 0.0)
+        if windows is None:
+            windows = jnp.asarray(window_bank(("tukey(0.5)",), nmax))
+        xw = (cands.astype(jnp.float32)[:, :, None, :]
+              * windows[None, None, :, :])             # [F, NC, NW, nmax]
+        xw = jnp.where(valid[:, None, None, :], xw, 0.0)
         acorr = jnp.stack(
-            [jnp.sum(xw[:, :, : nmax - l] * xw[:, :, l:], axis=-1)
-             for l in range(maxo + 1)], axis=-1)       # [F, NC, maxo+1]
+            [jnp.sum(xw[:, :, :, : nmax - l] * xw[:, :, :, l:], axis=-1)
+             for l in range(maxo + 1)], axis=-1)       # [F, NC, NW, maxo+1]
     else:
-        acorr = jnp.zeros((F, NC, 1), jnp.float32)
+        acorr = jnp.zeros((F, NC, 1, 1), jnp.float32)
 
     return dict(ints=x, cands=cands, fixed_cost=fixed_cost,
                 fixed_order=fixed_order, is_const=is_const, acorr=acorr)
@@ -314,26 +380,35 @@ def _plan_predictors(out: dict, nvalid: np.ndarray, *, bits: int,
 
     prec = _LPC_PREC
     if maxo > 0:
-        acorr = np.asarray(out["acorr"], np.float64)    # [F, NC, maxo+1]
-        lpc, errs = _levinson(acorr.reshape(F * NC, maxo + 1), maxo)
-        # modeled bits per order: residual entropy ~ ½log2(err/n) per
-        # sample plus warmup/coefficient/header overhead (the estimate
-        # every production encoder uses — selection only, any pick is a
-        # valid stream)
+        acorr = np.asarray(out["acorr"], np.float64)  # [F, NC, NW, maxo+1]
+        NW = acorr.shape[2]
+        M = F * NC * NW
+        lpc, errs = _levinson(acorr.reshape(M, maxo + 1), maxo)
+        # modeled bits per (window, order): residual entropy ~
+        # ½log2(err/n) per sample plus warmup/coefficient/header
+        # overhead (the estimate every production encoder uses —
+        # selection only, any pick is a valid stream).  Every window's
+        # fit competes on the same grid, so the joint argmin IS the
+        # apodization search.
+        nM = n.repeat(NC * NW, 1).reshape(-1, 1)        # [M, 1]
         with np.errstate(divide="ignore", invalid="ignore"):
-            sigma2 = errs[:, 1:] / np.maximum(n.repeat(NC, 1).reshape(-1, 1),
-                                              1.0)
+            sigma2 = errs[:, 1:] / np.maximum(nM, 1.0)
             bps_est = 0.5 * np.log2(np.maximum(sigma2, 1e-9)) + 2.0
         ordv = np.arange(1, maxo + 1, dtype=np.float64)[None, :]
-        cbpsv = cbps[None].repeat(F, 0).reshape(-1, 1).astype(np.float64)
-        lbits = (np.maximum(bps_est, 1.0)
-                 * (n.repeat(NC, 1).reshape(-1, 1) - ordv)
-                 + ordv * (cbpsv + prec) + 4 + 5)
-        lbest = np.argmin(lbits, axis=1)                # [F·NC] order-1
-        lcost = lbits[np.arange(F * NC), lbest].reshape(F, NC)
-        lorder = (lbest + 1).reshape(F, NC).astype(np.int32)
-        csel = lpc[np.arange(F * NC), lbest]            # [F·NC, maxo]
-        qc, qshift = _quantize_lpc(csel, lbest + 1, prec)
+        cbpsv = np.broadcast_to(
+            cbps[None, :, None], (F, NC, NW)).reshape(-1, 1).astype(
+                np.float64)
+        lbits = (np.maximum(bps_est, 1.0) * (nM - ordv)
+                 + ordv * (cbpsv + prec) + 4 + 5)       # [M, maxo]
+        flat = lbits.reshape(F * NC, NW * maxo)
+        jbest = np.argmin(flat, axis=1)                 # [F·NC]
+        lcost = flat[np.arange(F * NC), jbest].reshape(F, NC)
+        wbest = jbest // maxo
+        obest = jbest % maxo                            # order-1
+        lorder = (obest + 1).reshape(F, NC).astype(np.int32)
+        csel = lpc.reshape(F * NC, NW, maxo, maxo)[
+            np.arange(F * NC), wbest, obest]            # [F·NC, maxo]
+        qc, qshift = _quantize_lpc(csel, obest + 1, prec)
         qc = qc.reshape(F, NC, maxo)
         qshift = qshift.reshape(F, NC)
     else:
@@ -547,7 +622,9 @@ def _subframe_tokens(t: _Tokens, sub: np.ndarray, res: np.ndarray,
 
 def encode_flac(
     pcm, sample_rate: int, *, bits: int = 16, blocksize: int = 4096,
-    dither: int | None = None, lpc_order: int = MAX_LPC_ORDER,
+    dither: int | None = None, lpc_order: int | None = None,
+    level: int | None = None,
+    apodizations: tuple[str, ...] | None = None,
 ) -> bytes:
     """f32 PCM ``[S, C]`` (or ``[S]``) → FLAC bytes.
 
@@ -556,9 +633,13 @@ def encode_flac(
     decoded by this framework round-trips losslessly:
     decode → encode_flac → decode is bit-exact.
 
-    ``lpc_order``: max LPC analysis order (device autocorrelation + host
-    Levinson-Durbin per frame; 8 ≈ ``flac -5``); 0 restricts subframes
-    to CONSTANT/FIXED/VERBATIM.
+    ``level``: the flac(1)-style effort ladder (see ``LEVELS``; default
+    5 ≈ order-8 single-window; 8 = order-12 with the three-apodization
+    bank).  ``lpc_order`` / ``apodizations`` override the level's
+    defaults; ``lpc_order=0`` restricts subframes to CONSTANT/FIXED/
+    VERBATIM.  Every (window, order ≤ lpc_order) pair competes per
+    frame under one modeled-bits grid — the "order search" is a single
+    argmin over the Levinson recursion's full order ladder.
     """
     x = np.asarray(pcm, np.float32)
     if x.ndim == 1:
@@ -576,6 +657,14 @@ def encode_flac(
     if not 1 <= int(sample_rate) < (1 << 20):
         raise ValueError(f"sample rate {sample_rate} out of STREAMINFO range")
 
+    if level is not None and level not in LEVELS:
+        raise ValueError(f"level {level} out of range [0, 8]")
+    lvl_order, lvl_apod = LEVELS[5 if level is None else level]
+    if lpc_order is None:
+        lpc_order = lvl_order
+    if apodizations is None:
+        apodizations = lvl_apod
+
     npart = 16
     while npart > 1 and (blocksize % npart or blocksize // npart <= 4):
         npart //= 2
@@ -590,8 +679,10 @@ def encode_flac(
     if not 0 <= maxo <= 32:
         raise ValueError(f"lpc_order {maxo} out of range [0, 32]")
     maxo = min(maxo, blocksize - 1)
+    wins = (jnp.asarray(window_bank(tuple(apodizations), blocksize))
+            if maxo > 0 else None)
     out = flac_cost_batch(
-        jnp.asarray(xb), jnp.asarray(nvalid.astype(np.int32)),
+        jnp.asarray(xb), jnp.asarray(nvalid.astype(np.int32)), wins,
         bits=bits, channels=C, nmax=blocksize, maxo=maxo, dither=dither)
 
     mode_a, sel, kind, order, shift, coeffs, prec = _plan_predictors(

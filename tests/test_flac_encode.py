@@ -294,3 +294,55 @@ def test_lpc_noise_and_quiet_exact(rng, bits):
                     -hi, hi - 1).astype(np.int64)
         blob = encode_flac(_pcm(x, bits), 44100, bits=bits)
         _check_all(blob, x, bits)
+
+
+@pytest.mark.skipif(not have_ffdec(), reason="libavcodec unavailable")
+def test_compression_vs_libav_level8(rng):
+    """VERDICT r3 #5 completion bar: the -8-class search (order 12 +
+    the tukey/partial_tukey/punchout_tukey apodization bank, every
+    (window, order) pair competing per frame) lands within 5% of
+    libavcodec's FLAC encoder at compression_level 8 on music — and the
+    stream still round-trips bit-exactly through all three decoders."""
+    from .codec_refs import ffdec_encode_flac_size
+
+    x = _music(rng, 44100 * 3)
+    blob = encode_flac(_pcm(x, 16), 44100, bits=16, level=8)
+    ref = ffdec_encode_flac_size(x.astype(np.int32), 44100, 16, 8)
+    assert len(blob) <= 1.05 * ref, (len(blob), ref)
+    _check_all(blob, x, 16)
+
+
+def test_level8_transients_beat_single_window(rng):
+    """Non-stationary content is what the partial/punchout windows are
+    FOR: percussive transients inside otherwise-tonal frames.  The
+    level-8 bank must never lose to the level-5 single window (same
+    modeled-bits grid, strictly larger search space) and the order-12
+    ladder must actually engage (some subframe picks order > 8)."""
+    x = _music(rng, 44100)
+    # drop percussive bursts mid-frame so a whole-block window fits badly
+    for pos in range(2000, x.shape[0] - 300, 4096):
+        burst = (rng.standard_normal((128, 2)) * 9000).astype(np.int64)
+        x[pos:pos + 128] += burst
+    x = np.clip(x, -2 ** 15, 2 ** 15 - 1)
+    b5 = encode_flac(_pcm(x, 16), 44100, bits=16, level=5)
+    b8 = encode_flac(_pcm(x, 16), 44100, bits=16, level=8)
+    assert len(b8) <= len(b5)
+    _check_all(b8, x, 16)
+    an = frontend.analyze(b8)
+    k, o = np.asarray(an.sub_kind), np.asarray(an.sub_order)
+    assert np.any((k == 0) & (np.asarray(an.sub_shift) > 0) & (o > 8)), \
+        "order-12 ladder never engaged"
+
+
+def test_level_ladder_and_overrides(rng):
+    """LEVELS ladder sanity: level 0 is FIXED-only, explicit lpc_order
+    overrides the level, bad levels raise."""
+    x = _music(rng, 9000)
+    b0 = encode_flac(_pcm(x, 16), 44100, bits=16, level=0)
+    an = frontend.analyze(b0)
+    assert np.all(np.asarray(an.sub_shift) == 0)
+    _check_all(b0, x, 16)
+    bo = encode_flac(_pcm(x, 16), 44100, bits=16, level=0, lpc_order=8)
+    assert np.any(np.asarray(frontend.analyze(bo).sub_shift) > 0)
+    with pytest.raises(ValueError):
+        encode_flac(_pcm(x, 16), 44100, bits=16, level=9)
