@@ -322,25 +322,27 @@ def flac_decode_batch(
     pcm_f = sub_pcm.astype(jnp.float32) * fr_scale[:, None, None]
 
     # --- assemble frames into per-file streams
-    out = jnp.zeros((B_out := file_bits.shape[0]) * smax * channels,
-                    jnp.float32)
-    si = jnp.arange(nmax, dtype=jnp.int32)[None, :]
-    svalid = si < fr_n[:, None]
-    base = fr_file * (smax * channels)
-    didx = (base[:, None] + (fr_start[:, None] + si) * channels)
-    didx = jnp.where(svalid, didx, oob)  # drop
-    # one interleaved scatter for all channels (amortizes the lowering's
-    # per-scatter sort).  Index and update are both built in pcm_f's
-    # native [F, C, nmax] layout: a [F, nmax, C] layout would need a
-    # transpose copy whose trailing dim C pads to a 128-lane tile (64x
-    # HBM blow-up at C=2 — OOMs past F*nmax ~ 2^24)
-    didx3 = (didx[:, None, :]
-             + jnp.arange(channels, dtype=jnp.int32)[None, :, None])
-    out = out.at[didx3.reshape(-1)].set(
-        pcm_f.reshape(-1), mode="drop", unique_indices=True)
+    # In the flat interleaved [B, smax*channels] output, one frame's
+    # samples land CONTIGUOUSLY (all channels interleaved), so the
+    # assembly is a row scatter-add too (see _window_add): transpose-
+    # reshape the frame PCM to interleaved [F, nmax*channels] rows (a
+    # fused relayout copy into a wide trailing dim — NOT a resident
+    # [F, nmax, C] tensor, which would tile-pad 64x at C=2) and add each
+    # row at its frame's start offset.  Positions past fr_n carry zeros,
+    # so window overlap with the next frame is harmless by the
+    # scatter-add argument.
+    B_out = file_bits.shape[0]
+    W_pcm = nmax * channels
+    out = jnp.zeros((B_out * smax * channels + W_pcm,), jnp.float32)
+    ji = jnp.arange(W_pcm, dtype=jnp.int32)[None, :]
+    jvalid = (ji // channels) < fr_n[:, None]
+    upd = jnp.where(jvalid,
+                    jnp.transpose(pcm_f, (0, 2, 1)).reshape(F, W_pcm), 0.0)
+    starts = fr_file * (smax * channels) + fr_start * channels
+    out = _window_add(out, starts, upd)
     # flat interleaved [B, smax*channels] — the AudioBatch device layout
     # (core/batch.py; a trailing channel dim would tile-pad 64x+ on TPU)
-    pcm = out.reshape(B_out, smax * channels)
+    pcm = out[: B_out * smax * channels].reshape(B_out, smax * channels)
 
     ovf = jnp.zeros((B_out,), bool).at[rl_file].max(ovf_l, mode="drop")
     return pcm, ovf

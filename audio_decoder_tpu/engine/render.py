@@ -237,6 +237,10 @@ def render_block(
     ran_off = (pos_next < 0.0) | (pos_next > end)
     active_next = st.v_active & (~sounding | has_seq | ~ran_off)
 
+    # NOTE: rendering advances ONLY v_active / v_pos / clock — every
+    # other field passes through untouched.  render_chain's per-block
+    # state reconstruction (and the loop's speculation) depends on this
+    # contract; test_engine's chain-equivalence test pins it.
     st2 = EngineArrays(
         track_c=st.track_c,
         tracks=st.tracks, track_rows=st.track_rows,
@@ -251,6 +255,36 @@ def render_block(
         clock=st.clock + F, rng_key=st.rng_key,
     )
     return block, st2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frames", "out_channels", "depth"))
+def render_chain(
+    st: EngineArrays, *, frames: int, out_channels: int, depth: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """``depth`` consecutive blocks in ONE device dispatch.
+
+    The playback loop's speculative lookahead used to issue D separate
+    ``render_block`` dispatches; each pays the per-dispatch wire floor
+    (~1 ms over a tunnel), which capped 64-voice wall throughput at
+    ~27x RT against ~52x on-device.  A ``lax.scan`` over the block body
+    makes the whole burst one program: one dispatch + one fetch for D
+    blocks.
+
+    Returns ``(blocks [D, frames, out_channels], v_active [D, V],
+    v_pos [D, V], clock [D])`` — the three fields are the ONLY state the
+    renderer advances (see render_block's st2), so block i's full post-
+    state is ``dataclasses.replace(st, v_active=..[i], v_pos=..[i],
+    clock=..[i])`` with every other leaf shared, and playback output is
+    bit-identical to D sequential render_block calls (pinned by test).
+    """
+    def step(carry, _):
+        blk, nxt = render_block(
+            carry, frames=frames, out_channels=out_channels)
+        return nxt, (blk, nxt.v_active, nxt.v_pos, nxt.clock)
+
+    _, ys = jax.lax.scan(step, st, None, length=depth)
+    return ys
 
 
 def render_seconds(st: EngineArrays, seconds: float, rate: int,

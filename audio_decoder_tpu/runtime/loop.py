@@ -21,6 +21,7 @@ true: every successful push has exactly one pending Command.
 from __future__ import annotations
 
 import collections
+import dataclasses
 import signal
 import sys
 import threading
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import commands as EC
-from ..engine.render import render_block
+from ..engine.render import render_block, render_chain
 from .native import CmdRing, RawTerminal, Sink
 
 PERIOD = 128  # frames per block (≙ runtime.rs:282-284)
@@ -140,24 +141,31 @@ class EngineLoop:
                 self._spec.clear()
                 self._spec_ramp = 1
             if not self._spec:
-                # refill-on-empty: burst-dispatch D chained renders
-                # (async), then fetch all D blocks in ONE transfer —
-                # the round-trip cost amortizes over the whole burst
+                # refill-on-empty: one CHAINED render program covers the
+                # whole burst (render_chain: lax.scan over D blocks), so
+                # D blocks cost ONE dispatch + ONE fetch instead of D
+                # dispatches — the per-dispatch wire floor was the gap
+                # between ~27x wall and ~52x on-device at 64 voices
                 depth = max(min(self._spec_ramp, SPEC_DEPTH), 1)
                 self._spec_ramp = min(self._spec_ramp * 2, max(SPEC_DEPTH, 1))
-                tail, blks = self.state, []
-                for _ in range(depth):
+                if depth == 1:
                     blk, tail = render_block(
-                        tail, frames=PERIOD, out_channels=self.channels
-                    )
-                    blks.append(blk)
-                    self._spec.append([None, tail])
-                fetched = (
-                    np.asarray(blks[0])[None] if depth == 1
-                    else np.asarray(jnp.stack(blks))
-                )
-                for entry, host_blk in zip(self._spec, fetched):
-                    entry[0] = host_blk
+                        self.state, frames=PERIOD,
+                        out_channels=self.channels)
+                    self._spec.append([np.asarray(blk), tail])
+                else:
+                    blks, acts, poss, clocks = render_chain(
+                        self.state, frames=PERIOD,
+                        out_channels=self.channels, depth=depth)
+                    fetched = np.asarray(blks)  # one wire transfer
+                    for i in range(depth):
+                        # rendering advances only these three fields
+                        # (render_block's st2 contract) — every other
+                        # leaf is shared with the committed state
+                        tail = dataclasses.replace(
+                            self.state, v_active=acts[i], v_pos=poss[i],
+                            clock=clocks[i])
+                        self._spec.append([fetched[i], tail])
             block_np, self.state = self._spec.popleft()
             self.sink.write(block_np)
             if collect:

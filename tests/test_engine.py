@@ -541,3 +541,56 @@ def test_env_reissue_reconfigures_same_slot(rng):
     slot = int(np.nonzero(kinds == ES.PROC_ENV)[0][0])
     assert int(st.p_period[0, slot]) == 6
     assert float(st.p_depth[0, slot]) == pytest.approx(0.9)
+
+
+def test_render_chain_bit_identical_to_sequential(rng):
+    """render_chain (one lax.scan dispatch for D blocks — the playback
+    loop's burst refill) must be BIT-identical to D sequential
+    render_block calls, and its (v_active, v_pos, clock) outputs must
+    fully reconstruct every intermediate state: rendering advances only
+    those three fields (render_block's st2 contract — this test is the
+    tripwire if that ever changes)."""
+    import dataclasses
+
+    from audio_decoder_tpu.engine import state as ES
+    from audio_decoder_tpu.engine import render as ER
+
+    tracks = (rng.standard_normal((3, 4096, 2)) * 0.2).astype(np.float32)
+    st = ES.empty_state(tracks, [4096, 3000, 4096], [2, 2, 2],
+                        out_channels=2)
+    reg = ES.HostRegistry(["a", "b", "c"])
+    proc = EC.CmdProcessor(reg, 44100)
+    for line in ["load a -t s:64", "seq a -p 4 -s 0,2 -c a:0.7 -j a:0.5",
+                 "load b -t s:80", "velocity b -0.8", "trem b -p 8 -d 0.4",
+                 "load c -t s:96", "env c -p 4 -d 0.6",
+                 "start -v a", "start -v b", "start -v c"]:
+        st = EC.apply(st, reg, proc.parse(line))
+
+    D, F = 6, 128
+    seq_blocks, seq_states = [], []
+    cur = st
+    for _ in range(D):
+        blk, cur = ER.render_block(cur, frames=F, out_channels=2)
+        seq_blocks.append(np.asarray(blk))
+        seq_states.append(cur)
+
+    blks, acts, poss, clocks = ER.render_chain(
+        st, frames=F, out_channels=2, depth=D)
+    np.testing.assert_array_equal(np.asarray(blks),
+                                  np.stack(seq_blocks))
+    for i in range(D):
+        rec = dataclasses.replace(st, v_active=acts[i], v_pos=poss[i],
+                                  clock=clocks[i])
+        for f in dataclasses.fields(ES.EngineArrays):
+            if f.metadata.get("static"):
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rec, f.name)),
+                np.asarray(getattr(seq_states[i], f.name)),
+                err_msg=f"block {i}: {f.name}")
+        # and the reconstructed state continues identically
+        nb, _ = ER.render_block(rec, frames=F, out_channels=2)
+        want = (seq_blocks[i + 1] if i + 1 < D
+                else np.asarray(ER.render_block(
+                    seq_states[-1], frames=F, out_channels=2)[0]))
+        np.testing.assert_array_equal(np.asarray(nb), want)

@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--rate", type=int, default=44100)
     ap.add_argument("--platform", default="")
     ap.add_argument("--mono", action="store_true")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="blocks per dispatch via render_chain (the "
+                         "playback loop's burst refill); 0 = one "
+                         "render_block dispatch+fetch per block")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +43,7 @@ def main() -> None:
 
     from audio_decoder_tpu.engine import commands as EC
     from audio_decoder_tpu.engine import state as ES
-    from audio_decoder_tpu.engine.render import render_block
+    from audio_decoder_tpu.engine.render import render_block, render_chain
 
     rng = np.random.default_rng(11)
     rate = args.rate
@@ -77,19 +81,33 @@ def main() -> None:
     )
 
     F = args.frames
+    D = args.chain
+    import dataclasses as _dc
+
+    if D:
+        ys = render_chain(st, frames=F, out_channels=2, depth=D)
+        float(np.asarray(ys[0]).sum())  # compile + settle
     blk, st2 = render_block(st, frames=F, out_channels=2)
-    float(np.asarray(blk).sum())  # compile + settle
+    float(np.asarray(blk).sum())
     t0 = time.perf_counter()
     n = 0
     cur = st
     while time.perf_counter() - t0 < 5.0:
-        blk, cur = render_block(cur, frames=F, out_channels=2)
-        float(np.asarray(blk[-1]).sum())  # fetch-force each block
-        n += 1
+        if D:
+            blks, acts, poss, clocks = render_chain(
+                cur, frames=F, out_channels=2, depth=D)
+            np.asarray(blks)  # ONE fetch for the whole burst
+            cur = _dc.replace(cur, v_active=acts[-1], v_pos=poss[-1],
+                              clock=clocks[-1])
+            n += D
+        else:
+            blk, cur = render_block(cur, frames=F, out_channels=2)
+            float(np.asarray(blk[-1]).sum())  # fetch-force each block
+            n += 1
     dt = time.perf_counter() - t0
     bps = n / dt
     xrt = bps * F / rate
-    print(f"voices={args.voices} frames={F} C={C}: "
+    print(f"voices={args.voices} frames={F} C={C} chain={D}: "
           f"{bps:.1f} blocks/s  {xrt:.1f}x realtime  "
           f"{xrt * args.voices:.0f} voice-sec/s")
 
