@@ -21,11 +21,24 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from ...core import errors as E
 from ...core.batch import AudioBatch
 from ...utils.trace import TRACE
 from . import frontend
 from .device import K_CODES, flac_decode_batch, flac_decode_wire
+
+def _window_impl() -> str:
+    """Value/PCM assembly implementation for the LOCAL decode path: the
+    Pallas tile-sequential window-add on TPU (XLA's scatter lowering
+    runs ~100 M elem/s there regardless of sorted/unique hints —
+    tools/scatter_probe.py); the XLA scatter elsewhere.  The
+    mesh-sharded path (parallel.decode.sharded_flac_fn) always uses the
+    XLA scatter — GSPMD cannot partition an opaque pallas_call.
+    Resolved lazily so importing this module never initializes a
+    backend."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 #: the PHYSICAL packing limit: lane bit positions ride int32 on the
@@ -309,7 +322,8 @@ def _decode_batch(analyses: list[frontend.FlacAnalysis], names: list[str],
     B = len(analyses)
     ch = analyses[0].channels
     args, statics = pack_wire(analyses, sizing, stream=stream)
-    pcm, ovf = flac_decode_wire(*args, **statics)
+    pcm, ovf = flac_decode_wire(*args, window_impl=_window_impl(),
+                                **statics)
     return AudioBatch(
         data=pcm, channels=ch,
         sample_rate=jnp.asarray([a.sample_rate for a in analyses], jnp.int32),

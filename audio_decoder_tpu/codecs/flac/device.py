@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ...ops.window_add import window_add as _pallas_window_add
 from ..mpeg.huffman_device import (
     _aligned_windows,
     _overlap_rows,
@@ -231,7 +232,7 @@ def _stereo(sub_pcm, fr_mode, channels: int):
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "stage"),
+                     "stage", "window_impl"),
 )
 def flac_decode_batch(
     bytes_u8,       # u8 [Ntot] raw bytes of ALL files, concatenated
@@ -253,6 +254,7 @@ def flac_decode_batch(
     rice_steps: int,
     fw_imax: int,
     stage: str = "full",
+    window_impl: str = "xla",
 ):
     """Whole-batch FLAC decode → (pcm f32 [B, smax, channels],
     ovf bool [B]).  Sublanes are frame-major/channel-minor, so
@@ -273,7 +275,7 @@ def flac_decode_batch(
     F = fr_file.shape[0]
     # window slack so every lane's CLIPped window stays in bounds
     W = rice_steps * K_CODES
-    vals_flat = jnp.zeros((Ls * (nmax + 1) + max(W, fw_imax),), jnp.int32)
+    n_vals = Ls * (nmax + 1) + max(W, fw_imax)
 
     # element-scatter padding sentinel: > any array size → always
     # dropped (headroom below INT32_MAX so per-channel offsets added
@@ -301,11 +303,22 @@ def flac_decode_batch(
     # (an order of magnitude cheaper than the element scatter they
     # replace — see _window_add) plus one small element scatter for the
     # host-decoded rice outliers (q > Q_CAP; padding rows carry an
-    # out-of-bounds dest from the packer and drop).
-    vals_flat = _window_add(
-        vals_flat, rl_sub * (nmax + 1) + rl_dest, jnp.where(rvalid, rv, 0))
-    vals_flat = _window_add(
-        vals_flat, fw_sub * (nmax + 1) + fw_dest, jnp.where(fvalid, fwv, 0))
+    # out-of-bounds dest from the packer and drop).  The packer emits
+    # lanes in stream order == destination order, which is exactly the
+    # sorted-starts contract of the Pallas tile-sequential kernel
+    # (ops/window_add.py) — the local TPU path selects it because XLA's
+    # scatter lowering runs ~100 M elem/s here regardless of hints.
+    rl_starts = rl_sub * (nmax + 1) + rl_dest
+    fw_starts = fw_sub * (nmax + 1) + fw_dest
+    rl_upd = jnp.where(rvalid, rv, 0)
+    fw_upd = jnp.where(fvalid, fwv, 0)
+    if window_impl == "pallas":
+        vals_flat = (_pallas_window_add(rl_starts, rl_upd, n_vals)
+                     + _pallas_window_add(fw_starts, fw_upd, n_vals))
+    else:
+        vals_flat = jnp.zeros((n_vals,), jnp.int32)
+        vals_flat = _window_add(vals_flat, rl_starts, rl_upd)
+        vals_flat = _window_add(vals_flat, fw_starts, fw_upd)
     vals_flat = vals_flat.at[dv_sub * (nmax + 1) + dv_dest].add(
         dv_val, mode="drop", unique_indices=True)
 
@@ -333,13 +346,16 @@ def flac_decode_batch(
     # scatter-add argument.
     B_out = file_bits.shape[0]
     W_pcm = nmax * channels
-    out = jnp.zeros((B_out * smax * channels + W_pcm,), jnp.float32)
+    n_pcm = B_out * smax * channels + W_pcm
     ji = jnp.arange(W_pcm, dtype=jnp.int32)[None, :]
     jvalid = (ji // channels) < fr_n[:, None]
     upd = jnp.where(jvalid,
                     jnp.transpose(pcm_f, (0, 2, 1)).reshape(F, W_pcm), 0.0)
     starts = fr_file * (smax * channels) + fr_start * channels
-    out = _window_add(out, starts, upd)
+    if window_impl == "pallas":
+        out = _pallas_window_add(starts, upd, n_pcm)
+    else:
+        out = _window_add(jnp.zeros((n_pcm,), jnp.float32), starts, upd)
     # flat interleaved [B, smax*channels] — the AudioBatch device layout
     # (core/batch.py; a trailing channel dim would tile-pad 64x+ on TPU)
     pcm = out[: B_out * smax * channels].reshape(B_out, smax * channels)
@@ -351,7 +367,7 @@ def flac_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "B", "F", "Lr", "Lw", "Ld", "stage"),
+                     "B", "F", "Lr", "Lw", "Ld", "stage", "window_impl"),
 )
 def flac_decode_wire(
     bytes_u8,       # u8 [Ntot] flat concatenated stream (as decode_batch)
@@ -368,6 +384,7 @@ def flac_decode_wire(
     Lw: int,
     Ld: int,
     stage: str = "full",
+    window_impl: str = "xla",
 ):
     """Two-transfer entry: identical to ``flac_decode_batch`` but every
     descriptor rides ONE int32 tensor (decoder.pack_wire's layout).
@@ -403,4 +420,5 @@ def flac_decode_wire(
         fr_file, fr_start, fr_n, fr_mode,
         lax.bitcast_convert_type(fr_scale_i, jnp.float32),
         channels=channels, nmax=nmax, smax=smax,
-        rice_steps=rice_steps, fw_imax=fw_imax, stage=stage)
+        rice_steps=rice_steps, fw_imax=fw_imax, stage=stage,
+        window_impl=window_impl)

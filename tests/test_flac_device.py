@@ -126,6 +126,30 @@ def test_mixed_feature_streams():
     _check_exact([blob], [x])
 
 
+def test_window_impl_pallas_matches_xla(rng):
+    """The Pallas window-add assembly (ops/window_add.py — the TPU-path
+    value/PCM scatter replacement) produces BIT-IDENTICAL decode output
+    to the XLA scatter path on a mixed-feature multi-file group.  On CPU
+    the kernel runs in interpret mode (same semantics, no Mosaic)."""
+    from audio_decoder_tpu.codecs.flac.device import flac_decode_wire
+
+    r = np.random.default_rng(31)
+    kinds = [kw for _, kw in SUBFRAME_CASES]
+    blobs = []
+    for i in range(3):
+        r.shuffle(kinds)
+        x = r.integers(-9000, 9000, size=(1500 + 257 * i, 2)).astype(np.int32)
+        blobs.append(FW.encode_file(x, 44100, 16, blocksize=256,
+                                    stereo=STEREO_MODES[i % 4],
+                                    subframe_kw=kinds))
+    analyses = [frontend.analyze(b) for b in blobs]
+    args, statics = decoder.pack_wire(analyses)
+    pcm_x, ovf_x = flac_decode_wire(*args, window_impl="xla", **statics)
+    pcm_p, ovf_p = flac_decode_wire(*args, window_impl="pallas", **statics)
+    np.testing.assert_array_equal(np.asarray(pcm_x), np.asarray(pcm_p))
+    np.testing.assert_array_equal(np.asarray(ovf_x), np.asarray(ovf_p))
+
+
 def test_error_pieces_mixed_with_good(rng):
     x = _material(rng, frames=512, ch=1)
     good = FW.encode_file(x, 44100, 16, blocksize=256)
