@@ -33,11 +33,20 @@ def _window_impl() -> str:
     """Value/PCM assembly implementation for the LOCAL decode path: the
     Pallas tile-sequential window-add on TPU (XLA's scatter lowering
     runs ~100 M elem/s there regardless of sorted/unique hints —
-    tools/scatter_probe.py); the XLA scatter elsewhere.  The
-    mesh-sharded path (parallel.decode.sharded_flac_fn) always uses the
-    XLA scatter — GSPMD cannot partition an opaque pallas_call.
-    Resolved lazily so importing this module never initializes a
-    backend."""
+    tools/scatter_probe.py; hardware-validated 2026-08-20 on v5e:
+    tools/window_add_probe.py bit-exact vs the XLA oracle at both FLAC
+    shapes, value assembly 411 ms -> 34 ms); the XLA scatter elsewhere.
+    ``ADT_FLAC_WINDOW_IMPL=pallas|xla`` overrides — the escape hatch if
+    Mosaic ever rejects/miscompiles on a new runtime, and the way to
+    pick the right path under a ``jax.default_device(cpu)`` context on
+    a TPU host (this keys on the default BACKEND, not the committed
+    execution device).  Resolved lazily so importing this module never
+    initializes a backend."""
+    import os
+
+    forced = os.environ.get("ADT_FLAC_WINDOW_IMPL")
+    if forced in ("pallas", "xla"):
+        return forced
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
