@@ -71,68 +71,43 @@ _KTID_RESERVED = np.array(
 _KLIN = np.array([HT.TABLE_INFO[i][1] for i in range(32)], np.int32)
 
 
-def _c1_lut():
-    lut = np.zeros(2 * 64, np.uint16)  # entry = len<<4 | v
-    for s in (0, 1):
-        for v, (length, code) in HT.COUNT1_TABLES[s].items():
-            lo = code << (6 - length)
-            hi = (code + 1) << (6 - length)
-            lut[s * 64 + lo : s * 64 + hi] = (length << 4) | v
-    return lut
+def _c1_canonical_consts():
+    """Derive the count1 threshold-decode constants from COUNT1_TABLES.
+
+    Both count1 trees are COMPLETE (all 64 / 16 prefixes terminate) and
+    THRESHOLD-DECODABLE: at every depth the still-incomplete prefixes
+    form one value interval strictly below the finished codes (verified
+    programmatically here, not assumed), so a quad's (length, value)
+    falls out of a handful of compares on the next 6 bits — no table
+    gather at all.  Select B is the degenerate case: every code is 4
+    bits with ``v = ~code & 15``.  Select A's per-length value maps are
+    packed as nibble strings indexed by the code's rank above the
+    length's first code, so the "lookup" is a vector shift.
+
+    Returns (lo4, lo5, nib4, nib5, nib6): the length-4/5 first-code
+    thresholds and the rank→v nibble packs for lengths 4, 5, 6."""
+    codes = HT.COUNT1_TABLES[0]
+    bylen: dict[int, list] = {}
+    for v, (ln, c) in codes.items():
+        bylen.setdefault(ln, []).append((c, v))
+    assert sorted(bylen) == [1, 4, 5, 6] and bylen[1] == [(1, 0)]
+    packs = {}
+    los = {}
+    for ln in (4, 5, 6):
+        ent = sorted(bylen[ln])
+        cs = [c for c, _ in ent]
+        assert cs == list(range(cs[0], cs[0] + len(cs))), "non-canonical"
+        los[ln] = cs[0]
+        packs[ln] = sum(v << (4 * r) for r, (_c, v) in enumerate(ent))
+    # completeness / threshold checks: len-4 codes sit at [lo4, 8) under
+    # the len-1 code's half, len-5 at [lo5, 2*lo4), len-6 at [0, 2*lo5)
+    assert los[4] + len(bylen[4]) == 8
+    assert los[5] + len(bylen[5]) == 2 * los[4]
+    assert len(bylen[6]) == 2 * los[5]
+    return los[4], los[5], packs[4], packs[5], packs[6]
 
 
-_C1LUT = _c1_lut()
-
-
-def _c1_double_lut():
-    """Two count1 quads per lookup: a quad is ≤ 6 code bits + 4 sign bits,
-    so TWO full quads (values AND signs) always fit in 20 bits — one
-    gather decodes both and the per-sign bit extraction disappears.
-    Entry (int32): len1(5) | len2<<5 | bad1<<10 | bad2<<11 |
-    vals<<12 (8 × 2-bit fields, value+1 in {0,1,2}, quad1 lines first,
-    each quad MSB-line-first to match the (v >> (3-q)) & 1 order)."""
-    # single-quad 10-bit LUT with signs folded in, per select
-    s_len = np.zeros((2, 1024), np.int32)
-    s_bad = np.zeros((2, 1024), np.int32)
-    s_vals = np.zeros((2, 1024), np.int32)  # 8 bits: 4 × 2-bit fields
-    for s in (0, 1):
-        for b in range(1024):
-            e = int(_C1LUT[s * 64 + (b >> 4)])
-            ln, v = e >> 4, e & 15
-            if ln == 0:
-                s_bad[s, b] = 1
-                continue
-            o = ln
-            fields = 0
-            for q in range(4):
-                bit = (v >> (3 - q)) & 1
-                val = 0
-                if bit:
-                    sgn = (b >> (9 - o)) & 1
-                    o += 1
-                    val = -1 if sgn else 1
-                fields |= (val + 1) << (6 - 2 * q)
-            s_len[s, b] = o
-            s_vals[s, b] = fields
-    # compose: first quad from the top 10 bits, second from the next
-    idx = np.arange(1 << 20)
-    top = (idx >> 10).astype(np.int32)
-    out = np.zeros((2, 1 << 20), np.int32)
-    for s in (0, 1):
-        l1 = s_len[s, top]
-        b1 = s_bad[s, top]
-        v1 = s_vals[s, top]
-        second = (idx >> (10 - l1)) & 1023
-        l2 = s_len[s, second]
-        b2 = s_bad[s, second]
-        v2 = s_vals[s, second]
-        out[s] = (
-            l1 | (l2 << 5) | (b1 << 10) | (b2 << 11) | (v1 << 12) | (v2 << 20)
-        )
-    return out.reshape(-1)
-
-
-_C1DLUT = _c1_double_lut()
+_C1_LO4, _C1_LO5, _C1_NIB4, _C1_NIB5, _C1_NIB6 = _c1_canonical_consts()
 
 #: short-block reorder permutations in gather form out = in[perm],
 #: [9 rates, 3 cfgs, 576]; cfg 0 (long) rows are identity.
@@ -388,46 +363,72 @@ def decode_spectra(
     else:
         big_out = big_out[:, :288]
 
-    # ---- count1 region: 32 quads = 16 double-LUT lookups per step from
-    # TWO 8-word row gathers ----
-    # A quad is <= 6 code bits + 4 signs = 10 bits, so TWO quads (values
-    # and signs) fit in 20 LUT-index bits: one gather decodes both.  The
-    # last lookup starts <= 15*20 = 300 bits in; with rem < 128 its lo
-    # word is index (127+300+31)>>5 = 14 of 16 — still two rows, so the
-    # wider step halves the trip count at the same window cost.
+    # ---- count1 region: 32 quads per step of pure-ALU canonical decode
+    # from TWO 8-word row gathers ----
+    # Both count1 trees are complete and threshold-decodable (constants
+    # derived + verified in _c1_canonical_consts), so a quad's
+    # (length, value) is ~a dozen fused VPU ops on the next 10 bits and
+    # the signs are plain bit extracts.  This replaced an 8 MB
+    # double-quad LUT whose one serial [N]-element gather per 2 quads
+    # (~8 ns/lane on TPU, the generic-gather floor) made count1 ~40% of
+    # the whole Huffman scan wall; the ALU form has NO gathers beyond
+    # the shared window rows.
     idx0 = jnp.minimum(2 * big_values, 576).astype(i32)
-    c1dlut = jnp.asarray(_C1DLUT)
     QUADS = 32
     n_c1S = (n_c1 + QUADS - 1) // QUADS
+    sel_b = c1sel > 0
+
+    def c1_quad(win):
+        """(length incl. signs, 4 line values) from an aligned window."""
+        w10 = (win >> 22).astype(i32)
+        # select A: depth-1/4/5/6 threshold tree on the top 6 bits
+        top4 = w10 >> 6
+        top5 = w10 >> 5
+        w6 = w10 >> 4
+        is1 = (w10 >> 9) == 1
+        is4 = top4 >= _C1_LO4
+        is5 = top5 >= _C1_LO5
+        v_a = jnp.where(
+            is1, 0,
+            jnp.where(
+                is4, (_C1_NIB4 >> (4 * (top4 - _C1_LO4))) & 15,
+                jnp.where(is5, (_C1_NIB5 >> (4 * (top5 - _C1_LO5))) & 15,
+                          (_C1_NIB6 >> (4 * w6)) & 15)))
+        l_a = jnp.where(is1, 1, jnp.where(is4, 4, jnp.where(is5, 5, 6)))
+        # select B: constant 4-bit codes, v = ~code
+        v = jnp.where(sel_b, (~top4) & 15, v_a)
+        ln = jnp.where(sel_b, 4, l_a)
+        # signs trail the code MSB-line-first; o <= ln+3 <= 9 fits w10
+        o = ln
+        vals = []
+        for q in range(4):
+            bit = (v >> (3 - q)) & 1
+            sgn = (w10 >> (9 - o)) & 1
+            vals.append(jnp.where(bit == 1, 1 - 2 * sgn, 0))
+            o = o + bit
+        return o, vals
 
     def c1_step(carry, step):
         pos, fail = carry
-        a = _aligned_windows(rows8, file_idx, pos, 300)
+        a = _aligned_windows(rows8, file_idx, pos, 330)
         off = jnp.zeros((N,), i32)
         vals16 = []
-        for sub in range(QUADS // 2):
+        for sub in range(QUADS):
+            placed = idx0 + 4 * (QUADS * step + sub)
             win = _win_at(a, off)
-            entry = c1dlut[(c1sel << 20) + (win >> 12).astype(i32)]
-            l1 = entry & 31
-            l2 = (entry >> 5) & 31
-            for half, (ln, bad_bit, vsh) in enumerate(
-                ((l1, 10, 12), (l2, 11, 20))
-            ):
-                placed = idx0 + 4 * (QUADS * step + 2 * sub + half)
-                act = (
-                    (pos + off < end_bit)
-                    & (placed < 576)
-                    & jnp.logical_not(fail)
-                )
-                bad = act & (((entry >> bad_bit) & 1) == 1)
-                o = jnp.where(act, ln, 0)
-                fail = fail | bad | (act & (pos + off + o > sbits))
-                # a quad straddling the part2_3 boundary is discarded
-                wr = act & jnp.logical_not(fail) & (pos + off + o <= end_bit)
-                for q in range(4):
-                    fld = (entry >> (vsh + 6 - 2 * q)) & 3
-                    vals16.append(jnp.where(wr, fld - 1, 0))
-                off = off + o
+            o, vals = c1_quad(win)
+            act = (
+                (pos + off < end_bit)
+                & (placed < 576)
+                & jnp.logical_not(fail)
+            )
+            o = jnp.where(act, o, 0)
+            fail = fail | (act & (pos + off + o > sbits))
+            # a quad straddling the part2_3 boundary is discarded
+            wr = act & jnp.logical_not(fail) & (pos + off + o <= end_bit)
+            for q in range(4):
+                vals16.append(jnp.where(wr, vals[q], 0))
+            off = off + o
         pos = pos + off
         out = jnp.stack(vals16, axis=-1).astype(jnp.int16)  # [N, QUADS*4]
         return (pos, fail), out
