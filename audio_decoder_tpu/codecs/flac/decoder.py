@@ -27,7 +27,7 @@ from ...core import errors as E
 from ...core.batch import AudioBatch
 from ...utils.trace import TRACE
 from . import frontend
-from .device import K_CODES, flac_decode_batch, flac_decode_wire
+from .device import flac_decode_batch, flac_decode_wire, rice_k
 
 def _window_impl() -> str:
     """Value/PCM assembly implementation for the LOCAL decode path: the
@@ -126,14 +126,19 @@ def sizing_for(analyses: list[frontend.FlacAnalysis],
     analysis packs ALONE against this sizing (stream / chunked paths)."""
     sizes = [_aligned_size(len(a.data)) for a in analyses]
     ntot = (sum(sizes) if combine == "sum" else max(sizes)) + 4
+    # the narrow scan variant (one window read per code, 8 codes/step)
+    # is legal when every rice parameter fits with Q_CAP in one 32-bit
+    # window — i.e. param <= 16, which is every <=16-bit-audio stream
+    narrow = all(int(a.rl_param.max(initial=0)) <= 16 for a in analyses)
     return dict(
+        rice_narrow=narrow,
         ntot=_bucket_fine(ntot, 1024),
         nmax=_bucket(max(int(a.blocksizes.max()) if a.n_frames else 1
                          for a in analyses), 64),
         smax=_bucket(max(a.total for a in analyses) or 1, 256),
         rice_steps=_bucket(-(-max((int(a.rl_count.max()) for a in analyses
                                    if a.rl_count.size), default=0)
-                             // K_CODES) or 1),
+                             // rice_k(narrow)) or 1),
         fw_imax=_bucket(max((int(a.fw_count.max()) for a in analyses
                              if a.fw_count.size), default=0) or 1, 8),
         F=_bucket(sum(a.n_frames for a in analyses) or 1),
@@ -197,6 +202,7 @@ def _pack_np(analyses: list[frontend.FlacAnalysis],
     sz = sizing or sizing_for(analyses)
     ntot, nmax, smax = sz["ntot"], sz["nmax"], sz["smax"]
     rice_steps, fw_imax = sz["rice_steps"], sz["fw_imax"]
+    rice_narrow = sz.get("rice_narrow", False)
     F, Lr, Lw, Ld = sz["F"], sz["Lr"], sz["Lw"], sz["Ld"]
 
     if stream is None:
@@ -282,7 +288,8 @@ def _pack_np(analyses: list[frontend.FlacAnalysis],
         _pad1(fr_scale, F, np.float32),
     ]
     statics = dict(channels=ch, nmax=nmax, smax=smax,
-                   rice_steps=rice_steps, fw_imax=fw_imax)
+                   rice_steps=rice_steps, fw_imax=fw_imax,
+                   rice_narrow=rice_narrow)
     return fields, statics
 
 

@@ -49,9 +49,37 @@ from ..mpeg.huffman_device import (
 )
 from .frontend import Q_CAP  # max in-lane unary quotient (see module doc)
 
-K_CODES = 8     # rice codes decoded per lane per scan step
-K_MAX = K_CODES * (Q_CAP + 1 + 31) + 64  # window span per scan step
-PAD_WORDS = K_MAX // 32 + 24  # per-file word padding so rows stay in range
+# Rice scan window geometry.  The scan's wall cost is the per-lane
+# column extraction of the fetched window words plus the _win_at select
+# trees, so the per-step bit window IS the scan cost model.  Two static
+# variants, chosen per batch by the max rice parameter (sizing_for):
+#   narrow (param <= 16, i.e. all 16-bit-audio content): with
+#     Q_CAP < 32 a whole code q+1+param <= 32 fits the FIRST window
+#     read — the remainder is a shift of w1, ONE _win_at per code —
+#     and 8 codes stay inside two 8-word rows;
+#   wide (any param to 31, rice2 on >16-bit audio): remainder needs its
+#     own _win_at; 6 codes per step keep the span inside two rows.
+# Max read START offset within a step: code k begins at most
+# k*(Q_CAP+1+pmax) bits in, and its last read starts <= Q_CAP+1
+# further (narrow: the whole code is read AT the code start).
+# Constraint: (127 + span)//32 + 1 <= 14 (two 8-word rows, _win_at's
+# hi/lo pair tree) -> span <= 289.
+assert Q_CAP < 32
+K_NARROW, K_WIDE = 8, 6
+K_MAX_NARROW = (K_NARROW - 1) * (Q_CAP + 1 + 16)
+K_MAX_WIDE = (K_WIDE - 1) * (Q_CAP + 1 + 31) + Q_CAP + 1
+assert K_MAX_NARROW <= 289 and K_MAX_WIDE <= 289
+K_MAX = K_MAX_WIDE  # padding worst case
+
+
+def rice_k(narrow: bool) -> int:
+    """Rice codes per scan step for the batch's parameter class."""
+    return K_NARROW if narrow else K_WIDE
+
+
+#: per-file word padding so rows stay in range (8-aligned: the row
+#: machinery reshapes words by 4)
+PAD_WORDS = -(-(K_MAX // 32 + 24) // 8) * 8
 
 
 def _be_words(bytes_u8: jax.Array) -> jax.Array:
@@ -74,28 +102,36 @@ def _sign_extend(u: jax.Array, width: jax.Array) -> jax.Array:
     return jnp.where(width > 0, u - (sign << width), 0)
 
 
-def _rice_scan(rows8, file_idx, bitpos, count, param, limit, steps: int):
-    """Lane-parallel rice decode: [L] lanes, ``steps * K_CODES`` codes
-    each (codes past ``count`` are decoded-and-discarded with the
+def _rice_scan(rows8, file_idx, bitpos, count, param, limit, steps: int,
+               narrow: bool):
+    """Lane-parallel rice decode: [L] lanes, ``steps * rice_k(narrow)``
+    codes each (codes past ``count`` are decoded-and-discarded with the
     cursor frozen).  Returns (values i32 [L, steps*K], ovf bool [L])."""
     L = bitpos.shape[0]
+    kc = rice_k(narrow)
+    k_max = K_MAX_NARROW if narrow else K_MAX_WIDE
     param = param.astype(jnp.uint32)
     pshift = jnp.maximum(32 - param, 1).astype(jnp.uint32)
 
     def step(carry, ordbase):
         pos, ovf = carry
-        a = _aligned_windows(rows8, file_idx, pos, K_MAX)
+        a = _aligned_windows(rows8, file_idx, pos, k_max)
         off = jnp.zeros((L,), jnp.int32)
         outs = []
-        for k in range(K_CODES):
+        for k in range(kc):
             live = ordbase + k < count
             w1 = _win_at(a, off)
-            w2 = _win_at(a, off + 32)
-            q1 = lax.clz(w1.astype(jnp.int32))
-            q = jnp.where(w1 == 0, 32 + lax.clz(w2.astype(jnp.int32)), q1)
+            # Q_CAP < 32: the unary quotient fits one window read (an
+            # all-zero window reads as q = 32 > Q_CAP -> ovf)
+            q = lax.clz(w1.astype(jnp.int32))
             ovf = ovf | (live & (q > Q_CAP))
             q = jnp.minimum(q, Q_CAP)
-            rem = _win_at(a, off + q + 1) >> pshift
+            if narrow:
+                # q+1+param <= 32: the whole code rides w1 — no second
+                # window read (the scan's dominant ALU saving)
+                rem = (w1 << (q + 1).astype(jnp.uint32)) >> pshift
+            else:
+                rem = _win_at(a, off + q + 1) >> pshift
             rem = jnp.where(param > 0, rem, 0)
             v = ((q.astype(jnp.uint32) << param) | rem).astype(jnp.int32)
             outs.append((v >> 1) ^ -(v & 1))  # unzigzag
@@ -106,9 +142,9 @@ def _rice_scan(rows8, file_idx, bitpos, count, param, limit, steps: int):
 
     pos0 = jnp.minimum(bitpos, limit)
     ovf0 = jnp.zeros((L,), bool)
-    ords = jnp.arange(steps, dtype=jnp.int32) * K_CODES
+    ords = jnp.arange(steps, dtype=jnp.int32) * kc
     (_, ovf), ys = lax.scan(step, (pos0, ovf0), ords)
-    return jnp.transpose(ys, (1, 0, 2)).reshape(L, steps * K_CODES), ovf
+    return jnp.transpose(ys, (1, 0, 2)).reshape(L, steps * kc), ovf
 
 
 def _fixed_width(rows8, file_idx, bitpos, width, limit, imax: int):
@@ -232,7 +268,7 @@ def _stereo(sub_pcm, fr_mode, channels: int):
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "stage", "window_impl"),
+                     "rice_narrow", "stage", "window_impl"),
 )
 def flac_decode_batch(
     bytes_u8,       # u8 [Ntot] raw bytes of ALL files, concatenated
@@ -253,6 +289,7 @@ def flac_decode_batch(
     smax: int,
     rice_steps: int,
     fw_imax: int,
+    rice_narrow: bool = False,
     stage: str = "full",
     window_impl: str = "xla",
 ):
@@ -274,7 +311,7 @@ def flac_decode_batch(
     Ls = sub_kind.shape[0]
     F = fr_file.shape[0]
     # window slack so every lane's CLIPped window stays in bounds
-    W = rice_steps * K_CODES
+    W = rice_steps * rice_k(rice_narrow)
     n_vals = Ls * (nmax + 1) + max(W, fw_imax)
 
     # element-scatter padding sentinel: > any array size → always
@@ -291,7 +328,8 @@ def flac_decode_batch(
 
     # --- rice lanes
     rv, ovf_l = _rice_scan(rows8, jnp.zeros_like(rl_file), rl_bitpos,
-                           rl_count, rl_param, limit[rl_file], rice_steps)
+                           rl_count, rl_param, limit[rl_file], rice_steps,
+                           rice_narrow)
     if stage == "scan":
         return (rv.sum() + fwv.sum()).astype(jnp.float32)[None], \
             ovf_l.any()[None]
@@ -367,7 +405,8 @@ def flac_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "B", "F", "Lr", "Lw", "Ld", "stage", "window_impl"),
+                     "rice_narrow", "B", "F", "Lr", "Lw", "Ld", "stage",
+                     "window_impl"),
 )
 def flac_decode_wire(
     bytes_u8,       # u8 [Ntot] flat concatenated stream (as decode_batch)
@@ -378,6 +417,7 @@ def flac_decode_wire(
     smax: int,
     rice_steps: int,
     fw_imax: int,
+    rice_narrow: bool,
     B: int,
     F: int,
     Lr: int,
@@ -420,5 +460,5 @@ def flac_decode_wire(
         fr_file, fr_start, fr_n, fr_mode,
         lax.bitcast_convert_type(fr_scale_i, jnp.float32),
         channels=channels, nmax=nmax, smax=smax,
-        rice_steps=rice_steps, fw_imax=fw_imax, stage=stage,
-        window_impl=window_impl)
+        rice_steps=rice_steps, fw_imax=fw_imax, rice_narrow=rice_narrow,
+        stage=stage, window_impl=window_impl)

@@ -39,12 +39,18 @@ from . import native as _native
 
 FIXED_COEFFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
 
-# Max unary quotient the device rice scan decodes in-lane (the 64-bit
-# clz window reaches 64; the cap leaves detection headroom).  Codes with
+# Max unary quotient the device rice scan decodes in-lane.  Codes with
 # a larger quotient are rare outliers — the walk, which entropy-skips
 # every code anyway, splits the partition there and ships the value
 # directly (``dv_*`` lanes), so ANY legal stream decodes exactly.
-Q_CAP = 40
+# The cap sizes the scan's per-step bit window (device.K_MAX): at 15
+# the unary fits ONE 32-bit window read (no second-word lookahead) and
+# a 6-code step fits 16 fetched words instead of 32 — the scan's cost
+# is the per-lane column extraction, proportional to fetched words.
+# Outlier rates measured at this cap: 0 on 30 s music, 0 on noise, 53
+# on a pathological click train (each outlier costs 12 wire bytes and
+# one lane split), vs 0/0/52 at the old cap of 40.
+Q_CAP = 15
 
 #: decoder-wide sample-size cap: device predictor arithmetic is exact for
 #: samples to 26 bits (i32 + f32 residue reconstruction) and stereo side
