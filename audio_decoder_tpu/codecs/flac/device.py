@@ -41,6 +41,8 @@ import numpy as np
 from jax import lax
 
 from ...ops.window_add import window_add as _pallas_window_add
+from ...ops.window_add import window_add2 as _pallas_window_add2
+from ...ops.window_add import window_add_spmd as _spmd_window_add
 from ..mpeg.huffman_device import (
     _aligned_windows,
     _overlap_rows,
@@ -268,7 +270,7 @@ def _stereo(sub_pcm, fr_mode, channels: int):
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "rice_narrow", "stage", "window_impl"),
+                     "rice_narrow", "stage", "window_impl", "spmd_mesh"),
 )
 def flac_decode_batch(
     bytes_u8,       # u8 [Ntot] raw bytes of ALL files, concatenated
@@ -292,6 +294,7 @@ def flac_decode_batch(
     rice_narrow: bool = False,
     stage: str = "full",
     window_impl: str = "xla",
+    spmd_mesh=None,
 ):
     """Whole-batch FLAC decode → (pcm f32 [B, smax, channels],
     ovf bool [B]).  Sublanes are frame-major/channel-minor, so
@@ -350,9 +353,18 @@ def flac_decode_batch(
     fw_starts = fw_sub * (nmax + 1) + fw_dest
     rl_upd = jnp.where(rvalid, rv, 0)
     fw_upd = jnp.where(fvalid, fwv, 0)
-    if window_impl == "pallas":
-        vals_flat = (_pallas_window_add(rl_starts, rl_upd, n_vals)
-                     + _pallas_window_add(fw_starts, fw_upd, n_vals))
+    if window_impl == "pallas" and spmd_mesh is not None:
+        # mesh-sharded lanes: per-shard Pallas kernels + one psum
+        # (ops/window_add.window_add_spmd)
+        vals_flat = (_spmd_window_add(rl_starts, rl_upd, n_vals,
+                                      mesh=spmd_mesh)
+                     + _spmd_window_add(fw_starts, fw_upd, n_vals,
+                                        mesh=spmd_mesh))
+    elif window_impl == "pallas":
+        # one kernel pass over both lane sets: each output tile is
+        # written once (no second full-array materialize + add)
+        vals_flat = _pallas_window_add2(rl_starts, rl_upd,
+                                        fw_starts, fw_upd, n_vals)
     else:
         vals_flat = jnp.zeros((n_vals,), jnp.int32)
         vals_flat = _window_add(vals_flat, rl_starts, rl_upd)
@@ -390,7 +402,9 @@ def flac_decode_batch(
     upd = jnp.where(jvalid,
                     jnp.transpose(pcm_f, (0, 2, 1)).reshape(F, W_pcm), 0.0)
     starts = fr_file * (smax * channels) + fr_start * channels
-    if window_impl == "pallas":
+    if window_impl == "pallas" and spmd_mesh is not None:
+        out = _spmd_window_add(starts, upd, n_pcm, mesh=spmd_mesh)
+    elif window_impl == "pallas":
         out = _pallas_window_add(starts, upd, n_pcm)
     else:
         out = _window_add(jnp.zeros((n_pcm,), jnp.float32), starts, upd)
@@ -405,8 +419,8 @@ def flac_decode_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("channels", "nmax", "smax", "rice_steps", "fw_imax",
-                     "rice_narrow", "B", "F", "Lr", "Lw", "Ld", "stage",
-                     "window_impl"),
+                     "rice_narrow", "spmd_mesh", "B", "F", "Lr", "Lw", "Ld",
+                     "stage", "window_impl"),
 )
 def flac_decode_wire(
     bytes_u8,       # u8 [Ntot] flat concatenated stream (as decode_batch)
@@ -418,6 +432,7 @@ def flac_decode_wire(
     rice_steps: int,
     fw_imax: int,
     rice_narrow: bool,
+    spmd_mesh=None,
     B: int,
     F: int,
     Lr: int,
@@ -461,4 +476,4 @@ def flac_decode_wire(
         lax.bitcast_convert_type(fr_scale_i, jnp.float32),
         channels=channels, nmax=nmax, smax=smax,
         rice_steps=rice_steps, fw_imax=fw_imax, rice_narrow=rice_narrow,
-        stage=stage, window_impl=window_impl)
+        stage=stage, window_impl=window_impl, spmd_mesh=spmd_mesh)

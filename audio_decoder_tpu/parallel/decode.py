@@ -139,7 +139,7 @@ def sharded_l12_fn(mesh: Mesh, *, channels: int, steps: int):
     return jax.jit(step, in_shardings=(data, data, data), out_shardings=data)
 
 
-def sharded_flac_fn(mesh: Mesh, **static):
+def sharded_flac_fn(mesh: Mesh, *, window_impl: str = "xla", **static):
     """Bind the fused FLAC decode to a mesh.
 
     FLAC decode is embarrassingly parallel too, but its work axes are
@@ -149,14 +149,23 @@ def sharded_flac_fn(mesh: Mesh, **static):
     window into it at absolute bit positions, so a replicated buffer
     costs no collectives on the row gathers (its HBM cost is the
     compressed bytes, small next to the PCM); the final frame scatter
-    re-assembles per-file PCM across shards."""
+    re-assembles per-file PCM across shards.
+
+    ``window_impl="pallas"`` routes BOTH window assemblies through
+    per-shard Pallas kernels composed with the mesh via ``shard_map``
+    (ops/window_add.window_add_spmd: local tile-sequential kernels +
+    one psum) — GSPMD cannot partition an opaque pallas_call, but the
+    lane axis shards cleanly around it.  The XLA scatter remains the
+    default for non-TPU meshes."""
     from ..codecs.flac.device import flac_decode_batch
 
     data = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
+    spmd_mesh = mesh if window_impl == "pallas" else None
 
     def step(*args):
-        return flac_decode_batch(*args, **static)
+        return flac_decode_batch(*args, window_impl=window_impl,
+                                 spmd_mesh=spmd_mesh, **static)
 
     return jax.jit(step, in_shardings=(rep,) + (data,) * 27,
                    out_shardings=(data, data))

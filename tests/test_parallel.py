@@ -278,3 +278,12 @@ def test_sharded_flac_decode_matches_single(mesh8, rng):
         got3 = np.asarray(pcm[i]).reshape(-1, 2)[:S]  # flat interleaved
         got = np.round(got3.astype(np.float64) * 2.0 ** 15).astype(np.int64)
         np.testing.assert_array_equal(got, ref)
+    # the shard_map Pallas assembly route (window_add_spmd: per-shard
+    # tile-sequential kernels + one psum; interpret mode on the CPU
+    # mesh) must be bit-identical to the sharded XLA scatter
+    fn_p = sharded_flac_fn(mesh8, window_impl="pallas", **statics)
+    with mesh8:
+        pcm_p, ovf_p = fn_p(*args)
+        jax.block_until_ready(pcm_p)
+    np.testing.assert_array_equal(np.asarray(pcm_p), np.asarray(pcm))
+    np.testing.assert_array_equal(np.asarray(ovf_p), np.asarray(ovf))

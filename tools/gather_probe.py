@@ -10,8 +10,9 @@ per-lane deltas).  This probe times the candidate primitives:
   a) 8-wide row gather at NB=N/8 block indices (lax.gather, CLIP)
   b) element gather at N indices (bounding the naive map)
   c) 32-wide row gather at N/32 indices
-  d) take-along reshaped [NB, 8] source? (same as a via jnp.take)
   e) cumsum over NB i32 (the map-construction cost)
+(A take-along variant was considered and dropped — it lowers to the
+same gather as (a), so only a/b/c/e run below.)
 """
 import time
 
