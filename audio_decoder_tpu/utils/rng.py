@@ -35,7 +35,12 @@ def splitmix64(seed: int):
 
 
 class X128P:
-    """xoroshiro128+ (blast_rand.rs:23-59)."""
+    """xoroshiro128+ (blast_rand.rs:23-59), stream-compatible with the
+    reference: the ORIGINAL 2016 rotation constants (55, 14, 36) that
+    blast_rand.rs:34-36 uses — not the 2018 revision (24, 16, 37) —
+    and the same splitmix64 state expansion, so a given seed yields the
+    reference's exact u64 sequence (pinned in tests/test_rng.py against
+    an independent wrapping-u64 reimplementation of the Rust)."""
 
     def __init__(self, seed: int | None = None):
         if seed is None:
@@ -48,8 +53,8 @@ class X128P:
         s0, s1 = self.s0, self.s1
         result = (s0 + s1) & _M64
         s1 ^= s0
-        self.s0 = _rotl(s0, 24) ^ s1 ^ ((s1 << 16) & _M64)
-        self.s1 = _rotl(s1, 37)
+        self.s0 = _rotl(s0, 55) ^ s1 ^ ((s1 << 14) & _M64)
+        self.s1 = _rotl(s1, 36)
         return result
 
     def next_f64(self) -> float:
@@ -57,7 +62,12 @@ class X128P:
         return (self.next_u64() >> 11) * (1.0 / (1 << 53))
 
     def next_f32(self) -> float:
-        return (self.next_u64() >> 40) * (1.0 / (1 << 24))
+        """f64 narrowed to f32 (blast_rand.rs:46-48 does `as f32`, i.e.
+        round-to-nearest from the 53-bit double — not a fresh 24-bit
+        draw), so the f32 stream matches the reference bit-for-bit."""
+        import struct as _st
+
+        return _st.unpack("f", _st.pack("f", self.next_f64()))[0]
 
     def next_range(self, lo: int, hi: int) -> int:
         """Lemire multiply-shift range reduction onto [lo, hi)

@@ -13,6 +13,55 @@ def test_splitmix64_known_vectors():
     assert next(g) == 0x06C45D188009454F
 
 
+def _ref_x128p_stream(seed: int, n: int):
+    """Independent wrapping-u64 reimplementation of blast_rand.rs:9-39
+    (numpy uint64 arithmetic, written directly from the Rust) used as
+    the oracle for stream compatibility."""
+    G = np.uint64(0x9E3779B97F4A7C15)
+
+    def mix(x):
+        x = np.uint64(x) + G
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def rotl(x, k):
+        return (x << np.uint64(k)) | (x >> np.uint64(64 - k))
+
+    s0 = mix(np.uint64(seed))
+    s1 = mix(np.uint64(seed) + G)
+    out = []
+    for _ in range(n):
+        out.append(int(s0 + s1))
+        t = s1 ^ s0
+        s0 = rotl(s0, 55) ^ t ^ (t << np.uint64(14))
+        s1 = rotl(t, 36)
+    return out
+
+
+def test_xoroshiro_stream_compatible_with_reference():
+    """X128P emits the reference generator's exact u64/f64/f32 streams
+    (blast_rand.rs:31-48: original (55,14,36) rotations, splitmix64
+    expansion, f32 = f64-narrowed)."""
+    import struct
+
+    with np.errstate(over="ignore"):
+        for seed in (0, 1, 42, 0xDEADBEEF, (1 << 64) - 1):
+            want = _ref_x128p_stream(seed, 64)
+            r = X128P(seed=seed)
+            assert [r.next_u64() for _ in range(64)] == want
+        ref = _ref_x128p_stream(7, 8)
+    r = X128P(seed=7)
+    for u in ref:
+        f64 = (u >> 11) * (1.0 / (1 << 53))
+        assert r.next_f64() == f64
+    r = X128P(seed=7)
+    for u in ref:
+        f32 = struct.unpack("f", struct.pack("f", (u >> 11) * (1.0 / (1 << 53))))[0]
+        assert r.next_f32() == f32
+
+
 def test_xoroshiro_statistics_and_determinism():
     a, b = X128P(seed=42), X128P(seed=42)
     seq = [a.next_u64() for _ in range(1000)]
