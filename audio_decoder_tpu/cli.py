@@ -16,6 +16,7 @@ Subcommands:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -358,4 +359,15 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # Hard-exit instead of sys.exit: interpreter finalization races the
+    # daemon render thread when it is still inside an XLA CPU execution
+    # (the repl's bounded join can time out under host load), and tearing
+    # the runtime's thread pool down mid-op SIGABRTs ("FATAL: exception
+    # not rethrown").  Nothing here needs finalizers: the raw terminal is
+    # restored inside repl(), sink handles are kernel-reclaimed, and
+    # stdio is flushed explicitly.  Library callers use main() directly
+    # and are unaffected.
+    _rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_rc)

@@ -421,3 +421,9 @@ def repl(loop: EngineLoop, infile=None, outfile=None,
     finally:
         loop.term.set()
         render_thread.join(timeout=5)
+        if render_thread.is_alive():
+            # Still inside a device call (host under load): leaving a
+            # daemon thread mid-XLA-op makes interpreter finalization
+            # unsafe — say so; the CLI entry hard-exits to sidestep it.
+            print("warning: render thread did not stop within 5s",
+                  file=sys.stderr)
