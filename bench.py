@@ -603,7 +603,7 @@ def main() -> None:
     # 64-voice renderer wall rate (VERDICT r4 #5: bar >=40x) — tracks
     # synthesized on device (zero wire), render_chain bursts of 16
     # blocks x 4096 frames, fetch-forced
-    if _remaining() > 70.0:
+    if _remaining() > 50.0:
         try:
             import dataclasses
 
@@ -639,9 +639,9 @@ def main() -> None:
                 return (D_chain * F_blk / rate) / (time.perf_counter() - t0)
 
             rbest = _staged("render_warm", _render_once,
-                            max(_remaining() - 45.0, 20.0))
+                            max(_remaining() - 35.0, 20.0))
             for _ in range(5):
-                if _remaining() < 45.0:
+                if _remaining() < 35.0:
                     break
                 rbest = max(rbest, _render_once())
             extras["render_x"] = round(rbest, 1)
@@ -654,7 +654,7 @@ def main() -> None:
     # metric: one file end-to-end, host bytes -> h2d -> fused decode ->
     # PCM-forced fetch, p50 of the run distribution (p50, not best:
     # latency is what a caller waits)
-    if _remaining() > 60.0:
+    if _remaining() > 40.0:
         try:
             one = _wav_blob(rng, seconds, rate, music=True)
             obufs_np, olens_np = pack_bytes([one])
@@ -670,9 +670,9 @@ def main() -> None:
                 return time.perf_counter() - t0
 
             _staged("latency_warm", _lat_once,
-                    max(_remaining() - 40.0, 15.0))
+                    max(_remaining() - 30.0, 15.0))
             lat: list[float] = []
-            while len(lat) < 21 and _remaining() > 40.0:
+            while len(lat) < 21 and _remaining() > 28.0:
                 lat.append(_lat_once())
             if lat:
                 extras["p50_file_latency_ms"] = round(
@@ -686,13 +686,13 @@ def main() -> None:
     # three-family combined figure: WAV device work dispatches first
     # (async), then MP3 + FLAC host fronts run while it executes — one
     # wall clock over all three
-    if _remaining() > 45.0 and "flac_e2e_x" in extras:
+    if _remaining() > 30.0 and "flac_e2e_x" in extras:
         try:
             from audio_decoder_tpu.codecs.flac import decoder as flac_dec
 
             best_3 = 0.0
             for _ in range(3):
-                if _remaining() < 35.0:
+                if _remaining() < 22.0:
                     break
                 t0 = time.perf_counter()
                 pcm, meta = decode_pcm_step(
