@@ -29,6 +29,26 @@ if TYPE_CHECKING:  # pragma: no cover
     from ...io.assets import Asset
 
 
+def _scan_impl() -> str:
+    """Entropy-scan implementation for the LOCAL decode path: the Pallas
+    VMEM-resident scan on TPU (zero gathers in the walk — the XLA scan
+    pays 2-3 HBM row gathers per step plus one serial 677k-entry LUT
+    gather per pair; hardware-validated 2026-08-21 on v5e:
+    tools/mp3_scan_probe.py bit-exact vs the XLA scans at the benchmark
+    lane scale), the XLA scans elsewhere.  ``ADT_MP3_SCAN_IMPL=pallas|
+    xla`` overrides — the escape hatch if Mosaic ever rejects or
+    miscompiles on a new runtime.  Resolved lazily so importing this
+    module never initializes a backend."""
+    import os
+
+    import jax
+
+    forced = os.environ.get("ADT_MP3_SCAN_IMPL")
+    if forced in ("pallas", "xla"):
+        return forced
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     """Round n up to a power of two OR 3/4 of one (two sizes per octave).
 
@@ -325,6 +345,7 @@ def _decode_group_fused(
             joint_stereo=joint,
             granules_per_frame=gpf,
             buckets=buckets,
+            impl=_scan_impl(),
         )
         batch = AudioBatch(
             data=pcm, channels=ch,
@@ -697,6 +718,7 @@ class Mp3Stream:
             joint_stereo=self._joint,
             granules_per_frame=self._gpf,
             buckets=self._buckets,
+            impl=_scan_impl(),
         )
         # the kernel emits flat interleaved [B, S*C]; host reshape is free
         return np.asarray(pcm[0]).reshape(-1, self.channels)

@@ -590,7 +590,7 @@ def compact_lane_wire(start, end, limit, exp_b, blockcfg, rate_idx):
     jax.jit,
     static_argnames=(
         "channels", "joint_stereo", "n_big", "n_c1", "granules_per_frame",
-        "buckets",
+        "buckets", "impl",
     ),
 )
 def mp3_decode_fused(
@@ -618,6 +618,7 @@ def mp3_decode_fused(
     n_c1: int = 144,
     granules_per_frame: int = 2,
     buckets: tuple | None = None,
+    impl: str = "xla",
 ) -> jax.Array:
     """Raw concatenated main_data + per-lane side metadata → PCM.
 
@@ -684,7 +685,8 @@ def mp3_decode_fused(
         buckets = ((N, n_big, n_c1),)
     if len(buckets) == 1:
         _cnt, nb, nc = buckets[0]
-        lines, fail = decode_spectra(main_u8, *lane_args, n_big=nb, n_c1=nc)
+        lines, fail = decode_spectra(main_u8, *lane_args, n_big=nb, n_c1=nc,
+                                     impl=impl)
     else:
         p = perm.astype(jnp.int32)
         pa = [a[p] for a in lane_args]
@@ -694,7 +696,7 @@ def mp3_decode_fused(
             sl = slice(start, start + cnt)
             start += cnt
             parts.append(decode_spectra(
-                main_u8, *[a[sl] for a in pa], n_big=nb, n_c1=nc
+                main_u8, *[a[sl] for a in pa], n_big=nb, n_c1=nc, impl=impl
             ))
         # un-permute by SCATTER: int16 row gathers are pathologically slow
         # on this TPU path (~13x the scatter cost at [24k, 576]).  Plain

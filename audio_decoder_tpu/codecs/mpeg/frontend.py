@@ -425,7 +425,11 @@ def _huffman_spectrum(bits: _Bits, g: dict, sr: int, part2_start: int) -> np.nda
     big = 2 * g["big_values"]
     idx = 0
     get1 = bits.get1
+    end = part2_start + g["part2_3_length"]
     while idx < big:
+        if bits.pos > end:  # ISO: big_values lie inside part2_3_length;
+            # crossing it is stream corruption (mpg123's part2 accounting)
+            raise E.InvalidDataError("huffman overrun")
         region = 0 if idx < region1 else (1 if idx < region2 else 2)
         tsel = g["table_select"][region]
         tid, linbits = HT.TABLE_INFO[tsel]
@@ -460,8 +464,9 @@ def _huffman_spectrum(bits: _Bits, g: dict, sr: int, part2_start: int) -> np.nda
         if idx + 1 < 576:
             is_[idx + 1] = y
         idx += 2
+    if bits.pos > end:
+        raise E.InvalidDataError("huffman overrun")
     dec = _DEC_C1[g["count1table_select"]]
-    end = part2_start + g["part2_3_length"]
     while bits.pos < end and idx < 576:
         code, length = 0, 0
         v = None
@@ -845,6 +850,9 @@ def _huffman_from_lane(
     idx = 0
     get1 = bits.get1
     while idx < 2 * big:
+        if bits.pos > end:  # ISO part2_3 bound (≙ device scan's per-pair
+            # overrun fail; bounds every lane's reachable bit span)
+            raise E.InvalidDataError("huffman overrun")
         region = 0 if idx < r1 else (1 if idx < r2 else 2)
         tid, linbits = HT.TABLE_INFO[int(tsel[region])]
         if tid < 0:
@@ -877,6 +885,8 @@ def _huffman_from_lane(
         if idx + 1 < 576:
             is_[idx + 1] = y
         idx += 2
+    if bits.pos > end:
+        raise E.InvalidDataError("huffman overrun")
     dec = _DEC_C1[c1sel]
     while bits.pos < end and idx < 576:
         code, length, v = 0, 0, None

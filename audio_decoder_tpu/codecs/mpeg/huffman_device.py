@@ -247,6 +247,7 @@ def decode_spectra(
     *,
     n_big: int = 512,
     n_c1: int = 144,
+    impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Decode all granule-channel lanes' quantized spectra on device.
 
@@ -268,7 +269,20 @@ def decode_spectra(
     N = start_bit.shape[0]
     i32 = jnp.int32
     rows8 = _overlap_rows(_be_words(main_u8))
+    if impl == "pallas":
+        # whole entropy scan as one Mosaic kernel (VMEM-resident lane
+        # spans + boundary-compare code decode, zero gathers in the
+        # walk) — bit-identical to the XLA scans below by construction
+        # and by tests/test_mp3_pallas.py
+        from .huffman_pallas import entropy_scan
+
+        big576, c1_out, fail = entropy_scan(
+            rows8, file_idx, start_bit, end_bit, limit_bit, big_values,
+            region1, region2, tsel, c1sel, valid,
+            n_big=n_big, n_c1=n_c1)
+        return _assemble(big576, c1_out, big_values, fail, rate_idx, cfg)
     sbits = limit_bit
+    ebits = end_bit
     # big_values can exceed 288 pairs (576 lines): the extra pairs are
     # decoded for their BIT CONSUMPTION (the count1 cursor depends on it)
     # even though only the first 288 store lines.
@@ -345,7 +359,13 @@ def decode_spectra(
             pair_idx = PAIRS * step + sub
             x, y, consumed, act, bad = decode_pair(a, off, pair_idx, fail)
             off = off + consumed
-            fail = fail | bad | (act & (pos + off > sbits))
+            # ISO: the big-values region lies inside part2_3_length;
+            # crossing end_bit is stream corruption (mpg123's part2
+            # accounting; host raises "huffman overrun").  This also
+            # bounds every lane's reachable bit span to end_bit + one
+            # step's lookahead — the invariant the Pallas scan's static
+            # per-lane VMEM window relies on.
+            fail = fail | bad | (act & (pos + off > ebits))
             wr = act & jnp.logical_not(fail) & (pair_idx < 288)
             cols.append(jnp.where(wr, x, 0))
             cols.append(jnp.where(wr, y, 0))

@@ -237,6 +237,8 @@ def _huffman_spectrum(bits: Bits, g: dict, sr: int, part2_start: int) -> np.ndar
     big = 2 * g["big_values"]
     idx = 0
     while idx < big:
+        if bits.pos > part2_start + g["part2_3_length"]:
+            raise ValueError("huffman overrun")  # ISO part2_3 bound
         region = 0 if idx < region1 else (1 if idx < region2 else 2)
         tsel = g["table_select"][region]
         tid, linbits = HT.TABLE_INFO[tsel]
