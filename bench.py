@@ -152,6 +152,21 @@ def _axon_contenders() -> list[int]:
             ancestors.add(p)
     except (OSError, IndexError, ValueError):
         pass
+    # A mapped plugin alone does NOT hold the grant: any process that
+    # merely imported jax maps libaxon_pjrt (the sitecustomize registers
+    # it) even when it forced jax_platforms=cpu and never initialized
+    # the backend (r5 measured: the CPU-only test suite matched and was
+    # killed).  A real holder talks to the loopback relay, so require an
+    # ESTABLISHED loopback TCP socket as well.
+    est_inodes: set[str] = set()
+    try:
+        with open("/proc/net/tcp") as fh:
+            for line in fh.readlines()[1:]:
+                f = line.split()
+                if len(f) > 9 and f[3] == "01" and f[2].startswith("0100007F"):
+                    est_inodes.add(f[9])
+    except OSError:
+        pass
     out = []
     try:
         pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
@@ -162,8 +177,19 @@ def _axon_contenders() -> list[int]:
             continue
         try:
             with open(f"/proc/{pid}/maps") as fh:
-                if "libaxon_pjrt" in fh.read():
-                    out.append(pid)
+                if "libaxon_pjrt" not in fh.read():
+                    continue
+            talks = False
+            for fd in os.listdir(f"/proc/{pid}/fd"):
+                try:
+                    lnk = os.readlink(f"/proc/{pid}/fd/{fd}")
+                except OSError:
+                    continue
+                if lnk.startswith("socket:") and lnk[8:-1] in est_inodes:
+                    talks = True
+                    break
+            if talks:
+                out.append(pid)
         except OSError:
             continue
     return out
@@ -610,7 +636,10 @@ def main() -> None:
             from audio_decoder_tpu.engine import state as ES
             from audio_decoder_tpu.engine.render import render_chain
 
-            T_trk, S_trk, D_chain, F_blk = 8, rate * 2, 16, 4096
+            # 64-block bursts: a degraded window's ~28 ms dispatch floor
+            # ate the r5 16-block figure (28.8x); 5.9 s of audio per
+            # dispatch keeps the wall rate >=40x even at that floor
+            T_trk, S_trk, D_chain, F_blk = 8, rate * 2, 64, 4096
             tracks = (jax.random.normal(
                 jax.random.PRNGKey(11), (T_trk, S_trk, 2)) * 0.1)
             st = ES.empty_state(tracks, [S_trk] * T_trk, [2] * T_trk,
